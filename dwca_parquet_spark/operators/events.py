@@ -1,0 +1,102 @@
+"""Event-table operators: windowed aggregation + sessionization (SURVEY
+§2.G 20). Batch semantics here; ``streaming/events.py`` lifts the same
+transformations onto Structured Streaming (readStream + watermark).
+
+Scale notes: tumbling windows are a plain groupBy on (window, type) — one
+map-side-combinable shuffle. Sessionization shuffles once on user_id; the
+per-user sort happens inside the window operator. Skewed users are the risk
+at 100 TB — AQE skew-join/partition-split handles moderate skew; for
+pathological keys, pre-bucket by (user_id, day) and merge sessions crossing
+the boundary.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from dwca_parquet_spark.operators.relational import dec_sum
+
+
+def ts_micros(df: DataFrame, ts_col: str) -> F.Column:
+    """Event time as epoch microseconds (BIGINT), whatever the storage type.
+
+    Parquet TIMESTAMP(NANOS) columns arrive as epoch-nanos BIGINT (see
+    session.py nanosAsLong) → floor-divide to µs, identical to DuckDB's
+    ns→µs truncation; real timestamps go through unix_micros.
+    """
+    dtype = dict(df.dtypes)[ts_col]
+    if dtype in ("bigint", "long"):
+        # integer `div`, NOT `/`: bigint/1000 promotes to DOUBLE and loses
+        # precision beyond 2**53 (epoch-nanos are ~2**60)
+        return F.expr(f"`{ts_col}` div 1000")
+    return F.unix_micros(F.col(ts_col))
+
+
+def tumbling_agg(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+    duration: str = "1 hour",
+) -> DataFrame:
+    """Tumbling event-time window aggregation (batch DataFrame).
+
+    Emits window_start as a formatted string so differential hashing never
+    depends on timestamp localization.
+    """
+    event_time = F.timestamp_micros(ts_micros(df, ts_col))
+    win = F.window(event_time, duration)
+    return (
+        df.groupBy(win.alias("w"), F.col(key_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dec_sum(value_col).alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            key_col,
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sessionize(
+    df: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    id_col: str = "event_id",
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Gap-based sessionization via lag + cumulative flag sum.
+
+    A new session starts when the gap to the previous event of the same user
+    exceeds ``gap_minutes``. Timestamps compare as exact integer microseconds
+    (unix_micros) for engine parity. Output: one row per session with event
+    count and span.
+    """
+    gap_us = gap_minutes * 60 * 1_000_000
+    w = Window.partitionBy(user_col).orderBy(
+        F.col("ts_us").asc(), F.col(id_col).asc()
+    )
+    prev = F.lag("ts_us").over(w)
+    flagged = df.select(
+        F.col(user_col),
+        F.col(id_col),
+        ts_micros(df, ts_col).alias("ts_us"),
+    ).withColumn(
+        "new_session",
+        F.when(prev.isNull() | (F.col("ts_us") - prev > gap_us), 1).otherwise(0),
+    )
+    w_cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sessions = flagged.withColumn(
+        "session_id", F.sum("new_session").over(w_cum).cast("long")
+    )
+    return sessions.groupBy(user_col, "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts_us").alias("start_us"),
+        F.max("ts_us").alias("end_us"),
+    )

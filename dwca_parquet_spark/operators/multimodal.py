@@ -1,0 +1,127 @@
+"""Multimodal column plumbing (north-star; SURVEY §2.G 19).
+
+Images/audio/video travel as opaque ``binary`` columns with typed metadata
+structs. The Spark-side mechanics are fully real — schema, Arrow-batched
+``mapInPandas`` transforms, partition-size control — while the codec step is
+stubbed (this container has no image/audio libraries): ``decode_stub``
+produces deterministic fake features and raises ``NotImplementedError`` in
+strict mode, exactly where a real decoder (PIL/librosa/ffmpeg) would drop in.
+
+Batch shape: mapInPandas receives an iterator of pandas DataFrames sized by
+``spark.sql.execution.arrow.maxRecordsPerBatch``; with large blobs, lower
+that (or repartition by size) so a batch fits executor memory — at 100 TB of
+media, partition by content-length bands before decode.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Callable
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StructField,
+    StructType,
+)
+
+from dwca_parquet_spark.functions.hashing import HASH_MOD
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("byte_sum", LongType()),
+    ]
+)
+
+
+def to_binary_table(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Simulate a media table: utf-8 payload bytes + metadata columns.
+
+    Real pipelines land here straight from ``spark.read.format("binaryFile")``
+    (path, modificationTime, length, content) — the downstream plumbing is
+    identical.
+    """
+    return df.select(
+        F.col(id_col),
+        F.encode(F.col(text_col), "utf-8").alias("payload"),
+        F.octet_length(F.encode(F.col(text_col), "utf-8")).cast("long").alias(
+            "content_length"
+        ),
+        F.lit("text/plain").alias("mime_type"),
+    )
+
+
+def extract_features(
+    binary_df: DataFrame, strict: bool = False
+) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads via mapInPandas.
+
+    The stub computes (n_bytes, byte_sum mod HASH_MOD) — deterministic, so
+    the whole binary pipeline is oracle-checkable. A real decoder replaces
+    ``_features_of`` only; the Spark plumbing (schema, batching, laziness)
+    stays.
+    """
+
+    def _features_of(payload: bytes) -> tuple[int, int]:
+        if strict:
+            raise NotImplementedError(
+                "media decode requires an image/audio codec library; "
+                "this container ships none (deterministic stub available "
+                "with strict=False)"
+            )
+        total = 0
+        for b in payload:
+            total = (total + b) % HASH_MOD
+        return len(payload), total
+
+    def batch_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [_features_of(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "n_bytes": [f[0] for f in feats],
+                    "byte_sum": [f[1] for f in feats],
+                }
+            )
+
+    return binary_df.mapInPandas(batch_fn, FEATURE_SCHEMA)
+
+
+def transform_payload(
+    binary_df: DataFrame,
+    transform: Callable[[bytes], bytes] | None = None,
+) -> DataFrame:
+    """Payload→payload transform (resize/frame-sample slot), mapInPandas.
+
+    Default transform truncates to 256 bytes — the deterministic stand-in
+    for a thumbnailer; swap ``transform`` for the real codec call.
+    """
+    fn = transform or (lambda b: b[:256])
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField(
+                "payload", binary_df.schema["payload"].dataType
+            ),
+            StructField("n_bytes", LongType()),
+        ]
+    )
+
+    def batch_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = [fn(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "payload": out,
+                    "n_bytes": [len(p) for p in out],
+                }
+            )
+
+    return binary_df.mapInPandas(batch_fn, schema)

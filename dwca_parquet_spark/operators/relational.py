@@ -1,0 +1,79 @@
+"""Relational core operators (SURVEY.md §2.G ops 1-13).
+
+The reference exercises only a star inner-join + projection
+(``/root/reference/src/dwca_parquet/templates/query.sql:1-5``); this module
+generalizes to the full relational closure. Everything here is a declarative
+DataFrame composition — Catalyst owns pushdown, pruning, join strategy and
+AQE re-planning; nothing collects to the driver.
+
+Determinism conventions (shared with the DuckDB oracle, see queries.py):
+- Money/quantity aggregates run over ``decimal(18,2)`` casts so partial-sum
+  order cannot perturb results, then surface as DOUBLE.
+- Averages are ``exact_decimal_sum / count`` in DOUBLE (never engine avg()).
+- Window orderings always carry a unique tie-break key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+DEC = "decimal(18,2)"
+
+
+def dec_sum(col: Column | str) -> Column:
+    """Order-insensitive exact sum of a 2-decimal money/qty column → DOUBLE."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(DEC)).cast("double")
+
+
+def dec_avg(col: Column | str) -> Column:
+    """Deterministic average: exact decimal sum ÷ count, divided in DOUBLE."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(DEC)).cast("double") / F.count(c)
+
+
+def disc_price(price: str = "l_extendedprice", disc: str = "l_discount") -> Column:
+    """price × (1 − discount) in exact decimal arithmetic."""
+    return F.col(price).cast(DEC) * (F.lit(1).cast(DEC) - F.col(disc).cast(DEC))
+
+
+def charge(
+    price: str = "l_extendedprice", disc: str = "l_discount", tax: str = "l_tax"
+) -> Column:
+    """price × (1 − discount) × (1 + tax) in exact decimal arithmetic.
+
+    The intermediate down-cast to decimal(18,4) keeps the triple product
+    inside precision 38 on BOTH engines (values < 1e6, scale-4 exact), so
+    neither engine hits its own precision-loss rounding rules.
+    """
+    return disc_price(price, disc).cast("decimal(18,4)") * (
+        F.lit(1).cast(DEC) + F.col(tax).cast(DEC)
+    )
+
+
+def topk(df: DataFrame, order: list[Column], k: int) -> DataFrame:
+    """Global top-k. Spark plans sort+limit as TakeOrderedAndProject — a
+    per-partition partial top-k followed by a k-row merge on one reducer, so
+    no full sort materializes at scale."""
+    return df.orderBy(*order).limit(k)
+
+
+def per_group_topk(
+    df: DataFrame, partition: list[str], order: list[Column], k: int, rank_col: str = "rn"
+) -> DataFrame:
+    """Per-group top-k via row_number window. One shuffle on the partition
+    keys; the ordering must include a unique tie-break for determinism."""
+    w = Window.partitionBy(*partition).orderBy(*order)
+    return df.withColumn(rank_col, F.row_number().over(w)).filter(F.col(rank_col) <= k)
+
+
+def dedup_latest(
+    df: DataFrame, keys: list[str], order: list[Column], keep_rank_col: bool = False
+) -> DataFrame:
+    """Deterministic dropDuplicates: keep the first row per key under an
+    explicit total order (generalizes reference ``libs/csw.py:91,98`` set()
+    dedup to row-level semantics). Unlike ``dropDuplicates(subset)`` the
+    survivor is well-defined, which differential testing requires."""
+    out = per_group_topk(df, keys, order, 1)
+    return out if keep_rank_col else out.drop("rn")

@@ -1,0 +1,144 @@
+"""Text-analysis operators (north-star; SURVEY §2.G 18).
+
+Language-ID (stopword-vote heuristic), quality scoring, token statistics and
+document fingerprinting — all as pure column projections (JVM built-ins, no
+UDF, no shuffle), so at 100 TB they run inside the scan stage.
+
+Determinism: token statistics avoid engine avg()/float-reduction order by
+folding integer token lengths left-to-right; ratios divide in DOUBLE and
+round; no transcendental functions (libm differences across engines would
+break last-ulp parity), so the quality score is a piecewise-linear composite.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from dwca_parquet_spark.functions import hashing as H
+
+# Stopword vote tables for the language-ID heuristic. Fixed and mirrored
+# verbatim into the oracle SQL — priority order breaks ties.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a"),
+    "es": ("el", "la", "de", "que", "y"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "zh": ("de", "shi", "le", "zai", "he"),
+}
+LANG_PRIORITY = ("en", "es", "fr", "de", "zh")
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization of normalized text (empty text → empty array)."""
+    norm = H.normalize_text(col)
+    return F.when(F.length(norm) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(norm, r"\s+")
+    )
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col))
+
+
+def char_class_count(col: Column, keep_regex: str) -> Column:
+    """#chars matching a class, via strip-everything-else (portable)."""
+    return F.length(F.regexp_replace(col, keep_regex, ""))
+
+
+def stopword_count(toks: Column, words: tuple[str, ...]) -> Column:
+    wl = F.array(*[F.lit(w) for w in words])
+    # long, matching DuckDB len() → BIGINT for schema parity in oracles
+    return F.size(F.filter(toks, lambda t: F.array_contains(wl, t))).cast("long")
+
+
+def text_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document token/char statistics (the BPE-ish pre-tokenizer view)."""
+    norm = H.normalize_text(F.col(text_col))
+    toks = tokens(F.col(text_col))
+    total_tok_chars = F.aggregate(
+        F.transform(toks, lambda t: F.length(t).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    n_tok = F.size(toks).cast("long")
+    return df.select(
+        F.col(id_col),
+        F.length(norm).cast("long").alias("n_chars"),
+        n_tok.alias("n_tokens"),
+        F.round(
+            F.when(n_tok == 0, F.lit(0.0)).otherwise(
+                total_tok_chars.cast("double") / n_tok.cast("double")
+            ),
+            6,
+        ).alias("avg_token_len"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_tokens"),
+    )
+
+
+def language_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Stopword-vote language ID. Scores tie-break by LANG_PRIORITY order;
+    zero votes everywhere → 'und' (undetermined)."""
+    toks = tokens(F.col(text_col))
+    scores = {
+        lang: stopword_count(toks, words).alias(f"score_{lang}")
+        for lang, words in LANG_STOPWORDS.items()
+    }
+    scored = df.select(F.col(id_col), *scores.values())
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in LANG_PRIORITY])
+    pred = F.when(best == 0, F.lit("und"))
+    for lang in LANG_PRIORITY:
+        pred = pred.when(F.col(f"score_{lang}") == best, F.lit(lang))
+    return scored.select(
+        F.col(id_col),
+        *[F.col(f"score_{lang}") for lang in LANG_PRIORITY],
+        pred.alias("lang_pred"),
+    )
+
+
+def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Piecewise-linear quality composite + bucket.
+
+    score = 0.5·min(n_tokens,100)/100 + 0.3·(1 − punct_ratio) + 0.2·stop_ratio
+    (length signal, noise signal, naturalness signal — the classic pretraining
+    quality trio, kept linear for cross-engine determinism).
+    """
+    norm = H.normalize_text(F.col(text_col))
+    toks = tokens(F.col(text_col))
+    n_tok = F.size(toks).cast("long")
+    n_chars = F.length(norm).cast("double")
+    punct = char_class_count(norm, r"[^.,!?;:]").cast("double")
+    punct_ratio = F.when(n_chars == 0, F.lit(0.0)).otherwise(punct / n_chars)
+    stops = stopword_count(toks, LANG_STOPWORDS["en"]).cast("double")
+    stop_ratio = F.when(n_tok == 0, F.lit(0.0)).otherwise(
+        stops / n_tok.cast("double")
+    )
+    score = F.round(
+        0.5 * (F.least(n_tok, F.lit(100)).cast("double") / 100.0)
+        + 0.3 * (1.0 - punct_ratio)
+        + 0.2 * stop_ratio,
+        6,
+    )
+    bucket = (
+        F.when(score >= 0.8, "high").when(score >= 0.5, "medium").otherwise("low")
+    )
+    return df.select(
+        F.col(id_col),
+        score.alias("quality_score"),
+        bucket.alias("quality_bucket"),
+    )
+
+
+def fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Rolling-hash fingerprints: full text + 64-char prefix + length.
+
+    The (prefix_hash, length) pair is the cheap blocking key; full_hash is
+    the exact-dup key. Pure projection — composes with dedup_exact.
+    """
+    norm = H.normalize_text(F.col(text_col))
+    return df.select(
+        F.col(id_col),
+        H.poly_hash(norm).alias("full_hash"),
+        H.poly_hash(F.substring(norm, 1, 64)).alias("prefix_hash"),
+        F.length(norm).cast("long").alias("n_chars"),
+    )

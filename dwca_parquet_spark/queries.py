@@ -1,0 +1,1025 @@
+"""Declared query inventory + DuckDB oracle SQL (the t2 contract).
+
+Each entry pairs a PySpark query (a callable ``(spark, sf_dir) -> DataFrame``)
+with ANSI SQL that DuckDB runs over the same parquet tables. The driver
+compares row count + schema + order-insensitive value hash, so every pair
+follows the determinism protocol:
+
+- identical column names (everything aliased on both sides);
+- money/qty aggregates via exact decimal(18,2) sums surfaced as DOUBLE;
+- averages = decimal_sum / count divided in DOUBLE (never engine avg());
+- float similarity scores folded in identical order then rounded;
+- hashes from the engine-portable polynomial family (functions/hashing.py);
+- timestamps surfaced as formatted strings or unix micros, never raw;
+- window orderings always carry a unique tie-break key.
+
+Coverage maps to SURVEY.md §2.G: ops 1-13 (relational core generalizing the
+reference's star-join query, ``/root/reference/src/dwca_parquet/templates/
+query.sql:1-5``), 16-18 (dedup / similarity / text), 19 (multimodal binary),
+20 (event windows). The DwC-A pipeline itself (ops 14-15) is exercised by
+``plans/flatten.py`` + tests/test_dwca.py since its inputs are archives, not
+the fixture tables.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dwca_parquet_spark.functions import hashing as H
+from dwca_parquet_spark.functions import vectors as V
+from dwca_parquet_spark.operators import dedup as D
+from dwca_parquet_spark.operators import events as E
+from dwca_parquet_spark.operators import multimodal as M
+from dwca_parquet_spark.operators import relational as R
+from dwca_parquet_spark.operators import similarity as S
+from dwca_parquet_spark.operators import text as T
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+EMB_DIM = 64
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def query(name: str, oracle: str | None):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# --- shared oracle SQL fragments (same constants as the Spark side) --------
+
+def _osum(expr: str) -> str:
+    """Exact decimal sum → DOUBLE (mirror of operators.relational.dec_sum)."""
+    return f"CAST(sum(CAST({expr} AS DECIMAL(18,2))) AS DOUBLE)"
+
+
+_DISC = "(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))))"
+_CHARGE = f"(CAST({_DISC} AS DECIMAL(18,4)) * (1 + CAST(l_tax AS DECIMAL(18,2))))"
+_NORM_TEXT = H.sql_normalize_text("text")
+_TOKENS = f"string_split_regex({_NORM_TEXT}, '\\s+')"
+
+
+# ===========================================================================
+# Relational core (SURVEY §2.G ops 1-13)
+# ===========================================================================
+
+
+@query(
+    "q01_pricing_summary",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           {_osum('l_quantity')} AS sum_qty,
+           {_osum('l_extendedprice')} AS sum_base_price,
+           CAST(sum({_DISC}) AS DOUBLE) AS sum_disc_price,
+           CAST(sum({_CHARGE}) AS DOUBLE) AS sum_charge,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(l_quantity) AS avg_qty,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: filter → groupBy → multi-aggregate. The filter pushes
+    into the parquet scan; aggregation map-side combines before one shuffle
+    on (returnflag, linestatus)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            R.dec_sum("l_quantity").alias("sum_qty"),
+            R.dec_sum("l_extendedprice").alias("sum_base_price"),
+            F.sum(R.disc_price()).cast("double").alias("sum_disc_price"),
+            F.sum(R.charge()).cast("double").alias("sum_charge"),
+            R.dec_avg("l_quantity").alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "q02_filter_project",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+    FROM orders
+    WHERE o_orderstatus IN ('F', 'O')
+      AND o_totalprice BETWEEN 1000 AND 200000
+      AND o_orderpriority LIKE '1%'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_custkey IS NOT NULL
+    """,
+)
+def q02_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate closure: IN / BETWEEN / LIKE / comparison / null-test, all
+    pushable — .explain shows them in PushedFilters on the parquet scan."""
+    o = _t(spark, sf_dir, "orders")
+    return o.filter(
+        F.col("o_orderstatus").isin("F", "O")
+        & F.col("o_totalprice").between(1000, 200000)
+        & F.col("o_orderpriority").like("1%")
+        & (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & F.col("o_custkey").isNotNull()
+    ).select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+
+
+@query(
+    "q03_star_join_revenue",
+    f"""
+    SELECT r_name, n_name,
+           CAST(sum({_DISC}) AS DOUBLE) AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    """,
+)
+def q03_star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's star shape (query.sql:3-5) generalized: fact ⋈ 4 dims.
+    True dimensions broadcast (explicit hints); lineitem⋈orders is
+    fact-to-fact so its strategy is left to Catalyst/AQE — broadcast at
+    fixture scale, sort-merge on orderkey at 100 TB. The only guaranteed
+    shuffle is the final aggregation."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(R.disc_price()).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query(
+    "q04_left_join_agg",
+    f"""
+    SELECT c_custkey,
+           count(o_orderkey) AS order_count,
+           {_osum('o_totalprice')} AS total_spend
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey
+    """,
+)
+def q04_left_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving customers with zero orders (count 0,
+    spend NULL) — the row-preservation semantics the reference's inner join
+    drops (SURVEY §2.A A3 note)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("order_count"),
+            R.dec_sum("o_totalprice").alias("total_spend"),
+        )
+    )
+
+
+@query(
+    "q05_anti_join",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def q05_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join: customers with no orders."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "q06_semi_join",
+    """
+    SELECT s_suppkey, s_name FROM supplier
+    WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey)
+    """,
+)
+def q06_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join: suppliers that appear in lineitem."""
+    s = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem")
+    return s.join(li, s.s_suppkey == li.l_suppkey, "left_semi").select(
+        "s_suppkey", "s_name"
+    )
+
+
+@query(
+    "q07_distinct",
+    "SELECT DISTINCT c_nationkey, c_mktsegment FROM customer",
+)
+def q07_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """distinct = hash-aggregate on all columns (map-side combined)."""
+    return _t(spark, sf_dir, "customer").select("c_nationkey", "c_mktsegment").distinct()
+
+
+@query(
+    "q08_dedup_latest",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate DESC, o_orderkey ASC) AS rn
+        FROM orders
+    ) WHERE rn = 1
+    """,
+)
+def q08_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic dropDuplicates(subset): latest order per customer under
+    an explicit total order (operators.relational.dedup_latest)."""
+    o = _t(spark, sf_dir, "orders")
+    return R.dedup_latest(
+        o, ["o_custkey"], [F.col("o_orderdate").desc(), F.col("o_orderkey").asc()]
+    ).select("o_custkey", "o_orderkey", "o_totalprice")
+
+
+@query(
+    "q09_union_distinct",
+    """
+    SELECT c_nationkey AS nationkey FROM customer
+    UNION
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def q09_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.union(s).distinct()
+
+
+@query(
+    "q10_except_intersect",
+    """
+    SELECT n_nationkey AS nationkey, 'no_supplier' AS tag FROM (
+        SELECT n_nationkey FROM nation
+        EXCEPT
+        SELECT s_nationkey FROM supplier
+    )
+    UNION ALL
+    SELECT c_nationkey AS nationkey, 'both' AS tag FROM (
+        SELECT c_nationkey FROM customer
+        INTERSECT
+        SELECT s_nationkey FROM supplier
+    )
+    """,
+)
+def q10_except_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT + INTERSECT + UNION ALL in one result, tagged."""
+    n = _t(spark, sf_dir, "nation").select("n_nationkey")
+    c = _t(spark, sf_dir, "customer").select("c_nationkey")
+    s = _t(spark, sf_dir, "supplier").select("s_nationkey")
+    no_sup = n.subtract(s).select(
+        F.col("n_nationkey").alias("nationkey"), F.lit("no_supplier").alias("tag")
+    )
+    both = (
+        c.intersect(s)
+        .select(F.col("c_nationkey").alias("nationkey"), F.lit("both").alias("tag"))
+    )
+    return no_sup.unionAll(both)
+
+
+@query(
+    "q11_window_rank",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice, rn, rnk, drnk FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               row_number() OVER w AS rn,
+               rank()       OVER w AS rnk,
+               dense_rank() OVER w AS drnk
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC)
+    ) WHERE rn <= 3
+    """,
+)
+def q11_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number / rank / dense_rank over one shuffle-shared window."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@query(
+    "q12_window_running",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+               AS running_spend,
+           lag(o_orderkey)  OVER w AS prev_order,
+           lead(o_orderkey) OVER w AS next_order
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+    """,
+)
+def q12_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running aggregate with explicit ROWS frame + lag/lead."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast(R.DEC)).over(wf).cast("double").alias(
+            "running_spend"
+        ),
+        F.lag("o_orderkey").over(w).alias("prev_order"),
+        F.lead("o_orderkey").over(w).alias("next_order"),
+    )
+
+
+@query(
+    "q13_topk",
+    """
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20
+    """,
+)
+def q13_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k → TakeOrderedAndProject (partial per-partition top-k,
+    merge of k rows — no full sort at any scale)."""
+    o = _t(spark, sf_dir, "orders")
+    return R.topk(
+        o.select("o_orderkey", "o_totalprice"),
+        [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+        20,
+    )
+
+
+@query(
+    "q14_string_funcs",
+    """
+    SELECT p_partkey,
+           upper(p_name) AS name_upper,
+           lower(p_brand) AS brand_lower,
+           substr(p_type, 1, 5) AS type_prefix,
+           len(string_split(p_name, ' ')) AS n_words,
+           string_split(p_name, ' ')[1] AS first_word,
+           concat_ws('|', p_brand, p_type) AS brand_type,
+           regexp_replace(p_name, '[aeiou]', '', 'g') AS name_novowels,
+           length(p_name) AS name_len
+    FROM part
+    """,
+)
+def q14_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String library closure: case, substring, split, concat_ws, regex
+    (SURVEY §2.D D2/D8 generalized)."""
+    p = _t(spark, sf_dir, "part")
+    words = F.split(F.col("p_name"), " ")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.lower("p_brand").alias("brand_lower"),
+        F.substring("p_type", 1, 5).alias("type_prefix"),
+        F.size(words).cast("long").alias("n_words"),
+        F.element_at(words, 1).alias("first_word"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.regexp_replace("p_name", "[aeiou]", "").alias("name_novowels"),
+        F.length("p_name").cast("long").alias("name_len"),
+    )
+
+
+@query(
+    "q15_date_funcs",
+    """
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INTEGER) AS order_year,
+           CAST(month(o_orderdate) AS INTEGER) AS order_month,
+           CAST(quarter(o_orderdate) AS INTEGER) AS order_quarter,
+           CAST(dayofweek(o_orderdate) AS INTEGER) AS dow_sun0,
+           strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+           CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31') AS INTEGER)
+               AS days_to_cutoff
+    FROM orders
+    """,
+)
+def q15_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time closure. Spark dayofweek is 1=Sunday, DuckDB dow is
+    0=Sunday — normalized to Sunday=0 on both sides."""
+    o = _t(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.year(d).alias("order_year"),
+        F.month(d).alias("order_month"),
+        F.quarter(d).alias("order_quarter"),
+        (F.dayofweek(d) - 1).alias("dow_sun0"),
+        F.date_format(F.date_trunc("month", d), "yyyy-MM-dd").alias("month_start"),
+        F.datediff(F.lit("1998-12-31").cast("date"), d.cast("date")).alias(
+            "days_to_cutoff"
+        ),
+    )
+
+
+@query(
+    "q16_json_funcs",
+    """
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value,
+           json_extract_string(props, '$.k') AS k_raw
+    FROM events
+    """,
+)
+def q16_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction (SURVEY §2.D D11 inverse): get_json_object + typed
+    from_json — both produce the same surfaced values."""
+    ev = _t(spark, sf_dir, "events")
+    parsed = F.from_json(F.col("props"), "k BIGINT")
+    return ev.select(
+        "event_id",
+        parsed["k"].alias("k_value"),
+        F.get_json_object("props", "$.k").alias("k_raw"),
+    )
+
+
+@query(
+    "q17_conditional_agg",
+    f"""
+    SELECT o_orderstatus,
+           count(*) AS n_orders,
+           sum(CASE WHEN o_orderpriority LIKE '1%' THEN 1 ELSE 0 END) AS n_urgent,
+           sum(CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END) AS n_big,
+           {_osum("CASE WHEN o_orderpriority LIKE '1%' THEN o_totalprice ELSE 0 END")}
+               AS urgent_value
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def q17_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation (pivot building block)."""
+    o = _t(spark, sf_dir, "orders")
+    urgent = F.col("o_orderpriority").like("1%")
+    return o.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.when(urgent, 1).otherwise(0)).alias("n_urgent"),
+        F.sum(F.when(F.col("o_totalprice") > 150000, 1).otherwise(0)).alias("n_big"),
+        R.dec_sum(
+            F.when(urgent, F.col("o_totalprice")).otherwise(F.lit(0))
+        ).alias("urgent_value"),
+    )
+
+
+@query(
+    "q18_having",
+    """
+    SELECT c_nationkey, count(*) AS n_customers
+    FROM customer GROUP BY c_nationkey HAVING count(*) > 50
+    """,
+)
+def q18_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-aggregation filter (HAVING)."""
+    c = _t(spark, sf_dir, "customer")
+    return (
+        c.groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .filter(F.col("n_customers") > 50)
+    )
+
+
+@query(
+    "q19_rollup",
+    """
+    SELECT r_name, n_name, count(*) AS n_customers
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+)
+def q19_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (region → nation → grand total)."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    joined = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    )
+    return joined.rollup("r_name", "n_name").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+
+
+@query(
+    "q20_array_agg",
+    """
+    SELECT n_nationkey,
+           array_to_string(list(s_name ORDER BY s_name), ',') AS supplier_names,
+           count(*) AS n_suppliers
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY n_nationkey
+    """,
+)
+def q20_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_list → sort_array → array_join: deterministic array agg
+    surfaced as a string (portable hashing; SURVEY §2.D D7/D8)."""
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_nationkey")
+        .agg(
+            F.array_join(F.sort_array(F.collect_list("s_name")), ",").alias(
+                "supplier_names"
+            ),
+            F.count(F.lit(1)).alias("n_suppliers"),
+        )
+    )
+
+
+@query(
+    "q21_scalar_subquery",
+    """
+    SELECT o_orderkey, o_totalprice FROM orders
+    WHERE o_totalprice > (
+        SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+        FROM orders
+    )
+    """,
+)
+def q21_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-subquery filter: orders above the mean price. The mean is the
+    deterministic decimal-sum/count form; Spark side broadcasts the 1-row
+    aggregate (cross join) — same plan Catalyst builds for scalar subqueries."""
+    o = _t(spark, sf_dir, "orders")
+    mean = o.agg(R.dec_avg("o_totalprice").alias("mean_price"))
+    return (
+        o.crossJoin(F.broadcast(mean))
+        .filter(F.col("o_totalprice") > F.col("mean_price"))
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+@query(
+    "q22_union_all_tagged",
+    """
+    SELECT c_custkey AS entity_id, 'customer' AS kind, c_acctbal AS acctbal
+    FROM customer
+    UNION ALL
+    SELECT s_suppkey AS entity_id, 'supplier' AS kind, s_acctbal AS acctbal
+    FROM supplier
+    """,
+)
+def q22_union_all_tagged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("entity_id"),
+        F.lit("customer").alias("kind"),
+        F.col("c_acctbal").alias("acctbal"),
+    )
+    s = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("entity_id"),
+        F.lit("supplier").alias("kind"),
+        F.col("s_acctbal").alias("acctbal"),
+    )
+    return c.unionAll(s)
+
+
+# ===========================================================================
+# Event-table ops (SURVEY §2.G op 20)
+# ===========================================================================
+
+
+@query(
+    "q23_event_tumbling",
+    f"""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           count(*) AS n_events,
+           {_osum('value')} AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q23_event_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time windows on a batch DataFrame — the same
+    F.window() transformation streaming/events.py runs under a watermark."""
+    return E.tumbling_agg(_t(spark, sf_dir, "events"))
+
+
+@query(
+    "q24_event_sessions",
+    """
+    WITH flagged AS (
+        SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+               CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                         OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts) ASC, event_id ASC)
+    ), sessions AS (
+        SELECT user_id, event_id, ts_us,
+               CAST(sum(new_session) OVER (PARTITION BY user_id
+                                           ORDER BY ts_us ASC, event_id ASC
+                                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS session_id
+        FROM flagged
+    )
+    SELECT user_id, session_id, count(*) AS n_events,
+           min(ts_us) AS start_us, max(ts_us) AS end_us
+    FROM sessions GROUP BY user_id, session_id
+    """,
+)
+def q24_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30 min) via lag + cumulative flag sum."""
+    return E.sessionize(_t(spark, sf_dir, "events"))
+
+
+# ===========================================================================
+# Text analysis + dedup (north-star; SURVEY §2.G ops 16/18)
+# ===========================================================================
+
+
+@query(
+    "q25_text_stats",
+    f"""
+    SELECT doc_id,
+           CAST(length({_NORM_TEXT}) AS BIGINT) AS n_chars,
+           CAST(len({_TOKENS}) AS BIGINT) AS n_tokens,
+           round(CASE WHEN len({_TOKENS}) = 0 THEN 0.0
+                 ELSE CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                          [CAST(length(t) AS BIGINT) for t in {_TOKENS}]),
+                          (a, b) -> a + b) AS DOUBLE)
+                      / CAST(len({_TOKENS}) AS DOUBLE) END, 6) AS avg_token_len,
+           CAST(len(list_distinct({_TOKENS})) AS BIGINT) AS n_distinct_tokens
+    FROM documents
+    """,
+)
+def q25_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting / char stats — pure projection, runs in the scan stage."""
+    return T.text_stats(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def _lang_oracle() -> str:
+    score_cols = []
+    for lang, words in T.LANG_STOPWORDS.items():
+        inlist = ", ".join(f"'{w}'" for w in words)
+        score_cols.append(
+            f"CAST(len(list_filter({_TOKENS}, t -> list_contains([{inlist}], t))) AS BIGINT)"
+            f" AS score_{lang}"
+        )
+    greatest = "greatest(" + ", ".join(f"score_{lang}" for lang in T.LANG_PRIORITY) + ")"
+    cases = " ".join(
+        f"WHEN score_{lang} = {greatest} THEN '{lang}'" for lang in T.LANG_PRIORITY
+    )
+    return f"""
+    SELECT doc_id, {', '.join(f'score_{lang}' for lang in T.LANG_PRIORITY)},
+           CASE WHEN {greatest} = 0 THEN 'und' {cases} END AS lang_pred
+    FROM (SELECT doc_id, {', '.join(score_cols)} FROM documents)
+    """
+
+
+@query("q26_language_id", _lang_oracle())
+def q26_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-vote language ID heuristic with fixed tie-break priority."""
+    return T.language_id(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@query(
+    "q27_quality_score",
+    f"""
+    SELECT doc_id,
+           round(0.5 * (CAST(least(len({_TOKENS}), 100) AS DOUBLE) / 100.0)
+                 + 0.3 * (1.0 - CASE WHEN length({_NORM_TEXT}) = 0 THEN 0.0
+                       ELSE CAST(length(regexp_replace({_NORM_TEXT}, '[^.,!?;:]', '', 'g')) AS DOUBLE)
+                            / CAST(length({_NORM_TEXT}) AS DOUBLE) END)
+                 + 0.2 * (CASE WHEN len({_TOKENS}) = 0 THEN 0.0
+                       ELSE CAST(len(list_filter({_TOKENS},
+                                t -> list_contains(['the','and','of','to','a'], t))) AS DOUBLE)
+                            / CAST(len({_TOKENS}) AS DOUBLE) END), 6) AS quality_score,
+           CASE WHEN round(0.5 * (CAST(least(len({_TOKENS}), 100) AS DOUBLE) / 100.0)
+                 + 0.3 * (1.0 - CASE WHEN length({_NORM_TEXT}) = 0 THEN 0.0
+                       ELSE CAST(length(regexp_replace({_NORM_TEXT}, '[^.,!?;:]', '', 'g')) AS DOUBLE)
+                            / CAST(length({_NORM_TEXT}) AS DOUBLE) END)
+                 + 0.2 * (CASE WHEN len({_TOKENS}) = 0 THEN 0.0
+                       ELSE CAST(len(list_filter({_TOKENS},
+                                t -> list_contains(['the','and','of','to','a'], t))) AS DOUBLE)
+                            / CAST(len({_TOKENS}) AS DOUBLE) END), 6) >= 0.8 THEN 'high'
+                WHEN round(0.5 * (CAST(least(len({_TOKENS}), 100) AS DOUBLE) / 100.0)
+                 + 0.3 * (1.0 - CASE WHEN length({_NORM_TEXT}) = 0 THEN 0.0
+                       ELSE CAST(length(regexp_replace({_NORM_TEXT}, '[^.,!?;:]', '', 'g')) AS DOUBLE)
+                            / CAST(length({_NORM_TEXT}) AS DOUBLE) END)
+                 + 0.2 * (CASE WHEN len({_TOKENS}) = 0 THEN 0.0
+                       ELSE CAST(len(list_filter({_TOKENS},
+                                t -> list_contains(['the','and','of','to','a'], t))) AS DOUBLE)
+                            / CAST(len({_TOKENS}) AS DOUBLE) END), 6) >= 0.5 THEN 'medium'
+                ELSE 'low' END AS quality_bucket
+    FROM documents
+    """,
+)
+def q27_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Piecewise-linear document quality composite (length/punct/stopwords)."""
+    return T.quality_score(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@query(
+    "q28_fingerprints",
+    f"""
+    SELECT doc_id,
+           {H.sql_poly_hash(_NORM_TEXT)} AS full_hash,
+           {H.sql_poly_hash(f'substr({_NORM_TEXT}, 1, 64)')} AS prefix_hash,
+           CAST(length({_NORM_TEXT}) AS BIGINT) AS n_chars
+    FROM documents
+    """,
+)
+def q28_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprints (exact-dup + blocking keys)."""
+    return T.fingerprints(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@query(
+    "q29_dedup_exact",
+    f"""
+    SELECT {H.sql_poly_hash(_NORM_TEXT)} AS text_hash,
+           min(doc_id) AS canonical_id,
+           count(*) AS n_copies
+    FROM documents GROUP BY 1
+    """,
+)
+def q29_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on normalized text (north-star op 16)."""
+    return D.dedup_exact(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def _minhash_oracle() -> str:
+    sh = H.sql_shingle_hashes(_NORM_TEXT)
+    mins = []
+    for j in range(H.MINHASH_K):
+        a, b = H._minhash_ab(j)
+        mins.append(f"min((h * {a} + {b}) % {H.MINHASH_P}) AS mh{j}")
+    bands = []
+    for band in range(H.MINHASH_BANDS):
+        lo = band * H.MINHASH_ROWS_PER_BAND
+        expr = "CAST(0 AS BIGINT)"
+        for r in range(lo, lo + H.MINHASH_ROWS_PER_BAND):
+            expr = f"(({expr}) * {H.HASH_BASE} + mh{r}) % {H.HASH_MOD}"
+        bands.append(
+            f"SELECT doc_id, {band} AS band, {expr} AS bucket FROM sigs"
+        )
+    bands_sql = " UNION ALL ".join(bands)
+    return f"""
+    WITH sh AS (SELECT doc_id, {sh} AS hashes FROM documents),
+    ex AS (SELECT doc_id, unnest(hashes) AS h FROM sh),
+    sigs AS (SELECT doc_id, {', '.join(mins)} FROM ex GROUP BY doc_id),
+    bb AS ({bands_sql}),
+    cand AS (
+        SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+        FROM bb l JOIN bb r ON l.band = r.band AND l.bucket = r.bucket
+                           AND l.doc_id < r.doc_id
+    ),
+    verified AS (
+        SELECT id_a, id_b,
+               round(CAST(len(list_intersect(a.hashes, b.hashes)) AS DOUBLE)
+                     / (CAST(len(a.hashes) AS DOUBLE) + CAST(len(b.hashes) AS DOUBLE)
+                        - CAST(len(list_intersect(a.hashes, b.hashes)) AS DOUBLE)), 6)
+                   AS jaccard
+        FROM cand JOIN sh a ON cand.id_a = a.doc_id
+                  JOIN sh b ON cand.id_b = b.doc_id
+    )
+    SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= 0.5
+    """
+
+
+@query("q30_minhash_lsh_pairs", _minhash_oracle())
+def q30_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs, band-bucket candidates verified by exact
+    shingle Jaccard (north-star fuzzy dedup; see operators/dedup.py for the
+    shuffle analysis)."""
+    return D.minhash_dup_pairs(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def _simhash_oracle() -> str:
+    sh = H.sql_shingle_hashes(_NORM_TEXT)
+    votes = ", ".join(
+        f"sum(CASE WHEN (h // {2**i}) % 2 = 1 THEN 1 ELSE -1 END) AS s{i}"
+        for i in range(32)
+    )
+    fp = " + ".join(f"(CASE WHEN s{i} > 0 THEN {2**i} ELSE 0 END)" for i in range(32))
+    return f"""
+    WITH sh AS (SELECT doc_id, {sh} AS hashes FROM documents),
+    ex AS (SELECT doc_id, unnest(hashes) AS h FROM sh),
+    votes AS (SELECT doc_id, {votes} FROM ex GROUP BY doc_id)
+    SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM votes
+    """
+
+
+@query("q31_simhash", _simhash_oracle())
+def q31_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash fingerprints (near-dup bucketing by fingerprint)."""
+    return D.simhash_fingerprints(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def _ngram_topk_oracle() -> str:
+    sh = H.sql_shingle_hashes(_NORM_TEXT)
+    return f"""
+    WITH sh AS (SELECT doc_id, {sh} AS hashes FROM documents),
+    pairs AS (
+        SELECT q.doc_id AS query_id, c.doc_id AS cand_id,
+               round(CAST(len(list_intersect(q.hashes, c.hashes)) AS DOUBLE)
+                     / (CAST(len(q.hashes) AS DOUBLE) + CAST(len(c.hashes) AS DOUBLE)
+                        - CAST(len(list_intersect(q.hashes, c.hashes)) AS DOUBLE)), 6)
+                   AS jaccard
+        FROM sh q JOIN sh c ON q.doc_id != c.doc_id
+        WHERE q.doc_id < 50
+    )
+    SELECT query_id, cand_id, jaccard FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY jaccard DESC, cand_id ASC) AS rn
+        FROM pairs
+    ) WHERE rn = 1
+    """
+
+
+@query("q32_ngram_jaccard_top1", _ngram_topk_oracle())
+def q32_ngram_jaccard_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard nearest neighbor for a bounded query set (the
+    exact baseline the LSH path approximates)."""
+    return D.ngram_jaccard_topk(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", query_ids_below=50, topk=1
+    )
+
+
+# ===========================================================================
+# Similarity search over embeddings (north-star; SURVEY §2.G op 17)
+# ===========================================================================
+
+
+@query(
+    "q33_knn_bruteforce",
+    f"""
+    SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+           round({V.sql_cosine('q.embedding', 'c.embedding', EMB_DIM)}, 4) AS cosine
+    FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+    WHERE q.vec_id < 20
+    QUALIFY row_number() OVER (PARTITION BY q.vec_id
+                               ORDER BY round({V.sql_cosine('q.embedding', 'c.embedding', EMB_DIM)}, 4) DESC,
+                                        c.vec_id ASC) <= 5
+    """,
+)
+def q33_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 neighbors for 20 query vectors — broadcast query
+    side, streaming candidate scan, deterministic tie-break."""
+    return S.knn_bruteforce(
+        _t(spark, sf_dir, "embeddings"), "vec_id", "embedding", query_ids_below=20, k=5
+    )
+
+
+@query(
+    "q34_embedding_neardup",
+    f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round({V.sql_cosine('a.embedding', 'b.embedding', EMB_DIM)}, 4) AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE round({V.sql_cosine('a.embedding', 'b.embedding', EMB_DIM)}, 4) >= 0.9
+    """,
+)
+def q34_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (exact form; LSH-bucketed
+    variant in q35/q36 is the scale path)."""
+    return S.embedding_neardup_pairs(
+        _t(spark, sf_dir, "embeddings"), "vec_id", "embedding", threshold=0.9
+    )
+
+
+def _lsh_bucket_oracle() -> str:
+    bits = " + ".join(
+        f"(CASE WHEN {S.sql_plane_dot('embedding', j, EMB_DIM)} > 0 THEN {2**j} ELSE 0 END)"
+        for j in range(S.NUM_PLANES)
+    )
+    return f"SELECT vec_id, CAST({bits} AS BIGINT) AS bucket FROM embeddings"
+
+
+@query("q35_rp_lsh_buckets", _lsh_bucket_oracle())
+def q35_rp_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH bucket assignment — pure projection, the
+    linear-cost half of ANN at scale."""
+    return S.rp_lsh_buckets(_t(spark, sf_dir, "embeddings"), "vec_id", "embedding")
+
+
+def _ann_lsh_oracle() -> str:
+    bits = " + ".join(
+        f"(CASE WHEN {S.sql_plane_dot('embedding', j, EMB_DIM)} > 0 THEN {2**j} ELSE 0 END)"
+        for j in range(S.NUM_PLANES)
+    )
+    cos = V.sql_cosine("q.embedding", "c.embedding", EMB_DIM)
+    return f"""
+    WITH b AS (SELECT vec_id, CAST({bits} AS BIGINT) AS bucket, embedding FROM embeddings),
+    pairs AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+               round({cos.replace('q.embedding', 'q.embedding').replace('c.embedding', 'c.embedding')}, 4) AS cosine
+        FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id != c.vec_id
+    )
+    SELECT query_id, cand_id, cosine FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, cand_id ASC) AS rn
+        FROM pairs
+    ) WHERE rn <= 3
+    """
+
+
+@query("q36_ann_topk_lsh", _ann_lsh_oracle())
+def q36_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-3 neighbors via bucket-restricted self-join — the
+    Σ|bucket|² candidate bound that replaces n² at 100 TB."""
+    return S.ann_topk_lsh(_t(spark, sf_dir, "embeddings"), "vec_id", "embedding", k=3)
+
+
+@query(
+    "q37_centroids",
+    """
+    SELECT label, pos,
+           round(CAST(sum(CAST(round(CAST(embedding[pos] AS DOUBLE) * 1000000, 0) AS BIGINT))
+                      AS DOUBLE) / (1000000.0 * count(*)), 6) AS centroid
+    FROM embeddings, (SELECT unnest(range(1, 65)) AS pos)
+    GROUP BY label, pos
+    """,
+)
+def q37_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid of each embedding component. Values are scaled to
+    integers (×1e6, rounded) before summing so the reduction is exact and
+    order-free on both engines — the multimodal 'aggregate a vector column'
+    pattern. posexplode is 0-based; +1 aligns with SQL 1-based positions."""
+    e = _t(spark, sf_dir, "embeddings")
+    exploded = e.select(
+        "label", F.posexplode("embedding").alias("pos0", "val")
+    ).select(
+        "label",
+        (F.col("pos0") + 1).alias("pos"),
+        F.round(F.col("val").cast("double") * 1_000_000, 0)
+        .cast("long")
+        .alias("val_scaled"),
+    )
+    return exploded.groupBy("label", "pos").agg(
+        F.round(
+            F.sum("val_scaled").cast("double") / (1_000_000.0 * F.count(F.lit(1))), 6
+        ).alias("centroid")
+    )
+
+
+# ===========================================================================
+# Multimodal binary plumbing (north-star; SURVEY §2.G op 19)
+# ===========================================================================
+
+
+@query(
+    "q38_binary_features",
+    f"""
+    SELECT doc_id,
+           CAST(length({_NORM_TEXT}) AS BIGINT) AS n_bytes,
+           {H.sql_poly_hash(_NORM_TEXT).replace(f'* {H.HASH_BASE} + x', '+ x')} AS byte_sum
+    FROM documents
+    """,
+)
+def q38_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column pipeline: text → utf-8 payload → Arrow-batched
+    mapInPandas feature extraction (deterministic stub where a codec would
+    sit). Oracle recomputes byte length + byte-sum from the same normalized
+    ASCII text — proving the Pandas-UDF plumbing end-to-end."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", H.normalize_text(F.col("text")).alias("text")
+    )
+    binary = M.to_binary_table(docs, "doc_id", "text")
+    return M.extract_features(binary)
+
+
+def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The entry() smoke query: star join + aggregation (q03)."""
+    return q03_star_join_revenue(spark, sf_dir)

@@ -1,0 +1,217 @@
+"""DwC-A end-to-end golden tests (SURVEY §5.3).
+
+Oracle = DuckDB executing the reference query's semantics (star inner-join
+on the meta.xml keys + fid + coalesce(footprint, point) geometry — the
+behavior declared at /root/reference/src/dwca_parquet/templates/query.sql:1-5
+and libs/dwca.py:8-44) over the SAME extracted CSVs. Values compare as
+canonical strings so CSV type-inference differences between engines don't
+mask real semantic breaks.
+
+Variant coverage (FIXTURES.md §B): core-only, tab-sep, footprintWKT with
+NULLs, multi-extension fan-out, unmatched core rows (inner-join drop),
+extension-held footprintWKT (the core-only quirk), latin-1 encoding,
+colliding column names, NULL lat/lon.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import duckdb
+import pytest
+
+from dwca_parquet_spark.plans.flatten import dwca_flatten
+from dwca_parquet_spark.sources.dwca import read_dwca
+from tests import dwca_fixtures as FX
+
+
+def _flatten(spark, zpath: Path, tmp: Path, **kw):
+    archive, core_df, ext_dfs = read_dwca(spark, zpath, tmp / "staging")
+    return archive, dwca_flatten(archive, core_df, ext_dfs, **kw)
+
+
+def _canon(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, float) and v == int(v):
+        return str(int(v))
+    s = str(v)
+    return s[:-2] if s.endswith(".0") else s
+
+
+def _rowset(cols, rows) -> set[str]:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return {"|".join(_canon(r[i]) for i in order) for r in rows}
+
+
+def _duck_oracle(archive, fix_core_only_quirk: bool = True):
+    """Build the reference-semantics SQL over the extracted files."""
+    con = duckdb.connect()
+    core = archive.core
+    parts = [
+        f"read_csv('{archive.root / core.location}', header=true, "
+        f"delim='{core.sep}', sample_size=-1) AS {core.alias}"
+    ]
+    joins = []
+    for ext in archive.extensions:
+        joins.append(
+            f"JOIN read_csv('{archive.root / ext.location}', header=true, "
+            f"delim='{ext.sep}', sample_size=-1) AS {ext.alias} "
+            f'ON {ext.alias}."{ext.id_col}" = {core.alias}."{core.id_col}"'
+        )
+    headers_for_geom = core.headers  # the reference's core-only quirk
+    has_wkt = "footprintWKT" in headers_for_geom
+    lat_ok = "decimalLatitude" in core.headers and "decimalLongitude" in core.headers
+    if lat_ok:
+        point = (
+            "CASE WHEN decimalLatitude IS NOT NULL AND decimalLongitude IS NOT NULL "
+            "THEN 'POINT (' || CAST(decimalLatitude AS VARCHAR) || ' ' || "
+            "CAST(decimalLongitude AS VARCHAR) || ')' END"
+        )
+    else:
+        point = "NULL"
+    geom = f"coalesce(CAST(footprintWKT AS VARCHAR), {point})" if has_wkt else point
+    sql = (
+        f'SELECT {core.alias}."{core.id_col}" AS fid, {geom} AS geom, * '
+        f"FROM {parts[0]} {' '.join(joins)}"
+    )
+    rel = con.sql(sql)
+    cols, rows = list(rel.columns), rel.fetchall()
+    con.close()
+    return cols, rows
+
+
+def _compare(sdf, oracle, name: str, cols: list[str]):
+    srows = sdf.select(*cols).collect()
+    sset = _rowset(cols, [tuple(r) for r in srows])
+    ocols, orows = oracle
+    idx = [ocols.index(c) for c in cols]
+    oset = _rowset(cols, [tuple(row[i] for i in idx) for row in orows])
+    assert len(srows) == len(oset | sset) or sset == oset, (
+        f"{name}: rowset mismatch\nspark-only={list(sset - oset)[:3]}"
+        f"\nduck-only={list(oset - sset)[:3]}"
+    )
+    assert sset == oset
+
+
+def test_core_only(spark, tmp_path):
+    z = FX.build_archive(tmp_path, "v1", FX.core_rows(), FX.CORE_HEADERS)
+    archive, flat = _flatten(spark, z, tmp_path)
+    assert archive.extensions == []
+    _compare(flat, _duck_oracle(archive), "core_only", ["fid", "geom", "scientificName"])
+
+
+def test_tab_separated_with_extension(spark, tmp_path):
+    ext = FX.mof_extension([1, 2, 3, 4, 5, 6])
+    ext["sep"] = "\t"
+    z = FX.build_archive(
+        tmp_path, "v2", FX.core_rows(), FX.CORE_HEADERS,
+        extensions=[ext], core_sep="\t",
+    )
+    archive, flat = _flatten(spark, z, tmp_path)
+    assert archive.core.sep == "\t"
+    _compare(
+        flat, _duck_oracle(archive), "tab_ext",
+        ["fid", "geom", "measurementType", "measurementValue"],
+    )
+
+
+def test_footprint_wkt_coalesce(spark, tmp_path):
+    z = FX.build_archive(
+        tmp_path, "v3", FX.core_rows(with_wkt=True), FX.CORE_HEADERS_WKT
+    )
+    archive, flat = _flatten(spark, z, tmp_path)
+    rows = {r["fid"]: r["geom"] for r in flat.collect()}
+    # even ids carry a polygon footprint; odd ids fall back to the point
+    assert rows[2].startswith("POLYGON")
+    assert rows[1].startswith("POINT")
+    _compare(flat, _duck_oracle(archive), "wkt", ["fid", "geom"])
+
+
+def test_fanout_two_extensions(spark, tmp_path):
+    z = FX.build_archive(
+        tmp_path, "v4", FX.core_rows(), FX.CORE_HEADERS,
+        extensions=[FX.mof_extension([1, 2, 3, 4, 5, 6], per_id=2),
+                    FX.multimedia_extension([1, 2, 3, 4, 5, 6])],
+    )
+    archive, flat = _flatten(spark, z, tmp_path)
+    # fan-out: 6 core × 2 mof × 1 media = 12 rows
+    assert flat.count() == 12
+    _compare(flat, _duck_oracle(archive), "fanout", ["fid", "measurementValue", "identifier"])
+
+
+def test_inner_join_drops_unmatched(spark, tmp_path):
+    z = FX.build_archive(
+        tmp_path, "v5", FX.core_rows(), FX.CORE_HEADERS,
+        extensions=[FX.mof_extension([1, 3, 5])],  # 2,4,6 unmatched
+    )
+    archive, flat = _flatten(spark, z, tmp_path)
+    fids = {r["fid"] for r in flat.select("fid").collect()}
+    assert fids == {1, 3, 5}
+    _compare(flat, _duck_oracle(archive), "inner_drop", ["fid", "measurementValue"])
+
+
+def test_extension_wkt_ignored_core_only_quirk(spark, tmp_path):
+    """Reference quirk (libs/dwca.py:37-42): footprintWKT in an EXTENSION
+    must NOT feed geom — only core headers are consulted."""
+    ext = {
+        "file": "measurementorfact.txt",
+        "headers": ["coreid", "footprintWKT"],
+        "rows": [{"coreid": i, "footprintWKT": "POLYGON ((9 9, 9 8, 8 8, 9 9))"} for i in range(1, 7)],
+    }
+    z = FX.build_archive(tmp_path, "v6", FX.core_rows(), FX.CORE_HEADERS, extensions=[ext])
+    archive, flat = _flatten(spark, z, tmp_path)
+    for r in flat.collect():
+        assert r["geom"] is None or r["geom"].startswith("POINT"), r
+    # fixed mode uses the extension column
+    _, flat_fixed = _flatten(spark, z, tmp_path / "f", footprint_from_core_only=False)
+    assert all(
+        r["geom"].startswith("POLYGON") for r in flat_fixed.select("geom").collect()
+    )
+
+
+def test_latin1_encoding(spark, tmp_path):
+    rows = FX.core_rows(3)
+    rows[0]["scientificName"] = "Ærø señor"
+    z = FX.build_archive(tmp_path, "v7", rows, FX.CORE_HEADERS, core_enc="ISO-8859-1")
+    archive, flat = _flatten(spark, z, tmp_path)
+    assert archive.core.encoding == "ISO-8859-1"
+    names = {r["scientificName"] for r in flat.collect()}
+    assert "Ærø señor" in names
+
+
+def test_colliding_columns_renamed(spark, tmp_path):
+    ext = {
+        "file": "multimedia.txt",
+        "headers": ["coreid", "scientificName"],
+        "rows": [{"coreid": i, "scientificName": f"ext-{i}"} for i in range(1, 7)],
+    }
+    z = FX.build_archive(tmp_path, "v8", FX.core_rows(), FX.CORE_HEADERS, extensions=[ext])
+    archive, flat = _flatten(spark, z, tmp_path)
+    assert "multimedia_scientificName" in flat.columns
+    assert "scientificName" in flat.columns
+    # parquet round-trip must succeed despite the original collision
+    out = tmp_path / "out.parquet"
+    flat.write.mode("overwrite").parquet(str(out))
+    assert spark.read.parquet(str(out)).count() == 6
+
+
+def test_null_latlon_geom_null(spark, tmp_path):
+    z = FX.build_archive(
+        tmp_path, "v9", FX.core_rows(null_latlon=True), FX.CORE_HEADERS
+    )
+    archive, flat = _flatten(spark, z, tmp_path)
+    rows = {r["fid"]: r["geom"] for r in flat.collect()}
+    assert rows[3] is None and rows[6] is None
+    assert rows[1].startswith("POINT")
+    _compare(flat, _duck_oracle(archive), "null_latlon", ["fid", "geom"])
+
+
+def test_fix_latlon_mode(spark, tmp_path):
+    z = FX.build_archive(tmp_path, "v10", FX.core_rows(1), FX.CORE_HEADERS)
+    archive, flat_verbatim = _flatten(spark, z, tmp_path)
+    _, flat_fixed = _flatten(spark, z, tmp_path / "f", fix_latlon=True)
+    g_v = flat_verbatim.select("geom").first()["geom"]
+    g_f = flat_fixed.select("geom").first()["geom"]
+    assert g_v == "POINT (58.12 7.15)"  # reference order: lat first (query.sql:1)
+    assert g_f == "POINT (7.15 58.12)"  # corrected lon-lat
