@@ -1,0 +1,84 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Protocol (BASELINE.md): warm SparkSession, median of N runs per query,
+result materialized via count() (no driver-side collect of bulk rows).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+from dwca_parquet_spark import queries as Q
+from dwca_parquet_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+
+# Representative spread: scans/aggs, joins, windows, set ops, events,
+# dedup (exact + LSH), similarity (exact + ANN), text stats, multimodal.
+HEADLINE = [
+    "q01_pricing_summary",
+    "q02_filter_project",
+    "q03_star_join_revenue",
+    "q04_left_join_agg",
+    "q08_dedup_latest",
+    "q11_window_rank",
+    "q13_topk",
+    "q21_scalar_subquery",
+    "q23_event_tumbling",
+    "q24_event_sessions",
+    "q25_text_stats",
+    "q29_dedup_exact",
+    "q30_minhash_lsh_pairs",
+    "q31_simhash",
+    "q33_knn_bruteforce",
+    "q34_embedding_neardup",
+    "q36_ann_topk_lsh",
+    "q38_binary_features",
+]
+
+
+def main() -> None:
+    spark = get_spark("dwca-parquet-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    # warm the JVM/codegen paths with a trivial action
+    spark.read.parquet(f"{SF_DIR}/region.parquet").count()
+
+    per_query: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = Q.QUERIES[name]
+        times = []
+        for _ in range(RUNS):
+            t0 = time.perf_counter()
+            fn(spark, SF_DIR).count()
+            times.append(time.perf_counter() - t0)
+        per_query[name] = round(statistics.median(times), 4)
+        print(f"  {name}: {per_query[name]}s", file=sys.stderr, flush=True)
+
+    total = round(sum(per_query.values()), 4)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_median_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": per_query,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -62,45 +62,61 @@ def normalize_text(col: Column) -> Column:
     return F.trim(c)
 
 
+def char_codes(col: Column) -> Column:
+    """Codepoint array of a string in ONE pass (split-by-empty, not per-index
+    substring — substring(col, i, 1) per position is an O(n) seek each,
+    O(n²)/row overall, and worse, re-evaluates the input expression per
+    element when it isn't a plain column reference)."""
+    return F.transform(
+        F.filter(F.split(col, ""), lambda c: c != ""), lambda c: F.ascii(c).cast("long")
+    )
+
+
 def poly_hash(col: Column) -> Column:
-    """Rolling hash of a string: fold (acc*31 + codepoint) % MOD. Empty → 0."""
+    """Rolling hash of a string: fold (acc*31 + codepoint) % MOD. Empty → 0.
+
+    NOTE: when the input is a computed expression (e.g. normalize_text),
+    stage it through a .select alias first — a non-trivial expression
+    referenced from inside a lambda defeats common-subexpression
+    elimination and re-runs per element. See dedup.shingle_hash_table.
+    """
     return F.when(F.length(col) == 0, F.lit(0).cast("long")).otherwise(
         F.aggregate(
-            F.transform(
-                F.sequence(F.lit(1), F.length(col)),
-                lambda i: F.ascii(col.substr(i, F.lit(1))),
-            ),
+            char_codes(col),
             F.lit(0).cast("long"),
             lambda acc, x: (acc * HASH_BASE + x) % HASH_MOD,
         )
     )
 
 
-def shingles(col: Column, k: int = 3) -> Column:
-    """All k-character shingles of a string as an array (empty if len < k)."""
-    return F.when(F.length(col) < k, F.array().cast("array<string>")).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), F.length(col) - (k - 1)),
-            lambda i: col.substr(i, F.lit(k)),
-        )
+def shingle_hashes_from_codes(codes: Column, k: int = 3) -> Column:
+    """Distinct k-shingle rolling hashes from a codepoint array.
+
+    Direct indexed formula — for each start i, fold the k codes with
+    stepwise mod (identical value to hashing the substring, since
+    ((a % M)·31 + c) % M == (a·31 + c) % M) — O(n·k) with O(1) array
+    indexing instead of O(n²) substring seeks.
+    """
+
+    def shingle_at(i: Column) -> Column:
+        expr = F.lit(0).cast("long")
+        for j in range(k):
+            expr = (expr * HASH_BASE + F.element_at(codes, i + j)) % HASH_MOD
+        return expr
+
+    n = F.size(codes)
+    return F.when(n < k, F.array().cast("array<long>")).otherwise(
+        F.array_distinct(F.transform(F.sequence(F.lit(1), n - (k - 1)), shingle_at))
     )
 
 
 def shingle_hashes(col: Column, k: int = 3) -> Column:
-    """Distinct rolling-hashes of the k-shingles (the MinHash input set)."""
-    return F.array_distinct(
-        F.transform(
-            shingles(col, k),
-            lambda s: F.aggregate(
-                F.transform(
-                    F.sequence(F.lit(1), F.length(s)),
-                    lambda i: F.ascii(s.substr(i, F.lit(1))),
-                ),
-                F.lit(0).cast("long"),
-                lambda acc, x: (acc * HASH_BASE + x) % HASH_MOD,
-            ),
-        )
-    )
+    """Distinct rolling-hashes of the k-shingles (the MinHash input set).
+
+    Prefer the staged form (char_codes in its own projection +
+    shingle_hashes_from_codes) in hot paths — see dedup.shingle_hash_table.
+    """
+    return shingle_hashes_from_codes(char_codes(col), k)
 
 
 def minhash_signature(hashes: Column, num_hashes: int = MINHASH_K) -> Column:

@@ -31,11 +31,15 @@ from dwca_parquet_spark.functions import hashing as H
 
 
 def text_key(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """id + normalized-text rolling hash (the exact-dedup key)."""
+    """id + normalized-text rolling hash (the exact-dedup key).
+
+    Staged projections (normalize → hash) so the regex normalization runs
+    once per row — inlining it under the fold lambda re-evaluates it per
+    character (the q29 13.5s→sub-second lesson; see functions/hashing.py).
+    """
     return df.select(
-        F.col(id_col),
-        H.poly_hash(H.normalize_text(F.col(text_col))).alias("text_hash"),
-    )
+        F.col(id_col), H.normalize_text(F.col(text_col)).alias("_norm")
+    ).select(F.col(id_col), H.poly_hash(F.col("_norm")).alias("text_hash"))
 
 
 def dedup_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -54,10 +58,20 @@ def shingle_hash_table(
     df: DataFrame, id_col: str, text_col: str, k: int = 3
 ) -> DataFrame:
     """(id, array<distinct shingle hashes>) — the input relation for MinHash,
-    SimHash and Jaccard. Computed once and reused by composition."""
-    return df.select(
-        F.col(id_col),
-        H.shingle_hashes(H.normalize_text(F.col(text_col)), k).alias("hashes"),
+    SimHash and Jaccard. Computed once and reused by composition.
+
+    Three staged projections (normalize → codepoints → shingle hashes):
+    each stage's result is referenced multiple times by the next, which
+    stops CollapseProject from inlining and re-running the regexes/split
+    per shingle.
+    """
+    return (
+        df.select(F.col(id_col), H.normalize_text(F.col(text_col)).alias("_norm"))
+        .select(F.col(id_col), H.char_codes(F.col("_norm")).alias("_codes"))
+        .select(
+            F.col(id_col),
+            H.shingle_hashes_from_codes(F.col("_codes"), k).alias("hashes"),
+        )
     )
 
 

@@ -134,11 +134,14 @@ def fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
     The (prefix_hash, length) pair is the cheap blocking key; full_hash is
     the exact-dup key. Pure projection — composes with dedup_exact.
+    Normalization is staged so the regexes run once per row, not once per
+    folded character (see functions/hashing.py note).
     """
-    norm = H.normalize_text(F.col(text_col))
     return df.select(
+        F.col(id_col), H.normalize_text(F.col(text_col)).alias("_norm")
+    ).select(
         F.col(id_col),
-        H.poly_hash(norm).alias("full_hash"),
-        H.poly_hash(F.substring(norm, 1, 64)).alias("prefix_hash"),
-        F.length(norm).cast("long").alias("n_chars"),
+        H.poly_hash(F.col("_norm")).alias("full_hash"),
+        H.poly_hash(F.substring(F.col("_norm"), 1, 64)).alias("prefix_hash"),
+        F.length(F.col("_norm")).cast("long").alias("n_chars"),
     )

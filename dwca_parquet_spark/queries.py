@@ -29,7 +29,6 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dwca_parquet_spark.functions import hashing as H
-from dwca_parquet_spark.functions import vectors as V
 from dwca_parquet_spark.operators import dedup as D
 from dwca_parquet_spark.operators import events as E
 from dwca_parquet_spark.operators import multimodal as M
@@ -885,13 +884,15 @@ def q32_ngram_jaccard_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q33_knn_bruteforce",
     f"""
-    SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
-           round({V.sql_cosine('q.embedding', 'c.embedding', EMB_DIM)}, 4) AS cosine
-    FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
-    WHERE q.vec_id < 20
-    QUALIFY row_number() OVER (PARTITION BY q.vec_id
-                               ORDER BY round({V.sql_cosine('q.embedding', 'c.embedding', EMB_DIM)}, 4) DESC,
-                                        c.vec_id ASC) <= 5
+    WITH sv AS (SELECT vec_id, {S.sql_scaled_vec('embedding', EMB_DIM)} AS s FROM embeddings)
+    SELECT query_id, cand_id, cosine FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+               round({S.sql_cosine_scaled('q.s', 'c.s', EMB_DIM)}, 4) AS cosine
+        FROM sv q JOIN sv c ON q.vec_id != c.vec_id
+        WHERE q.vec_id < 20
+    )
+    QUALIFY row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, cand_id ASC) <= 5
     """,
 )
 def q33_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -905,10 +906,12 @@ def q33_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q34_embedding_neardup",
     f"""
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           round({V.sql_cosine('a.embedding', 'b.embedding', EMB_DIM)}, 4) AS cosine
-    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-    WHERE round({V.sql_cosine('a.embedding', 'b.embedding', EMB_DIM)}, 4) >= 0.9
+    WITH sv AS (SELECT vec_id, {S.sql_scaled_vec('embedding', EMB_DIM)} AS s FROM embeddings)
+    SELECT id_a, id_b, cosine FROM (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round({S.sql_cosine_scaled('a.s', 'b.s', EMB_DIM)}, 4) AS cosine
+        FROM sv a JOIN sv b ON a.vec_id < b.vec_id
+    ) WHERE cosine >= 0.9
     """,
 )
 def q34_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -921,10 +924,13 @@ def q34_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _lsh_bucket_oracle() -> str:
     bits = " + ".join(
-        f"(CASE WHEN {S.sql_plane_dot('embedding', j, EMB_DIM)} > 0 THEN {2**j} ELSE 0 END)"
+        f"(CASE WHEN {S.sql_plane_dot('s', j, EMB_DIM)} > 0 THEN {2**j} ELSE 0 END)"
         for j in range(S.NUM_PLANES)
     )
-    return f"SELECT vec_id, CAST({bits} AS BIGINT) AS bucket FROM embeddings"
+    return f"""
+    WITH sv AS (SELECT vec_id, {S.sql_scaled_vec('embedding', EMB_DIM)} AS s FROM embeddings)
+    SELECT vec_id, CAST({bits} AS BIGINT) AS bucket FROM sv
+    """
 
 
 @query("q35_rp_lsh_buckets", _lsh_bucket_oracle())
@@ -936,15 +942,15 @@ def q35_rp_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _ann_lsh_oracle() -> str:
     bits = " + ".join(
-        f"(CASE WHEN {S.sql_plane_dot('embedding', j, EMB_DIM)} > 0 THEN {2**j} ELSE 0 END)"
+        f"(CASE WHEN {S.sql_plane_dot('s', j, EMB_DIM)} > 0 THEN {2**j} ELSE 0 END)"
         for j in range(S.NUM_PLANES)
     )
-    cos = V.sql_cosine("q.embedding", "c.embedding", EMB_DIM)
     return f"""
-    WITH b AS (SELECT vec_id, CAST({bits} AS BIGINT) AS bucket, embedding FROM embeddings),
+    WITH sv AS (SELECT vec_id, {S.sql_scaled_vec('embedding', EMB_DIM)} AS s FROM embeddings),
+    b AS (SELECT vec_id, CAST({bits} AS BIGINT) AS bucket, s FROM sv),
     pairs AS (
         SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
-               round({cos.replace('q.embedding', 'q.embedding').replace('c.embedding', 'c.embedding')}, 4) AS cosine
+               round({S.sql_cosine_scaled('q.s', 'c.s', EMB_DIM)}, 4) AS cosine
         FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id != c.vec_id
     )
     SELECT query_id, cand_id, cosine FROM (
