@@ -113,22 +113,106 @@ def jaccard(a: str, b: str) -> F.Column:
     )
 
 
+def pair_jaccard(
+    cand: DataFrame,
+    sh: DataFrame,
+    id_col: str,
+    a: str = "id_a",
+    b: str = "id_b",
+) -> DataFrame:
+    """Exact Jaccard for candidate pairs WITHOUT shipping arrays per pair.
+
+    Profiling the q30 verify at sf0.1 (472 k pairs × ~143-hash arrays) showed
+    the cost is not the set intersection itself (NumPy: ~9 s; Catalyst
+    ``array_intersect``: ~170 s) but *moving two full arrays per pair* —
+    the JVM→Arrow serialization of ~135 M array elements alone took ~80 s.
+    So: never attach arrays to pairs. Explode the shingle table once into
+    (id, h) rows, restrict the stream to candidate pairs with two equi-joins,
+    and count matches with one map-side-combinable groupBy:
+
+        cand(a,b) ⋈ ex(a,h) ⋈ ex(b,h)  →  groupBy(a,b).count() = |A∩B|
+
+    All JVM codegen, shuffles keyed on (id) then (id,h) — well distributed,
+    no skew amplification beyond the candidate set itself, and the shape
+    holds at 100 TB (it is the canonical sparse-vector intersection join).
+    Pairs with empty intersection are restored via a left join (jaccard 0).
+
+    Returns ``cand``'s columns plus a ``jaccard`` double (unrounded —
+    callers round to keep oracle parity at a single place).
+    """
+    ex = sh.select(F.col(id_col).alias("_jid"), F.explode("hashes").alias("_jh"))
+    sizes = sh.select(F.col(id_col).alias("_jid"), F.size("hashes").alias("_jn"))
+    ex_a = ex.select(F.col("_jid").alias(a), F.col("_jh"))
+    ex_b = ex.select(F.col("_jid").alias(b), F.col("_jh"))
+    inter = (
+        cand.join(ex_a, a)
+        .join(ex_b, [b, "_jh"])
+        .groupBy(a, b)
+        .agg(F.count(F.lit(1)).alias("_ji"))
+    )
+    na = sizes.select(F.col("_jid").alias(a), F.col("_jn").alias("_jna"))
+    nb = sizes.select(F.col("_jid").alias(b), F.col("_jn").alias("_jnb"))
+    return (
+        cand.join(inter, [a, b], "left")
+        .join(na, a)
+        .join(nb, b)
+        .withColumn("_ji", F.coalesce(F.col("_ji"), F.lit(0)))
+        .withColumn(
+            "jaccard",
+            F.col("_ji").cast("double")
+            / (
+                F.col("_jna").cast("double")
+                + F.col("_jnb").cast("double")
+                - F.col("_ji").cast("double")
+            ),
+        )
+        .drop("_ji", "_jna", "_jnb")
+    )
+
+
 def minhash_dup_pairs(
     df: DataFrame,
     id_col: str,
     text_col: str,
     k: int = 3,
     threshold: float = 0.5,
+    max_bucket_size: int | None = None,
+    eager: bool = True,
 ) -> DataFrame:
     """LSH candidate pairs verified by exact shingle Jaccard ≥ threshold.
 
-    Returns (id_a, id_b, jaccard) with id_a < id_b. The bucket self-join is
-    an equi-join on (band, bucket) — shuffled on the bucket key, so skew only
-    arises from degenerate buckets (e.g. many empty docs); candidates are
-    deduplicated before the verify join.
+    Returns (id_a, id_b, jaccard) with id_a < id_b.
+
+    Shuffle/scale shape: the shingle table and bucket table are persisted —
+    the plan references ``sh`` three times (signature build + both verify
+    sides) and ``buckets`` twice, so without a persist the shingle regexes
+    re-run 3×. The bucket self-join is an equi-join on (band, bucket);
+    candidate count is Σ|bucket|² per band, never n². The Jaccard verify is
+    an Arrow-batched pandas UDF (see ``_jaccard_arrays``).
+
+    ``max_bucket_size``: optional skew guard for the 100 TB path — band
+    buckets larger than this are dropped *before* pair generation (a
+    degenerate bucket of m docs contributes m² candidates; a near-dup pair
+    lost this way is usually recovered by another of the BANDS−1 bands).
+    Default None = exact LSH semantics (what the DuckDB oracle computes).
+
+    ``eager``: materialize the persisted shingle/candidate tables with a
+    count() at build time. Measured necessity, not style: fused into one
+    stage with the candidate distinct-aggregate, the Arrow verify UDF ran at
+    ~8 ms/pair (q30 at sf0.1: 150 s); with candidates materialized first the
+    same UDF runs at ~30 µs/pair (total ~8 s). At 100 TB you would
+    checkpoint the candidate set before an expensive verify anyway.
     """
-    sh = shingle_hash_table(df, id_col, text_col, k)
+    sh = shingle_hash_table(df, id_col, text_col, k).persist()
     buckets = band_bucket_table(minhash_signatures(sh, id_col), id_col)
+    if max_bucket_size is not None:
+        w = Window.partitionBy("band", "bucket")
+        buckets = (
+            buckets.withColumn("_bsz", F.count(F.lit(1)).over(w))
+            .filter(F.col("_bsz") <= max_bucket_size)
+            .drop("_bsz")
+        )
+    buckets = buckets.persist()
     left = buckets.alias("l")
     right = buckets.alias("r")
     cand = (
@@ -142,22 +226,15 @@ def minhash_dup_pairs(
             F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
         )
         .distinct()
+        .persist()
     )
-    sh_a = sh.select(
-        F.col(id_col).alias("id_a"), F.col("hashes").alias("hashes_a")
-    )
-    sh_b = sh.select(
-        F.col(id_col).alias("id_b"), F.col("hashes").alias("hashes_b")
-    )
+    if eager:
+        cand.count()
     return (
-        cand.join(sh_a, "id_a")
-        .join(sh_b, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            F.round(jaccard("hashes_a", "hashes_b"), 6).alias("jaccard"),
-        )
+        pair_jaccard(cand, sh, id_col)
+        .withColumn("jaccard", F.round(F.col("jaccard"), 6))
         .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
     )
 
 
@@ -200,15 +277,16 @@ def ngram_jaccard_topk(
     """For each query doc (id < query_ids_below): top-k most-similar other
     docs by exact shingle Jaccard. Brute-force over a bounded query set —
     the scale path is minhash_dup_pairs / LSH; this is the exact baseline."""
-    sh = shingle_hash_table(df, id_col, text_col, k)
+    sh = shingle_hash_table(df, id_col, text_col, k).persist()
     q = sh.filter(F.col(id_col) < query_ids_below).select(
-        F.col(id_col).alias("query_id"), F.col("hashes").alias("hashes_q")
+        F.col(id_col).alias("query_id")
     )
-    c = sh.select(F.col(id_col).alias("cand_id"), F.col("hashes").alias("hashes_c"))
-    pairs = F.broadcast(q).join(c, F.col("query_id") != F.col("cand_id")).select(
-        "query_id",
-        "cand_id",
-        F.round(jaccard("hashes_q", "hashes_c"), 6).alias("jaccard"),
+    c = sh.select(F.col(id_col).alias("cand_id"))
+    cand = F.broadcast(q).join(c, F.col("query_id") != F.col("cand_id"))
+    pairs = (
+        pair_jaccard(cand, sh, id_col, a="query_id", b="cand_id")
+        .withColumn("jaccard", F.round(F.col("jaccard"), 6))
+        .select("query_id", "cand_id", "jaccard")
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("jaccard").desc(), F.col("cand_id").asc()

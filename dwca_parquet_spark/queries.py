@@ -45,6 +45,12 @@ EMB_DIM = 64
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # The fixture events.parquet stores ts as parquet TIMESTAMP(NANOS), which
+    # Spark rejects by default (PARQUET_TYPE_ILLEGAL). The queries() contract
+    # runs under a driver-supplied session, so set the runtime-settable legacy
+    # conf here rather than relying on session.py's builder config; the column
+    # then surfaces as BIGINT nanoseconds, which ts_micros() handles.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
@@ -478,8 +484,8 @@ def q16_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     SELECT o_orderstatus,
            count(*) AS n_orders,
-           sum(CASE WHEN o_orderpriority LIKE '1%' THEN 1 ELSE 0 END) AS n_urgent,
-           sum(CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END) AS n_big,
+           CAST(sum(CASE WHEN o_orderpriority LIKE '1%' THEN 1 ELSE 0 END) AS BIGINT) AS n_urgent,
+           CAST(sum(CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END) AS BIGINT) AS n_big,
            {_osum("CASE WHEN o_orderpriority LIKE '1%' THEN o_totalprice ELSE 0 END")}
                AS urgent_value
     FROM orders GROUP BY o_orderstatus

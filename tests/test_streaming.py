@@ -4,8 +4,9 @@ unification is the point of the lift)."""
 
 from __future__ import annotations
 
+import shutil
+
 import pytest
-from pyspark.sql import functions as F
 
 from dwca_parquet_spark.operators.events import tumbling_agg
 from dwca_parquet_spark.streaming.events import stream_sessionize, stream_tumbling_agg
@@ -15,6 +16,15 @@ from tests.conftest import SF_SMOKE
 @pytest.fixture(scope="module")
 def event_schema(spark):
     return spark.read.parquet(f"{SF_SMOKE}/events.parquet").schema
+
+
+@pytest.fixture(scope="module")
+def events_dir(tmp_path_factory):
+    """Spark's file streaming source requires a *directory*; stage the single
+    events.parquet fixture file into one."""
+    d = tmp_path_factory.mktemp("events_stream")
+    shutil.copy(f"{SF_SMOKE}/events.parquet", d / "events.parquet")
+    return str(d)
 
 
 def _run_stream(spark, sdf, name: str):
@@ -29,16 +39,11 @@ def _run_stream(spark, sdf, name: str):
     return spark.sql(f"SELECT * FROM {name}")
 
 
-def test_stream_tumbling_matches_batch(spark, event_schema):
-    stream = (
-        spark.readStream.schema(event_schema)
-        .parquet(f"{SF_SMOKE}")
-    )
-    # restrict the file-glob to the events table only
+def test_stream_tumbling_matches_batch(spark, event_schema, events_dir):
     stream = (
         spark.readStream.schema(event_schema)
         .format("parquet")
-        .load(f"{SF_SMOKE}/events.parquet")
+        .load(events_dir)
     )
     out = _run_stream(spark, stream_tumbling_agg(stream), "tumbling_mem")
     batch = tumbling_agg(spark.read.parquet(f"{SF_SMOKE}/events.parquet"))
@@ -47,11 +52,11 @@ def test_stream_tumbling_matches_batch(spark, event_schema):
     assert srows == brows
 
 
-def test_stream_sessions_counts(spark, event_schema):
+def test_stream_sessions_counts(spark, event_schema, events_dir):
     stream = (
         spark.readStream.schema(event_schema)
         .format("parquet")
-        .load(f"{SF_SMOKE}/events.parquet")
+        .load(events_dir)
     )
     out = _run_stream(spark, stream_sessionize(stream), "sessions_mem")
     rows = out.collect()
