@@ -5,8 +5,14 @@
 Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
-Protocol (BASELINE.md): warm SparkSession, median of N runs per query,
-result materialized via count() (no driver-side collect of bulk rows).
+Protocol (BASELINE.md): warm SparkSession, median of N runs per query.
+Materialization is a full-computation action — an aggregate over a hash of
+every output column — because a bare count() lets Spark satisfy
+projection-only queries from the scan without computing the projections
+(under-measuring q14/q25/q31/q35/q38-style queries).
+
+A query that raises is recorded as an "errors" entry and the run continues,
+so one regression can never zero out the whole benchmark.
 """
 
 from __future__ import annotations
@@ -16,6 +22,10 @@ import os
 import statistics
 import sys
 import time
+import traceback
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from dwca_parquet_spark import queries as Q
 from dwca_parquet_spark.session import get_spark
@@ -47,6 +57,17 @@ HEADLINE = [
 ]
 
 
+def materialize(df: DataFrame) -> None:
+    """Force full computation of every output column.
+
+    agg(bit_xor(xxhash64(*cols))) cannot be satisfied by column pruning or
+    scan statistics: each row's every column feeds the hash, and the
+    single-row aggregate avoids collecting bulk rows to the driver. bit_xor
+    (not sum) because summing 64-bit hashes overflows under ANSI mode.
+    """
+    df.agg(F.bit_xor(F.xxhash64(*[F.col(c) for c in df.columns]))).collect()
+
+
 def main() -> None:
     spark = get_spark("dwca-parquet-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -54,29 +75,33 @@ def main() -> None:
     spark.read.parquet(f"{SF_DIR}/region.parquet").count()
 
     per_query: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         fn = Q.QUERIES[name]
         times = []
-        for _ in range(RUNS):
-            t0 = time.perf_counter()
-            fn(spark, SF_DIR).count()
-            times.append(time.perf_counter() - t0)
-        per_query[name] = round(statistics.median(times), 4)
-        print(f"  {name}: {per_query[name]}s", file=sys.stderr, flush=True)
+        try:
+            for _ in range(RUNS):
+                t0 = time.perf_counter()
+                materialize(fn(spark, SF_DIR))
+                times.append(time.perf_counter() - t0)
+            per_query[name] = round(statistics.median(times), 4)
+            print(f"  {name}: {per_query[name]}s", file=sys.stderr, flush=True)
+        except Exception as exc:  # keep benching the remaining queries
+            errors[name] = f"{type(exc).__name__}: {exc}"
+            traceback.print_exc(file=sys.stderr)
 
     total = round(sum(per_query.values()), 4)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_median_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": per_query,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total_median_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": per_query,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
     spark.stop()
 
 

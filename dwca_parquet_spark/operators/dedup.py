@@ -188,7 +188,7 @@ def minhash_dup_pairs(
     sides) and ``buckets`` twice, so without a persist the shingle regexes
     re-run 3×. The bucket self-join is an equi-join on (band, bucket);
     candidate count is Σ|bucket|² per band, never n². The Jaccard verify is
-    an Arrow-batched pandas UDF (see ``_jaccard_arrays``).
+    the explode/equi-join/groupBy form (see ``pair_jaccard``).
 
     ``max_bucket_size``: optional skew guard for the 100 TB path — band
     buckets larger than this are dropped *before* pair generation (a
@@ -197,11 +197,10 @@ def minhash_dup_pairs(
     Default None = exact LSH semantics (what the DuckDB oracle computes).
 
     ``eager``: materialize the persisted shingle/candidate tables with a
-    count() at build time. Measured necessity, not style: fused into one
-    stage with the candidate distinct-aggregate, the Arrow verify UDF ran at
-    ~8 ms/pair (q30 at sf0.1: 150 s); with candidates materialized first the
-    same UDF runs at ~30 µs/pair (total ~8 s). At 100 TB you would
-    checkpoint the candidate set before an expensive verify anyway.
+    count() at build time, so the verify joins plan against known (cached)
+    sizes instead of estimates and the candidate distinct-aggregate is never
+    fused into the verify stage. At 100 TB you would checkpoint the
+    candidate set before an expensive verify anyway.
     """
     sh = shingle_hash_table(df, id_col, text_col, k).persist()
     buckets = band_bucket_table(minhash_signatures(sh, id_col), id_col)

@@ -245,25 +245,59 @@ def ann_topk_lsh(
 
 
 def embedding_neardup_pairs(
-    df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.9
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.9,
+    bucketed: bool = False,
+    num_planes: int = NUM_PLANES,
 ) -> DataFrame:
-    """All pairs (a < b) with cosine ≥ threshold — embedding near-dup dedup.
+    """Pairs (a < b) with cosine ≥ threshold — embedding near-dup dedup.
 
-    Exact form for fixture scale; at 100 TB compose rp_lsh_buckets first so
-    pair generation keys on buckets (same shape as ann_topk_lsh).
+    ``bucketed=False``: exact all-pairs via a non-equi (nested-loop) join —
+    O(n²), only for bounded inputs (fixture parity, small dedup batches).
+
+    ``bucketed=True`` — the 100 TB path: compose :func:`rp_lsh_buckets` so
+    pair generation is an *equi-join on the bucket id* (cost Σ|bucket|²,
+    same shape as :func:`ann_topk_lsh`). Approximate: a near-dup pair whose
+    vectors land in different sign-LSH buckets is missed; recall tunes via
+    ``num_planes`` (fewer planes → bigger buckets → higher recall, more
+    candidates). Each vector has exactly one bucket, so no pair dedup is
+    needed afterwards.
     """
     prepped = _prepped(df, id_col, vec_col)
-    a = prepped.select(
-        F.col(id_col).alias("id_a"),
-        F.col("svec").alias("svec_q"),
-        F.col("sdot").alias("sdot_q"),
-    )
-    b = prepped.select(
-        F.col(id_col).alias("id_b"),
-        F.col("svec").alias("svec_c"),
-        F.col("sdot").alias("sdot_c"),
-    )
-    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    if bucketed:
+        prepped = rp_lsh_buckets(df, id_col, vec_col, num_planes).join(
+            prepped, id_col
+        )
+        a = prepped.select(
+            F.col("bucket"),
+            F.col(id_col).alias("id_a"),
+            F.col("svec").alias("svec_q"),
+            F.col("sdot").alias("sdot_q"),
+        )
+        b = prepped.select(
+            F.col("bucket").alias("bucket_r"),
+            F.col(id_col).alias("id_b"),
+            F.col("svec").alias("svec_c"),
+            F.col("sdot").alias("sdot_c"),
+        )
+        pairs = a.join(
+            b,
+            (a.bucket == b.bucket_r) & (F.col("id_a") < F.col("id_b")),
+        )
+    else:
+        a = prepped.select(
+            F.col(id_col).alias("id_a"),
+            F.col("svec").alias("svec_q"),
+            F.col("sdot").alias("sdot_q"),
+        )
+        b = prepped.select(
+            F.col(id_col).alias("id_b"),
+            F.col("svec").alias("svec_c"),
+            F.col("sdot").alias("sdot_c"),
+        )
+        pairs = a.join(b, F.col("id_a") < F.col("id_b"))
     return (
         _score_pairs(pairs)
         .select("id_a", "id_b", "cosine")

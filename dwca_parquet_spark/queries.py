@@ -1032,6 +1032,151 @@ def q38_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.extract_features(binary)
 
 
+# ===========================================================================
+# Join-type closure + sinks (SURVEY §2.G ops 5/12 completions)
+# ===========================================================================
+
+
+@query(
+    "q39_right_join",
+    """
+    SELECT c_custkey, c_name, o_orderkey, o_totalprice
+    FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+    """,
+)
+def q39_right_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right outer join: every customer kept, order columns NULL when the
+    customer has no orders (row-preserving mirror of q04's left join)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return o.join(c, o.o_custkey == c.c_custkey, "right").select(
+        "c_custkey", "c_name", "o_orderkey", "o_totalprice"
+    )
+
+
+@query(
+    "q40_full_outer_join",
+    """
+    SELECT coalesce(c_nationkey, s_nationkey) AS nationkey, n_cust, n_supp
+    FROM (SELECT c_nationkey, count(*) AS n_cust FROM customer
+          WHERE c_custkey < 300 GROUP BY c_nationkey) cu
+    FULL OUTER JOIN
+         (SELECT s_nationkey, count(*) AS n_supp FROM supplier
+          WHERE s_suppkey < 50 GROUP BY s_nationkey) su
+    ON c_nationkey = s_nationkey
+    """,
+)
+def q40_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of two aggregates with asymmetric key coverage (the
+    bounded-key filters guarantee unmatched rows on both sides)."""
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    cu = (
+        c.filter(F.col("c_custkey") < 300)
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    su = (
+        s.filter(F.col("s_suppkey") < 50)
+        .groupBy("s_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    return cu.join(su, cu.c_nationkey == su.s_nationkey, "full").select(
+        F.coalesce("c_nationkey", "s_nationkey").alias("nationkey"),
+        "n_cust",
+        "n_supp",
+    )
+
+
+_BANDS = [("low", 0, 100_000), ("mid", 100_000, 250_000), ("high", 250_000, 600_000)]
+
+
+@query(
+    "q41_range_join",
+    f"""
+    SELECT band, count(*) AS n_orders, {_osum('o_totalprice')} AS band_value
+    FROM orders
+    JOIN (VALUES {', '.join(f"('{b}', {lo}, {hi})" for b, lo, hi in _BANDS)})
+         AS bands(band, lo, hi)
+      ON o_totalprice >= lo AND o_totalprice < hi
+    GROUP BY band
+    """,
+)
+def q41_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi (range/banded) join: orders against a tiny in-memory band
+    table. Spark plans this as a BroadcastNestedLoopJoin with the 3-row
+    band side broadcast — the only sane physical strategy for a theta join,
+    and exactly right when the non-equi side is small. (A big-big range
+    join would instead be rewritten to an equi-join on a bucketized key.)"""
+    o = _t(spark, sf_dir, "orders")
+    bands = spark.createDataFrame(_BANDS, "band string, lo long, hi long")
+    return (
+        o.join(
+            F.broadcast(bands),
+            (o.o_totalprice >= bands.lo) & (o.o_totalprice < bands.hi),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            R.dec_sum("o_totalprice").alias("band_value"),
+        )
+    )
+
+
+@query(
+    "q42_csv_roundtrip",
+    "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def q42_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink round-trip (§2.G op 12): write nation as CSV (quoted,
+    header, explicit null marker), read it back schema-first, project.
+    Oracle reads the original parquet — any write/read lossiness surfaces
+    as a hash mismatch."""
+    import tempfile
+    from pathlib import Path
+
+    from dwca_parquet_spark.sinks.csv import read_csv, write_csv
+
+    n = _t(spark, sf_dir, "nation")
+    out = Path(tempfile.gettempdir()) / "dwca_parquet_spark_csv_roundtrip"
+    write_csv(n, out)
+    return read_csv(spark, out, n.schema).select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+
+
+def _neardup_bucketed_oracle() -> str:
+    bits = " + ".join(
+        f"(CASE WHEN {S.sql_plane_dot('s', j, EMB_DIM)} > 0 THEN {2**j} ELSE 0 END)"
+        for j in range(S.NUM_PLANES)
+    )
+    return f"""
+    WITH sv AS (SELECT vec_id, {S.sql_scaled_vec('embedding', EMB_DIM)} AS s FROM embeddings),
+    b AS (SELECT vec_id, CAST({bits} AS BIGINT) AS bucket, s FROM sv)
+    SELECT id_a, id_b, cosine FROM (
+        SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+               round({S.sql_cosine_scaled('a.s', 'c.s', EMB_DIM)}, 4) AS cosine
+        FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+    ) WHERE cosine >= 0.3
+    """
+
+
+@query("q43_embedding_neardup_bucketed", _neardup_bucketed_oracle())
+def q43_embedding_neardup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed embedding near-dup pairs — the scale path for q34's
+    operator: pair generation is an equi-join on the sign-LSH bucket
+    (Σ|bucket|² candidates, never n²). The oracle mirrors the bucket
+    restriction exactly, so this checks the bucketed semantics, not just
+    the exact fallback."""
+    return S.embedding_neardup_pairs(
+        _t(spark, sf_dir, "embeddings"),
+        "vec_id",
+        "embedding",
+        threshold=0.3,
+        bucketed=True,
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The entry() smoke query: star join + aggregation (q03)."""
     return q03_star_join_revenue(spark, sf_dir)

@@ -1,1 +1,1 @@
-"""Sinks: parquet (zstd, versioned+latest, single-file) and JSON-array."""
+"""Sinks: parquet (zstd, versioned+latest, single-file), JSON-array, CSV."""

@@ -1,0 +1,203 @@
+"""Catalog-pipeline tests (SURVEY §5.4): hand-written RSS + EML documents
+through a mocked-fetch IptClient, golden checks on the CSW record fields
+(reference ``libs/csw.py:77-101``) and the pygeoapi config rows
+(``libs/geoapi.py:40-65``), plus sink round-trips."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from dwca_parquet_spark.plans.csw import (
+    CatalogConfig,
+    eml_to_csw_records,
+    harvest_rows,
+)
+from dwca_parquet_spark.plans.geoapi import (
+    harvest_geoapi_rows,
+    ipt_to_pygeoapi_resources,
+)
+from dwca_parquet_spark.sinks.jsonarray import write_json_array
+from dwca_parquet_spark.sinks.parquet import write_parquet
+from dwca_parquet_spark.sources.ipt import IptClient, parse_eml, parse_rss
+
+RSS = b"""<?xml version="1.0" encoding="UTF-8"?>
+<rss version="2.0">
+  <channel>
+    <title>IPT datasets</title>
+    <item>
+      <title>Bird occurrences</title>
+      <link>https://ipt.test.org/resource?r=birds</link>
+      <guid>https://ipt.test.org/resource?r=birds/v1.7</guid>
+    </item>
+    <item>
+      <title>Moth traps</title>
+      <link>https://ipt.test.org/resource?r=moths</link>
+      <guid>https://ipt.test.org/resource?r=moths/v3</guid>
+    </item>
+  </channel>
+</rss>
+"""
+
+EML = {
+    "birds": b"""<?xml version="1.0" encoding="UTF-8"?>
+<eml:eml xmlns:eml="eml://ecoinformatics.org/eml-2.1.1" packageId="doi:10.1/birds/v1.7">
+  <dataset>
+    <title>Bird occurrences</title>
+    <creator><individualName><givenName>Grete</givenName><surName>Olsen</surName></individualName></creator>
+    <metadataProvider><individualName><surName>Olsen</surName><givenName>Grete</givenName></individualName></metadataProvider>
+    <associatedParty><individualName><givenName>Kari</givenName><surName>Hansen</surName></individualName></associatedParty>
+    <pubDate>2024-05-01</pubDate>
+    <abstract><para>Observations of birds.</para></abstract>
+    <keywordSet>
+      <keyword>Occurrence</keyword>
+      <keyword>Birds</keyword>
+      <keywordThesaurus>GBIF Dataset Type Vocabulary</keywordThesaurus>
+    </keywordSet>
+    <keywordSet>
+      <keyword>Occurrence</keyword>
+      <keyword>Norway</keyword>
+    </keywordSet>
+    <coverage>
+      <geographicCoverage>
+        <boundingCoordinates>
+          <westBoundingCoordinate>4.5</westBoundingCoordinate>
+          <eastBoundingCoordinate>31.0</eastBoundingCoordinate>
+          <northBoundingCoordinate>71.5</northBoundingCoordinate>
+          <southBoundingCoordinate>57.75</southBoundingCoordinate>
+        </boundingCoordinates>
+      </geographicCoverage>
+    </coverage>
+  </dataset>
+</eml:eml>
+""",
+    "moths": b"""<?xml version="1.0" encoding="UTF-8"?>
+<eml:eml xmlns:eml="eml://ecoinformatics.org/eml-2.1.1" packageId="doi:10.1/moths/v3">
+  <dataset>
+    <title>Moth traps</title>
+    <creator><individualName><surName>Berg</surName></individualName></creator>
+    <pubDate>2023-11-20</pubDate>
+    <abstract><para>Light-trap moth counts.</para></abstract>
+    <keywordSet><keyword>Samplingevent</keyword></keywordSet>
+    <coverage>
+      <geographicCoverage>
+        <boundingCoordinates>
+          <westBoundingCoordinate>10.0</westBoundingCoordinate>
+          <eastBoundingCoordinate>11.0</eastBoundingCoordinate>
+          <northBoundingCoordinate>60.0</northBoundingCoordinate>
+          <southBoundingCoordinate>59.0</southBoundingCoordinate>
+        </boundingCoordinates>
+      </geographicCoverage>
+    </coverage>
+  </dataset>
+</eml:eml>
+""",
+}
+
+
+def fake_fetch(url: str) -> bytes:
+    if url.endswith("/rss"):
+        return RSS
+    rid = url.split("r=")[-1]
+    return EML[rid]
+
+
+@pytest.fixture(scope="module")
+def client():
+    return IptClient("https://ipt.test.org", fetch=fake_fetch)
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    return CatalogConfig(
+        ipt_url="https://ipt.test.org",
+        endpoint_url="https://s3.test.org",
+        bucket="bkt",
+        resources_prefix="/res/",
+    )
+
+
+def test_parse_rss():
+    ds = parse_rss(RSS)
+    assert [d["id"] for d in ds] == ["birds", "moths"]
+    assert [d["version"] for d in ds] == ["1.7", "3"]
+    assert ds[0]["title"] == "Bird occurrences"
+
+
+def test_parse_eml_shape():
+    md = parse_eml(EML["birds"])
+    assert md["metadata"]["identifier"] == "doi:10.1/birds/v1.7"
+    idf = md["identification"]
+    assert idf["title"] == "Bird occurrences"
+    assert idf["abstract"] == "Observations of birds."
+    assert idf["dates"]["publication"] == "2024-05-01"
+    # bbox is [minx, miny, maxx, maxy]
+    assert idf["extents"]["spatial"][0]["bbox"] == [4.5, 57.75, 31.0, 71.5]
+    groups = [g["keywords"] for g in idf["keywords"].values()]
+    assert ["Occurrence", "Birds"] in groups and ["Occurrence", "Norway"] in groups
+    names = {c["individualname"] for c in md["contact"].values()}
+    assert names == {"Grete Olsen", "Kari Hansen"}
+
+
+def test_csw_records_golden(spark, client, cfg, tmp_path):
+    records = eml_to_csw_records(spark, harvest_rows(client), cfg)
+    rows = {r["identifier"]: r.asDict() for r in records.collect()}
+    assert len(rows) == 2
+
+    r = rows["doi:10.1/birds/v1.7"]
+    assert r["typename"] == "gmd:MD_Metadata"
+    assert r["schema"] == "http://www.isotc211.org/2005/gmd"
+    assert r["mdsource"] == "local"
+    assert r["type"] == "service"
+    assert r["format"] is None
+    assert r["title"] == "Bird occurrences"
+    assert r["abstract"] == "Observations of birds."
+    assert r["insert_date"] == r["date"] == r["date_modified"] == "2024-05-01"
+    # shapely.box vertex order: CCW from (maxx, miny)
+    assert r["wkt_geometry"] == (
+        "POLYGON ((31.0 57.75, 31.0 71.5, 4.5 71.5, 4.5 57.75, 31.0 57.75))"
+    )
+    # first-occurrence dedup across keyword groups
+    assert r["keywords"] == "Occurrence, Birds, Norway"
+    assert r["contributor"] == "Grete Olsen; Kari Hansen"
+    links = json.loads(r["links"])
+    assert [link["name"] for link in links] == ["Parquet", "DWCA"]
+    assert links[0]["url"] == "https://s3.test.org/bkt/res/birds.parquet"
+    assert links[1]["url"] == "https://ipt.test.org/archive.do?r=birds"
+    assert r["metadata"] == r["xml"] and "Bird occurrences" in r["xml"]
+    assert "Observations of birds." in r["anytext"]
+    assert r["metadata_type"] == "application/xml"
+
+    # parquet sink round-trip (reference csw.py:109-113)
+    out = write_parquet(records, tmp_path / "csw.parquet", single_file=True)
+    back = spark.read.parquet(str(out))
+    assert back.count() == 2
+    assert sorted(back.columns) == sorted(records.columns)
+
+
+def test_geoapi_config_golden(spark, client, cfg, tmp_path):
+    df = ipt_to_pygeoapi_resources(spark, harvest_geoapi_rows(client), cfg)
+    out = write_json_array(df, tmp_path / "resources.json")
+    configs = {c["id"]: c for c in json.loads(out.read_text())}
+    assert set(configs) == {"ipt.test.org/birds", "ipt.test.org/moths"}
+
+    c = configs["ipt.test.org/birds"]
+    assert c["type"] == "collection" and c["visibility"] == "default"
+    assert c["title"] == "Bird occurrences"
+    assert c["description"] == "Observations of birds."
+    assert c["extents"]["spatial"]["bbox"] == [4.5, 57.75, 31.0, 71.5]
+    assert c["extents"]["spatial"]["crs"] == 4326
+    assert c["keywords"] == ["Occurrence", "Birds", "Norway"]
+    (p,) = c["providers"]
+    assert p["type"] == "feature" and p["name"] == "OGR"
+    assert p["default"] is True and p["editable"] is False
+    assert p["id_field"] == "fid" and p["layer"] == "birds"
+    assert p["data"]["source_type"] == "Parquet"
+    assert p["data"]["source"] == "/vsicurl/https://s3.test.org/bkt/res/birds.parquet"
+
+
+def test_json_array_guard(spark):
+    df = spark.range(10).toDF("x")
+    with pytest.raises(ValueError, match="catalog sink"):
+        write_json_array(df, "/tmp/should_not_exist.json", max_rows=5)
