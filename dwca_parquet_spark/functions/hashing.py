@@ -182,6 +182,18 @@ def sql_poly_hash(expr: str) -> str:
     )
 
 
+def sql_byte_sum(expr: str) -> str:
+    """Σ codepoints mod HASH_MOD — the explicit oracle twin of the
+    multimodal byte_sum feature (operators/multimodal.py), replacing the
+    fragile string-surgery on sql_poly_hash's output."""
+    return (
+        f"(CASE WHEN length({expr}) = 0 THEN 0 ELSE "
+        f"list_reduce([CAST(ord(substr({expr}, i, 1)) AS BIGINT)"
+        f" for i in range(1, length({expr}) + 1)],"
+        f" (acc, x) -> (acc + x) % {HASH_MOD}) END)"
+    )
+
+
 def sql_shingle_hashes(expr: str, k: int = 3) -> str:
     ph = sql_poly_hash("s")
     return (

@@ -38,6 +38,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from dwca_parquet_spark.functions.geometry import validate_wkt
 from dwca_parquet_spark.sources.dwca import DwcaArchive
 
 FOOTPRINT_COL = "footprintWKT"
@@ -72,6 +73,7 @@ def dwca_flatten(
     footprint_from_core_only: bool = True,
     fix_latlon: bool = False,
     broadcast_extensions: bool = True,
+    validate_footprint: bool = True,
 ) -> DataFrame:
     """Star-join + fid + geom — the rendered query.sql as a DataFrame plan."""
     out = core_df
@@ -98,11 +100,14 @@ def dwca_flatten(
     lat = F.col(LAT_COL) if LAT_COL in out.columns else F.lit(None).cast("double")
     lon = F.col(LON_COL) if LON_COL in out.columns else F.lit(None).cast("double")
     point = point_wkt(lat, lon, fix_latlon)
-    geom = (
-        F.coalesce(F.col(FOOTPRINT_COL).cast("string"), point)
-        if has_footprint
-        else point
-    )
+    # validate_footprint: malformed WKT → NULL → point fallback, where
+    # DuckDB's ST_GeomFromText would abort the whole conversion. Validation
+    # is a scan-stage regex (functions/geometry.py); valid WKT passes
+    # through byte-identical (modulo trim), so oracle parity is unaffected.
+    footprint = F.col(FOOTPRINT_COL).cast("string")
+    if validate_footprint:
+        footprint = validate_wkt(footprint)
+    geom = F.coalesce(footprint, point) if has_footprint else point
 
     return out.select(
         F.col(archive.core.id_col).alias("fid"),

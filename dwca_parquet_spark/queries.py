@@ -1016,7 +1016,7 @@ def q37_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     SELECT doc_id,
            CAST(length({_NORM_TEXT}) AS BIGINT) AS n_bytes,
-           {H.sql_poly_hash(_NORM_TEXT).replace(f'* {H.HASH_BASE} + x', '+ x')} AS byte_sum
+           {H.sql_byte_sum(_NORM_TEXT)} AS byte_sum
     FROM documents
     """,
 )

@@ -39,9 +39,11 @@ def _canon(v) -> str:
     return s[:-2] if s.endswith(".0") else s
 
 
-def _rowset(cols, rows) -> set[str]:
+def _rowlist(cols, rows) -> list[str]:
+    """Canonical sorted row multiset — duplicates count (a fan-out join that
+    duplicates rows must not pass a set-based compare)."""
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return {"|".join(_canon(r[i]) for i in order) for r in rows}
+    return sorted("|".join(_canon(r[i]) for i in order) for r in rows)
 
 
 def _duck_oracle(archive, fix_core_only_quirk: bool = True):
@@ -83,15 +85,16 @@ def _duck_oracle(archive, fix_core_only_quirk: bool = True):
 
 def _compare(sdf, oracle, name: str, cols: list[str]):
     srows = sdf.select(*cols).collect()
-    sset = _rowset(cols, [tuple(r) for r in srows])
+    slist = _rowlist(cols, [tuple(r) for r in srows])
     ocols, orows = oracle
     idx = [ocols.index(c) for c in cols]
-    oset = _rowset(cols, [tuple(row[i] for i in idx) for row in orows])
-    assert len(srows) == len(oset | sset) or sset == oset, (
-        f"{name}: rowset mismatch\nspark-only={list(sset - oset)[:3]}"
-        f"\nduck-only={list(oset - sset)[:3]}"
+    olist = _rowlist(cols, [tuple(row[i] for i in idx) for row in orows])
+    only_s = [r for r in slist if r not in olist][:3]
+    only_o = [r for r in olist if r not in slist][:3]
+    assert slist == olist, (
+        f"{name}: row multiset mismatch ({len(slist)} vs {len(olist)} rows)"
+        f"\nspark-only={only_s}\nduck-only={only_o}"
     )
-    assert sset == oset
 
 
 def test_core_only(spark, tmp_path):
