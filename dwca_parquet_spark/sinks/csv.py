@@ -14,11 +14,12 @@ files — one per partition, written in parallel by executors.
 
 from __future__ import annotations
 
-import shutil
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
+
+from dwca_parquet_spark.fs import FS, parent
 
 CSV_OPTIONS = {
     "header": "true",
@@ -35,27 +36,32 @@ def write_csv(
     single_file: bool = False,
     compression: str | None = None,
     sep: str = ",",
-) -> Path:
-    """Write df as CSV. Returns the final path.
+) -> str:
+    """Write df as CSV. Returns the final path (string, URI-safe).
 
     ``single_file=True`` coalesces to one task and renames the part file to
     ``path`` (same commit-rename contract as sinks.parquet.write_parquet).
+    All filesystem ops route through dwca_parquet_spark.fs.FS, so object
+    store URIs work identically to local paths.
     """
-    path = Path(path)
+    path = str(path)
     opts = dict(CSV_OPTIONS, sep=sep)
     if compression:
         opts["compression"] = compression
     if single_file:
-        tmp = path.with_suffix(path.suffix + ".tmp.dir")
-        df.coalesce(1).write.mode("overwrite").options(**opts).csv(str(tmp))
-        part = next(p for p in tmp.glob("part-*") if p.suffix != ".crc")
-        path.parent.mkdir(parents=True, exist_ok=True)
-        if path.exists():
-            path.unlink()
-        shutil.move(str(part), str(path))
-        shutil.rmtree(tmp)
+        fs = FS(df.sparkSession, path)
+        tmp = path + ".tmp.dir"
+        df.coalesce(1).write.mode("overwrite").options(**opts).csv(tmp)
+        parts = [p for p in fs.glob(tmp + "/part-*") if not p.endswith(".crc")]
+        if len(parts) != 1:
+            raise IOError(f"expected one part file in {tmp}, found {parts}")
+        fs.mkdirs(parent(path))
+        if fs.exists(path):
+            fs.delete(path)
+        fs.rename(parts[0], path)
+        fs.delete(tmp)
         return path
-    df.write.mode("overwrite").options(**opts).csv(str(path))
+    df.write.mode("overwrite").options(**opts).csv(path)
     return path
 
 

@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from dwca_parquet_spark.functions.geometry import geometry_type, wkt_to_wkb
+from dwca_parquet_spark.fs import to_local
 from dwca_parquet_spark.sinks.parquet import write_parquet
 
 _TITLECASE = {
@@ -122,7 +123,14 @@ def write_geoparquet(
 
     out = df.withColumn(geom_col, wkt_to_wkb(F.col(geom_col)))
     written = write_parquet(out, path, single_file=single_file)
-    targets = [written] if written.is_file() else sorted(written.glob("*.parquet"))
+    local = to_local(written)
+    if local is None:
+        raise NotImplementedError(
+            "GeoParquet metadata injection runs pyarrow on the driver and "
+            "supports local/file: outputs only; for object-store outputs "
+            "at scale use a GeoParquet-native writer (e.g. Apache Sedona)."
+        )
+    targets = [local] if local.is_file() else sorted(local.glob("*.parquet"))
     for part in targets:
         _inject_geo_metadata(part, geo)
     return written

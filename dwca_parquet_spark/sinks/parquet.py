@@ -4,21 +4,30 @@ Reference behavior (``/root/reference/src/dwca_parquet/libs/parquet.py:24-51``):
 - zstd compression, overwrite mode;
 - two outputs per conversion: versioned ``…/{id}/v{ver}.parquet`` and a
   mutable "latest" ``…/{id}.parquet`` alias;
+- writes to S3 (``s3://bucket/…``) and probes existence with fsspec
+  (``libs/parquet.py:33``) for idempotency;
 - (anti-pattern) the query EXECUTES TWICE, once per output.
 
-Here: write once, then filesystem-copy to the latest alias — the documented
-fix from SURVEY §4.1. ``single_file=True`` reproduces the reference's
-one-file layout (coalesce(1) + commit-rename) for small/medium outputs;
-directory layout is the default and the only sane choice at 100 TB, where
-output partitioning (``partition_by``) replaces the single-file contract.
+Here: write once, then filesystem-side copy to the latest alias — the
+documented fix from SURVEY §4.1. All path handling goes through
+``dwca_parquet_spark.fs.FS`` (Hadoop FileSystem resolved from the path's
+scheme), so local paths, ``file://``, ``hdfs://`` and ``s3a://`` URIs all
+take the same code path; nothing touches the driver's local disk.
+
+``single_file=True`` reproduces the reference's one-file layout
+(coalesce(1) + commit-rename) for small/medium outputs; directory layout is
+the default and the only sane choice at 100 TB, where output partitioning
+(``partition_by``) replaces the single-file contract and rename-based
+commits give way to Spark's committer.
 """
 
 from __future__ import annotations
 
-import shutil
 from pathlib import Path
 
 from pyspark.sql import DataFrame
+
+from dwca_parquet_spark.fs import FS, parent
 
 
 def write_parquet(
@@ -27,34 +36,37 @@ def write_parquet(
     single_file: bool = False,
     partition_by: list[str] | None = None,
     compression: str = "zstd",
-) -> Path:
-    """Write df as zstd parquet. Returns the final path.
+) -> str:
+    """Write df as zstd parquet. Returns the final path (string, URI-safe).
 
     single_file: coalesce to one task and rename the part file to ``path``
     (reference writes one .parquet object). Incompatible with partition_by.
     """
-    path = Path(path)
+    path = str(path)
     if single_file:
         if partition_by:
             raise ValueError("single_file and partition_by are exclusive")
-        tmp = path.with_suffix(path.suffix + ".tmp.dir")
+        fs = FS(df.sparkSession, path)
+        tmp = path + ".tmp.dir"
         (
             df.coalesce(1)
             .write.mode("overwrite")
             .option("compression", compression)
-            .parquet(str(tmp))
+            .parquet(tmp)
         )
-        part = next(tmp.glob("part-*.parquet"))
-        path.parent.mkdir(parents=True, exist_ok=True)
-        if path.exists():
-            path.unlink()
-        shutil.move(str(part), str(path))
-        shutil.rmtree(tmp)
+        parts = fs.glob(tmp + "/part-*.parquet")
+        if len(parts) != 1:
+            raise IOError(f"expected one part file in {tmp}, found {parts}")
+        fs.mkdirs(parent(path))
+        if fs.exists(path):
+            fs.delete(path)
+        fs.rename(parts[0], path)
+        fs.delete(tmp)
         return path
     writer = df.write.mode("overwrite").option("compression", compression)
     if partition_by:
         writer = writer.partitionBy(*partition_by)
-    writer.parquet(str(path))
+    writer.parquet(path)
     return path
 
 
@@ -64,25 +76,24 @@ def write_versioned(
     dataset_id: str,
     version: str | int,
     single_file: bool = True,
-) -> tuple[Path, Path] | None:
+) -> tuple[str, str] | None:
     """Versioned + latest outputs, computing the plan ONCE.
 
     Mirrors the reference's path scheme (``libs/parquet.py:24-29``) and its
     idempotency guard (``:33``: skip when the versioned output exists;
     returns None in that case), but replaces the double execution
-    (``:48-51``) with write-once + copy.
+    (``:48-51``) with write-once + filesystem-side copy. The existence
+    probe runs on the path's own filesystem (S3 object probe on a real
+    deployment), matching the reference's fsspec ``exists`` semantics.
     """
-    base = Path(base_dir)
-    versioned = base / dataset_id / f"v{version}.parquet"
-    latest = base / f"{dataset_id}.parquet"
-    if versioned.exists():
+    base = str(base_dir).rstrip("/")
+    versioned = f"{base}/{dataset_id}/v{version}.parquet"
+    latest = f"{base}/{dataset_id}.parquet"
+    fs = FS(df.sparkSession, versioned)
+    if fs.exists(versioned):
         return None
     write_parquet(df, versioned, single_file=single_file)
-    if single_file:
-        latest.parent.mkdir(parents=True, exist_ok=True)
-        shutil.copy(versioned, latest)
-    else:
-        if latest.exists():
-            shutil.rmtree(latest)
-        shutil.copytree(versioned, latest)
+    if fs.exists(latest):
+        fs.delete(latest)
+    fs.copy(versioned, latest)
     return versioned, latest

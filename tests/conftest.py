@@ -5,8 +5,7 @@ from __future__ import annotations
 
 import duckdb
 import pytest
-
-from dwca_parquet_spark.session import get_spark
+from pyspark.sql import SparkSession
 
 SF_SMOKE = "/root/testdata/sf0.001"
 SF_T2 = "/root/testdata/sf0.01"
@@ -27,7 +26,16 @@ TABLES = (
 
 @pytest.fixture(scope="session")
 def spark():
-    s = get_spark("dwca-parquet-spark-tests")
+    # Deliberately a PLAIN session (not this repo's get_spark): the driver's
+    # correctness gate builds its own SparkSession, so every query must work
+    # without our builder's conf. Round 1's q16/q23/q24 crash was masked by
+    # testing under get_spark() — never again.
+    s = (
+        SparkSession.builder.master("local[*]")
+        .appName("dwca-parquet-spark-tests")
+        .config("spark.sql.shuffle.partitions", "32")
+        .getOrCreate()
+    )
     s.sparkContext.setLogLevel("ERROR")
     yield s
     s.stop()

@@ -6,6 +6,7 @@ through a mocked-fetch IptClient, golden checks on the CSW record fields
 from __future__ import annotations
 
 import json
+from pathlib import Path
 
 import pytest
 
@@ -179,7 +180,7 @@ def test_csw_records_golden(spark, client, cfg, tmp_path):
 def test_geoapi_config_golden(spark, client, cfg, tmp_path):
     df = ipt_to_pygeoapi_resources(spark, harvest_geoapi_rows(client), cfg)
     out = write_json_array(df, tmp_path / "resources.json")
-    configs = {c["id"]: c for c in json.loads(out.read_text())}
+    configs = {c["id"]: c for c in json.loads(Path(out).read_text())}
     assert set(configs) == {"ipt.test.org/birds", "ipt.test.org/moths"}
 
     c = configs["ipt.test.org/birds"]
