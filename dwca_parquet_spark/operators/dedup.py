@@ -237,6 +237,97 @@ def minhash_dup_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    a: str = "id_a",
+    b: str = "id_b",
+    max_iter: int = 30,
+) -> DataFrame:
+    """(node, label) for every node in ``pairs``; label = min id reachable.
+
+    Min-label propagation: each round, every node takes the smallest label
+    among itself and its neighbors, iterated to fixpoint. Per round that is
+    one equi-join (edges ⋈ labels on dst) plus one map-side-combinable
+    groupBy(min) — both shuffles keyed on node id, no skew beyond the
+    graph's own degree distribution. ``localCheckpoint`` truncates lineage
+    each round (an iterative plan otherwise grows a plan tree per round and
+    re-executes everything at every action), and convergence is detected by
+    probing for a single changed label.
+
+    Rounds needed = graph diameter. Near-dup graphs are short-diameter
+    (docs similar to a common doc are usually similar to each other), so
+    this converges in a handful of rounds; for adversarial long-chain
+    graphs at 100 TB the alternating large-star/small-star variant
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) drops it to O(log n) rounds with the same per-round shape.
+    """
+    edges = (
+        pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+        .union(pairs.select(F.col(b).alias("src"), F.col(a).alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        prop = edges.join(
+            labels.select(F.col("node").alias("dst"), "label"), "dst"
+        ).select(F.col("src").alias("node"), "label")
+        new_labels = (
+            labels.union(prop)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+def dedup_clusters(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    threshold: float = 0.5,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Near-dup cluster id per document: (id, cluster_id).
+
+    The 100 TB shape for fuzzy dedup: ``minhash_dup_pairs`` emits the
+    near-dup edge list (bounded by LSH bucketing), connected components
+    collapse it to one cluster id per doc, and docs with no near-dup become
+    their own singleton cluster. Downstream "keep one per cluster" is then
+    a trivial groupBy — materializing all pairs of a big duplicate cluster
+    (quadratic in cluster size) is never required by consumers.
+    """
+    pairs = minhash_dup_pairs(
+        df, id_col, text_col, k, threshold, max_bucket_size
+    )
+    comp = connected_components(pairs).withColumnRenamed("node", id_col)
+    return (
+        df.select(F.col(id_col))
+        .join(comp, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("label"), F.col(id_col)).alias("cluster_id"),
+        )
+    )
+
+
 def simhash_fingerprints(
     df: DataFrame, id_col: str, text_col: str, k: int = 3
 ) -> DataFrame:

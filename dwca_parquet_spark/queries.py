@@ -1177,6 +1177,43 @@ def q43_embedding_neardup_bucketed(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+def _dedup_clusters_oracle() -> str:
+    # The minhash-pairs oracle nests as a CTE body (DuckDB allows a WITH
+    # inside a CTE); the recursive part propagates any smaller label along
+    # an edge, so min(label) per node is the component minimum. Terminates:
+    # the (node, label) space is finite and UNION deduplicates.
+    # AS MATERIALIZED matters: edges is referenced on every recursion step,
+    # and without it DuckDB may inline (re-evaluate) the whole minhash
+    # pipeline per step (observed: 120 s → ~2 s at sf0.01).
+    return f"""
+    WITH RECURSIVE pairs AS MATERIALIZED ({_minhash_oracle()}),
+    edges AS MATERIALIZED (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs
+    ),
+    lbl(node, label) AS (
+        SELECT DISTINCT src, src FROM edges
+        UNION
+        SELECT e.src, l.label
+        FROM lbl l JOIN edges e ON e.dst = l.node
+        WHERE l.label < e.src
+    ),
+    comp AS (SELECT node, min(label) AS cluster_id FROM lbl GROUP BY node)
+    SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+    FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+    """
+
+
+@query("q44_dedup_clusters", _dedup_clusters_oracle())
+def q44_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy-dedup cluster ids: MinHash+LSH pairs → connected components →
+    one cluster id per document (singletons keep their own id). The
+    operator consumers actually want at 100 TB — "keep one doc per
+    cluster" without materializing quadratic duplicate pairs."""
+    return D.dedup_clusters(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The entry() smoke query: star join + aggregation (q03)."""
     return q03_star_join_revenue(spark, sf_dir)
