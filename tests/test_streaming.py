@@ -10,11 +10,18 @@ import pytest
 
 from dwca_parquet_spark.operators.events import tumbling_agg
 from dwca_parquet_spark.streaming.events import stream_sessionize, stream_tumbling_agg
+from dwca_parquet_spark.streaming.stateful import (
+    stream_dedup_exact,
+    stream_user_stats,
+)
 from tests.conftest import SF_SMOKE
 
 
 @pytest.fixture(scope="module")
 def event_schema(spark):
+    # the conftest session is deliberately plain (driver parity); events.ts
+    # is parquet TIMESTAMP(NANOS), so opt into the ns-as-long read here
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark.read.parquet(f"{SF_SMOKE}/events.parquet").schema
 
 
@@ -47,6 +54,83 @@ def test_stream_tumbling_matches_batch(spark, event_schema, events_dir):
     )
     out = _run_stream(spark, stream_tumbling_agg(stream), "tumbling_mem")
     batch = tumbling_agg(spark.read.parquet(f"{SF_SMOKE}/events.parquet"))
+    srows = {tuple(r) for r in out.collect()}
+    brows = {tuple(r) for r in batch.collect()}
+    assert srows == brows
+
+
+def test_stream_dedup_exact_matches_batch(spark, tmp_path):
+    """Streaming dedup keeps exactly one row per text fingerprint — the
+    same distinct-hash count the batch dedup_exact operator produces."""
+    from dwca_parquet_spark.operators.dedup import dedup_exact
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    # stage documents with a synthetic event time (ns-longs, one second
+    # apart, starting 2023 — an event AT epoch 0 equals the initial
+    # watermark and would be dropped as late)
+    staged = docs.selectExpr(
+        "doc_id",
+        "text",
+        "1700000000000000000 + CAST(doc_id AS LONG) * 1000000000 AS ts",
+    )
+    d = tmp_path / "docs_stream"
+    staged.write.parquet(str(d))
+    stream = (
+        spark.readStream.schema(staged.schema).format("parquet").load(str(d))
+    )
+    dedup = stream_dedup_exact(stream, "doc_id", "text")
+    q = (
+        dedup.writeStream.format("memory")
+        .queryName("dedup_mem")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("SELECT * FROM dedup_mem")
+    n_batch_groups = dedup_exact(docs, "doc_id", "text").count()
+    assert out.count() == n_batch_groups
+    assert out.select("text_hash").distinct().count() == n_batch_groups
+
+
+def test_stream_user_stats_stateful(spark, event_schema, events_dir):
+    """applyInPandasWithState running totals: final per-user state equals
+    the batch groupBy, exactly (integer-micros accumulation)."""
+    stream = (
+        spark.readStream.schema(event_schema)
+        .format("parquet")
+        .load(events_dir)
+    )
+    q = (
+        stream_user_stats(stream)
+        .writeStream.format("memory")
+        .queryName("user_stats_mem")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # update mode may emit a row per micro-batch; the last per user wins
+    out = spark.sql(
+        """
+        SELECT user_id, n_events, total_value_micros FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY user_id ORDER BY n_events DESC) AS rn
+          FROM user_stats_mem) WHERE rn = 1
+        """
+    )
+    import pyspark.sql.functions as F
+
+    batch = (
+        spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.round(F.col("value").cast("double") * 1_000_000, 0).cast("long")
+            ).alias("total_value_micros"),
+        )
+    )
     srows = {tuple(r) for r in out.collect()}
     brows = {tuple(r) for r in batch.collect()}
     assert srows == brows
