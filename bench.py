@@ -50,6 +50,7 @@ HEADLINE = [
     "q29_dedup_exact",
     "q30_minhash_lsh_pairs",
     "q31_simhash",
+    "q44_dedup_clusters",
     "q33_knn_bruteforce",
     "q34_embedding_neardup",
     "q36_ann_topk_lsh",
