@@ -33,7 +33,12 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import DoubleType
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
 
 # Component scale: float32 embeddings keep ~6 significant decimals.
 VEC_SCALE = 1_000_000
@@ -155,17 +160,40 @@ def sql_plane_dot(svec: str, j: int, dim: int) -> str:
     )
 
 
+def _bucket_udf(num_planes: int):
+    """Arrow-batched bucket assignment: one int64 matmul against the ±1
+    plane matrix computes all plane dots at once — identical integers to
+    the per-plane Catalyst fold (:func:`_plane_dot`), ~an order of
+    magnitude faster than 8 interpreted aggregate-expressions per row."""
+
+    @pandas_udf(LongType())
+    def bucket_of(svec: pd.Series) -> pd.Series:
+        m = np.stack(svec.to_numpy()).astype(np.int64)
+        dim = m.shape[1]
+        i = np.arange(1, dim + 1, dtype=np.int64)
+        planes = np.empty((dim, num_planes), dtype=np.int64)
+        for j in range(num_planes):
+            planes[:, j] = np.where(
+                ((j * COEF_A + i * COEF_B + COEF_C) % COEF_MOD) % 2 == 0, 1, -1
+            )
+        dots = m @ planes  # exact int64
+        weights = (np.int64(1) << np.arange(num_planes, dtype=np.int64))
+        return pd.Series((dots > 0).astype(np.int64) @ weights)
+
+    return bucket_of
+
+
 def rp_lsh_buckets(
     df: DataFrame, id_col: str, vec_col: str, num_planes: int = NUM_PLANES
 ) -> DataFrame:
-    """(id, bucket): sign-LSH bucket id. Pure projection — scales linearly."""
+    """(id, bucket): sign-LSH bucket id. Pure projection — scales linearly,
+    no shuffle; the plane dots run as one Arrow-batched integer matmul per
+    batch (see :func:`_bucket_udf`; :func:`_plane_dot` remains as the
+    Catalyst-expression mirror of the oracle arithmetic)."""
     prepped = df.select(F.col(id_col), scaled_vec(F.col(vec_col)).alias("svec"))
-    bucket = F.lit(0).cast("long")
-    for j in range(num_planes):
-        bucket = bucket + F.when(
-            _plane_dot(F.col("svec"), j) > 0, F.lit(2**j).cast("long")
-        ).otherwise(F.lit(0))
-    return prepped.select(F.col(id_col), bucket.alias("bucket"))
+    return prepped.select(
+        F.col(id_col), _bucket_udf(num_planes)(F.col("svec")).alias("bucket")
+    )
 
 
 def knn_bruteforce(
@@ -201,6 +229,61 @@ def knn_bruteforce(
     )
 
 
+_GROUP_PAIRS_SCHEMA = StructType(
+    [
+        StructField("id_a", LongType()),
+        StructField("id_b", LongType()),
+        StructField("cosine", DoubleType()),
+    ]
+)
+
+
+def _group_cosine_pairs(pdf: pd.DataFrame, ordered: bool) -> pd.DataFrame:
+    """All within-group cosine pairs by one int64 matmul.
+
+    The scale fix over per-pair scoring: each vector crosses Arrow ONCE per
+    group (not once per pair), the |A|×|B| dot-product matrix runs as a C
+    loop, and only (id, id, cosine) scalars return to the JVM. int64
+    matmul is exact, and the per-pair expression dot/(√na·√nb) is evaluated
+    in the same operation order as the pairwise UDF, so results are
+    bit-identical to the oracle's sequential integer fold.
+
+    ``ordered=False`` emits only id_a < id_b; True emits both directions
+    (for per-query top-k ranking downstream).
+    """
+    ids = pdf["_gid"].to_numpy()
+    m = np.stack(pdf["svec"].to_numpy()).astype(np.int64)
+    sd = np.einsum("ij,ij->i", m, m)  # exact int64 self-dots
+    dots = m @ m.T
+    denom = np.sqrt(sd.astype(np.float64))
+    cos = dots.astype(np.float64) / (denom[:, None] * denom[None, :])
+    ia, ib = np.nonzero(
+        ids[:, None] != ids[None, :] if ordered else ids[:, None] < ids[None, :]
+    )
+    return pd.DataFrame(
+        {"id_a": ids[ia], "id_b": ids[ib], "cosine": cos[ia, ib]}
+    )
+
+
+def _bucket_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    num_planes: int,
+    ordered: bool,
+) -> DataFrame:
+    """(id_a, id_b, exact unrounded cosine) for same-LSH-bucket pairs via
+    per-bucket matmul (see _group_cosine_pairs). Bucket assignment happens
+    inline on the scaled vectors — one projection, no join — so the only
+    shuffle is the groupBy(bucket) that co-locates each bucket."""
+    grouped = df.select(
+        F.col(id_col).alias("_gid"), scaled_vec(F.col(vec_col)).alias("svec")
+    ).withColumn("bucket", _bucket_udf(num_planes)(F.col("svec")))
+    return grouped.groupBy("bucket").applyInPandas(
+        lambda pdf: _group_cosine_pairs(pdf, ordered), _GROUP_PAIRS_SCHEMA
+    )
+
+
 def ann_topk_lsh(
     df: DataFrame,
     id_col: str,
@@ -210,37 +293,127 @@ def ann_topk_lsh(
 ) -> DataFrame:
     """Approximate top-k per vector: candidates = same LSH bucket only.
 
-    The self-join keys on the bucket id, so the pair count is Σ|bucket|²
-    rather than n² — the 100 TB path. Recall tunes via num_planes.
+    Candidate generation keys on the bucket id, so the pair count is
+    Σ|bucket|² rather than n² — the 100 TB path. Recall tunes via
+    num_planes. Scoring is one matmul per bucket (each vector ships to
+    Python once per bucket, not once per pair); ranking happens JVM-side
+    over the scalar pair stream, after the same round-half-up the
+    pairwise path used, so top-k ties break identically.
     """
-    prepped = rp_lsh_buckets(df, id_col, vec_col, num_planes).join(
-        _prepped(df, id_col, vec_col), id_col
-    )
-    left = prepped.select(
-        F.col("bucket"),
-        F.col(id_col).alias("query_id"),
-        F.col("svec").alias("svec_q"),
-        F.col("sdot").alias("sdot_q"),
-    )
-    right = prepped.select(
-        F.col("bucket").alias("bucket_r"),
-        F.col(id_col).alias("cand_id"),
-        F.col("svec").alias("svec_c"),
-        F.col("sdot").alias("sdot_c"),
-    )
-    pairs = left.join(
-        right,
-        (left.bucket == right.bucket_r) & (F.col("query_id") != F.col("cand_id")),
-    )
+    pairs = _bucket_pairs(df, id_col, vec_col, num_planes, ordered=True)
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("cand_id").asc()
     )
     return (
-        _score_pairs(pairs)
-        .select("query_id", "cand_id", "cosine")
+        pairs.select(
+            F.col("id_a").alias("query_id"),
+            F.col("id_b").alias("cand_id"),
+            F.round(F.col("cosine"), 4).alias("cosine"),
+        )
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
         .drop("rn")
+    )
+
+
+def _sided_group_pairs(
+    pdf: pd.DataFrame, min_cosine: float | None
+) -> pd.DataFrame:
+    """Cross-side cosine pairs for one block-pair group by int64 matmul.
+
+    Diagonal groups (every row side='both') reduce to the triangular
+    within-group case; off-diagonal groups compute the full A×B matrix and
+    normalize each pair to (min id, max id) — blocks are disjoint so no
+    pair repeats. ``min_cosine`` pre-filters with a small slack so the
+    Arrow return stream carries only near-threshold pairs; the precise
+    (rounded) threshold is applied JVM-side for oracle parity.
+    """
+    if (pdf["side"] == "both").all():
+        out = _group_cosine_pairs(pdf, ordered=False)
+    else:
+        a = pdf[pdf["side"] == "a"]
+        b = pdf[pdf["side"] == "b"]
+        if a.empty or b.empty:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "cosine": "float64"}
+            )
+        ida = a["_gid"].to_numpy()
+        idb = b["_gid"].to_numpy()
+        ma = np.stack(a["svec"].to_numpy()).astype(np.int64)
+        mb = np.stack(b["svec"].to_numpy()).astype(np.int64)
+        da = np.sqrt(np.einsum("ij,ij->i", ma, ma).astype(np.float64))
+        db = np.sqrt(np.einsum("ij,ij->i", mb, mb).astype(np.float64))
+        cos = (ma @ mb.T).astype(np.float64) / (da[:, None] * db[None, :])
+        xa = np.repeat(ida, len(idb))
+        xb = np.tile(idb, len(ida))
+        out = pd.DataFrame(
+            {
+                "id_a": np.minimum(xa, xb),
+                "id_b": np.maximum(xa, xb),
+                "cosine": cos.ravel(),
+            }
+        )
+    if min_cosine is not None:
+        # slack > half of the 4-decimal rounding ulp (5e-5): a raw cosine
+        # of threshold−4.9e-5 still rounds UP to the threshold and must
+        # survive this pre-filter; the exact cut happens JVM-side.
+        out = out[out["cosine"] >= min_cosine - 6e-5]
+    return out
+
+
+def _block_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    num_blocks: int,
+    min_cosine: float,
+) -> DataFrame:
+    """Exact all-pairs cosine via block matmul — the distributed shape for
+    exact O(n²) similarity.
+
+    Rows hash into ``num_blocks`` disjoint blocks; each unordered block
+    pair (i ≤ j) becomes one group holding block i as side a and block j
+    as side b (diagonal groups hold one copy). Replication factor is
+    ~num_blocks (each vector joins its row and column of block pairs) —
+    versus the per-pair join's factor of n. Work per group is one
+    (n/b)×(n/b) integer matmul; size num_blocks so that fits executor
+    memory (at 100 TB: n/b ≈ 10⁴–10⁵ rows ⇒ GB-scale blocks, thousands of
+    independent groups).
+    """
+    prepped = df.select(
+        F.col(id_col), scaled_vec(F.col(vec_col)).alias("svec")
+    ).withColumn("_blk", F.pmod(F.xxhash64(F.col(id_col)), F.lit(num_blocks)))
+    cols = [F.col(id_col).alias("_gid"), F.col("svec")]
+    # side a of groups (blk, j) for j > blk   (sequence(start>stop) would
+    # count DOWN in Spark, so guard with when/otherwise(empty))
+    up = F.when(
+        F.col("_blk") < num_blocks - 1,
+        F.sequence(F.col("_blk") + 1, F.lit(num_blocks - 1).cast("bigint")),
+    ).otherwise(F.array().cast("array<bigint>"))
+    down = F.when(
+        F.col("_blk") > 0, F.sequence(F.lit(0).cast("bigint"), F.col("_blk") - 1)
+    ).otherwise(F.array().cast("array<bigint>"))
+    a_rows = prepped.select(
+        F.col("_blk").alias("gi"),
+        F.explode(up).alias("gj"),
+        F.lit("a").alias("side"),
+        *cols,
+    )
+    b_rows = prepped.select(
+        F.explode(down).alias("gi"),
+        F.col("_blk").alias("gj"),
+        F.lit("b").alias("side"),
+        *cols,
+    )
+    diag = prepped.select(
+        F.col("_blk").alias("gi"),
+        F.col("_blk").alias("gj"),
+        F.lit("both").alias("side"),
+        *cols,
+    )
+    groups = a_rows.unionByName(b_rows).unionByName(diag)
+    return groups.groupBy("gi", "gj").applyInPandas(
+        lambda pdf: _sided_group_pairs(pdf, min_cosine), _GROUP_PAIRS_SCHEMA
     )
 
 
@@ -251,55 +424,31 @@ def embedding_neardup_pairs(
     threshold: float = 0.9,
     bucketed: bool = False,
     num_planes: int = NUM_PLANES,
+    num_blocks: int = 8,
 ) -> DataFrame:
     """Pairs (a < b) with cosine ≥ threshold — embedding near-dup dedup.
 
-    ``bucketed=False``: exact all-pairs via a non-equi (nested-loop) join —
-    O(n²), only for bounded inputs (fixture parity, small dedup batches).
+    ``bucketed=False``: exact all-pairs via block matmul
+    (:func:`_block_pairs`): every pair is scored, but as grouped integer
+    matrix products rather than a nested-loop join shipping two arrays per
+    pair. Still O(n²) compute — that is what "exact all-pairs" means — but
+    distributed with bounded memory and ~num_blocks data replication.
 
-    ``bucketed=True`` — the 100 TB path: compose :func:`rp_lsh_buckets` so
-    pair generation is an *equi-join on the bucket id* (cost Σ|bucket|²,
-    same shape as :func:`ann_topk_lsh`). Approximate: a near-dup pair whose
-    vectors land in different sign-LSH buckets is missed; recall tunes via
-    ``num_planes`` (fewer planes → bigger buckets → higher recall, more
-    candidates). Each vector has exactly one bucket, so no pair dedup is
-    needed afterwards.
+    ``bucketed=True`` — the sub-quadratic 100 TB path: compose
+    :func:`rp_lsh_buckets` so only same-bucket pairs are scored (cost
+    Σ|bucket|², same shape as :func:`ann_topk_lsh`). Approximate: a
+    near-dup pair split across sign-LSH buckets is missed; recall tunes
+    via ``num_planes``. Each vector has exactly one bucket, so no pair
+    dedup is needed afterwards.
+
+    Thresholding happens JVM-side on the 4-decimal rounded cosine (oracle
+    protocol); the matmul stage pre-filters with slack only to bound the
+    returned pair stream.
     """
-    prepped = _prepped(df, id_col, vec_col)
     if bucketed:
-        prepped = rp_lsh_buckets(df, id_col, vec_col, num_planes).join(
-            prepped, id_col
-        )
-        a = prepped.select(
-            F.col("bucket"),
-            F.col(id_col).alias("id_a"),
-            F.col("svec").alias("svec_q"),
-            F.col("sdot").alias("sdot_q"),
-        )
-        b = prepped.select(
-            F.col("bucket").alias("bucket_r"),
-            F.col(id_col).alias("id_b"),
-            F.col("svec").alias("svec_c"),
-            F.col("sdot").alias("sdot_c"),
-        )
-        pairs = a.join(
-            b,
-            (a.bucket == b.bucket_r) & (F.col("id_a") < F.col("id_b")),
-        )
+        pairs = _bucket_pairs(df, id_col, vec_col, num_planes, ordered=False)
     else:
-        a = prepped.select(
-            F.col(id_col).alias("id_a"),
-            F.col("svec").alias("svec_q"),
-            F.col("sdot").alias("sdot_q"),
-        )
-        b = prepped.select(
-            F.col(id_col).alias("id_b"),
-            F.col("svec").alias("svec_c"),
-            F.col("sdot").alias("sdot_c"),
-        )
-        pairs = a.join(b, F.col("id_a") < F.col("id_b"))
-    return (
-        _score_pairs(pairs)
-        .select("id_a", "id_b", "cosine")
-        .filter(F.col("cosine") >= threshold)
-    )
+        pairs = _block_pairs(df, id_col, vec_col, num_blocks, threshold)
+    return pairs.select(
+        "id_a", "id_b", F.round(F.col("cosine"), 4).alias("cosine")
+    ).filter(F.col("cosine") >= threshold)
