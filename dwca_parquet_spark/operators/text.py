@@ -41,6 +41,22 @@ def token_count(col: Column) -> Column:
     return F.size(tokens(col))
 
 
+# GPT-2-style pre-tokenizer pattern, restricted to printable ASCII (which is
+# all that survives normalize_text): contractions, space-prefixed letter
+# runs, digit runs, punctuation runs, residual whitespace. Plain greedy
+# alternation — identical leftmost-first semantics in Java regex (Spark) and
+# RE2 (DuckDB), so match COUNTS are engine-portable.
+BPE_TOKEN_PATTERN = r"'s|'t|'re|'ve|'m|'ll|'d| ?[a-z]+| ?[0-9]+| ?[^\sa-z0-9]+|\s+"
+
+
+def token_count_bpe(col: Column) -> Column:
+    """#tokens under a BPE-ish pre-tokenizer regex (the pretraining-cost
+    estimator: subword tokenizers split roughly at these boundaries)."""
+    return F.regexp_count(H.normalize_text(col), F.lit(BPE_TOKEN_PATTERN)).cast(
+        "long"
+    )
+
+
 def char_class_count(col: Column, keep_regex: str) -> Column:
     """#chars matching a class, via strip-everything-else (portable)."""
     return F.length(F.regexp_replace(col, keep_regex, ""))

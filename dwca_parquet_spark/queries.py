@@ -693,6 +693,33 @@ def q25_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.text_stats(_t(spark, sf_dir, "documents"), "doc_id", "text")
 
 
+def _token_counts_oracle() -> str:
+    # Java regex and RE2 share leftmost-first alternation for this pattern,
+    # so match counts agree; inside the SQL string literal the pattern's
+    # backslashes double and its apostrophes (contraction tokens) escape
+    # by doubling.
+    pat = T.BPE_TOKEN_PATTERN.replace("\\", "\\\\").replace("'", "''")
+    return f"""
+    SELECT doc_id,
+           CAST(len({_TOKENS}) AS BIGINT) AS n_ws_tokens,
+           CAST(len(regexp_extract_all({_NORM_TEXT}, '{pat}')) AS BIGINT)
+               AS n_bpe_tokens
+    FROM documents
+    """
+
+
+@query("q45_token_counts", _token_counts_oracle())
+def q45_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish-regex token counts (the pretraining token-cost
+    estimators) — pure projections, zero shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        F.col("doc_id"),
+        T.token_count(F.col("text")).cast("long").alias("n_ws_tokens"),
+        T.token_count_bpe(F.col("text")).alias("n_bpe_tokens"),
+    )
+
+
 def _lang_oracle() -> str:
     score_cols = []
     for lang, words in T.LANG_STOPWORDS.items():
