@@ -417,6 +417,90 @@ def _block_pairs(
     )
 
 
+def _cells_udf(cent_ids: np.ndarray, cent_mat: np.ndarray, nprobe: int):
+    """Arrow-batched IVF cell lookup: nearest ``nprobe`` centroid ids per
+    vector by exact integer L2² (|v|² + |c|² − 2·v·c, all int64), ties
+    broken toward the lowest centroid id (stable argsort over centroids
+    pre-sorted by id)."""
+    from pyspark.sql.types import ArrayType
+
+    c2 = np.einsum("ij,ij->i", cent_mat, cent_mat)
+
+    @pandas_udf(ArrayType(LongType()))
+    def cells_of(svec: pd.Series) -> pd.Series:
+        m = np.stack(svec.to_numpy()).astype(np.int64)
+        v2 = np.einsum("ij,ij->i", m, m)
+        d2 = v2[:, None] + c2[None, :] - 2 * (m @ cent_mat.T)
+        order = np.argsort(d2, axis=1, kind="stable")[:, :nprobe]
+        return pd.Series(list(cent_ids[order]))
+
+    return cells_of
+
+
+def ivf_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_ids_below: int,
+    k: int = 5,
+    k_cells: int = 16,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF approximate top-k: coarse-quantize into ``k_cells`` inverted
+    lists, probe the ``nprobe`` nearest cells per query, exact-rank inside.
+
+    The IVF structure is real — cell assignment is a linear projection
+    pass, the candidate join is an equi-join on the cell id (cost
+    Σ_probed |cell|, never n²), ranking is exact cosine over the probed
+    candidates. The coarse quantizer is deliberately deterministic (the
+    ``k_cells`` lowest-id vectors serve as centroids) so a SQL oracle can
+    re-derive identical cells; swapping in sampled k-means centroids
+    changes ONLY the centroid table — collection of k_cells×dim floats is
+    how IVF works at any scale, the index shape is unchanged.
+
+    Recall tunes via nprobe (more probed cells → more candidates); a
+    centroid's own vector sorts into its cell with distance 0.
+    """
+    prepped = _prepped(df, id_col, vec_col)
+    cents = (
+        prepped.orderBy(F.col(id_col)).limit(k_cells).select(id_col, "svec").collect()
+    )
+    cent_ids = np.array([r[0] for r in cents], dtype=np.int64)
+    cent_mat = np.stack([np.asarray(r[1], dtype=np.int64) for r in cents])
+
+    assign = _cells_udf(cent_ids, cent_mat, 1)
+    probe = _cells_udf(cent_ids, cent_mat, nprobe)
+
+    inv = prepped.select(
+        F.col(id_col).alias("cand_id"),
+        assign(F.col("svec")).getItem(0).alias("cell"),
+        F.col("svec").alias("svec_c"),
+        F.col("sdot").alias("sdot_c"),
+    )
+    q = (
+        prepped.filter(F.col(id_col) < query_ids_below)
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.explode(probe(F.col("svec"))).alias("cell"),
+            F.col("svec").alias("svec_q"),
+            F.col("sdot").alias("sdot_q"),
+        )
+    )
+    pairs = F.broadcast(q).join(inv, "cell").filter(
+        F.col("query_id") != F.col("cand_id")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("cand_id").asc()
+    )
+    return (
+        _score_pairs(pairs)
+        .select("query_id", "cand_id", "cosine")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     id_col: str,

@@ -1059,6 +1059,32 @@ def q38_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.extract_features(binary)
 
 
+@query(
+    "q46_payload_transform",
+    f"""
+    SELECT doc_id,
+           {H.sql_byte_sum(f'substr({_NORM_TEXT}, 1, 256)')} AS byte_sum,
+           CAST(least(length({_NORM_TEXT}), 256) AS BIGINT) AS n_bytes
+    FROM documents
+    """,
+)
+def q46_payload_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Payload→payload transform plumbing (thumbnail/frame-sample slot):
+    mapInPandas truncates each binary payload to 256 bytes, then the
+    feature extractor runs over the TRANSFORMED payloads — two chained
+    Arrow-batched stages, verified byte-for-byte by an oracle recomputing
+    length and byte-sum of the 256-char prefix (ASCII-normalized text, so
+    chars == bytes)."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", H.normalize_text(F.col("text")).alias("text")
+    )
+    binary = M.to_binary_table(docs, "doc_id", "text")
+    thumbs = M.transform_payload(binary)  # default: truncate to 256 bytes
+    return M.extract_features(
+        thumbs.select("doc_id", "payload")
+    ).select("doc_id", "byte_sum", "n_bytes")
+
+
 # ===========================================================================
 # Join-type closure + sinks (SURVEY §2.G ops 5/12 completions)
 # ===========================================================================
@@ -1201,6 +1227,60 @@ def q43_embedding_neardup_bucketed(spark: SparkSession, sf_dir: str) -> DataFram
         "embedding",
         threshold=0.3,
         bucketed=True,
+    )
+
+
+def _ivf_oracle(q_below: int = 50, k: int = 5, k_cells: int = 16, nprobe: int = 2) -> str:
+    d2 = (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"[(v.s[i] - c.cs[i]) * (v.s[i] - c.cs[i]) for i in range(1, {EMB_DIM + 1})]), "
+        f"(x, y) -> x + y)"
+    )
+    return f"""
+    WITH sv AS (SELECT vec_id, {S.sql_scaled_vec('embedding', EMB_DIM)} AS s
+                FROM embeddings),
+    cents AS (SELECT vec_id AS cid, s AS cs FROM sv ORDER BY vec_id LIMIT {k_cells}),
+    dists AS (
+        SELECT v.vec_id, c.cid, {d2} AS d2
+        FROM sv v CROSS JOIN cents c
+    ),
+    assign AS (
+        SELECT vec_id, cid AS cell FROM (
+            SELECT vec_id, cid,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+            FROM dists) WHERE rn = 1
+    ),
+    probes AS (
+        SELECT vec_id AS query_id, cid AS cell FROM (
+            SELECT vec_id, cid,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+            FROM dists WHERE vec_id < {q_below}) WHERE rn <= {nprobe}
+    ),
+    cand AS (
+        SELECT p.query_id, a.vec_id AS cand_id
+        FROM probes p JOIN assign a ON p.cell = a.cell
+        WHERE p.query_id != a.vec_id
+    ),
+    scored AS (
+        SELECT query_id, cand_id,
+               round({S.sql_cosine_scaled('q.s', 'c.s', EMB_DIM)}, 4) AS cosine
+        FROM cand JOIN sv q ON cand.query_id = q.vec_id
+                  JOIN sv c ON cand.cand_id = c.vec_id
+    )
+    SELECT query_id, cand_id, cosine FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rn
+        FROM scored) WHERE rn <= {k}
+    """
+
+
+@query("q47_ivf_topk", _ivf_oracle())
+def q47_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k (the other scale path next to sign-LSH q36):
+    deterministic coarse quantizer, inverted-list equi-join on the cell id,
+    exact integer-cosine ranking over the probed candidates."""
+    return S.ivf_topk(
+        _t(spark, sf_dir, "embeddings"), "vec_id", "embedding", query_ids_below=50
     )
 
 
