@@ -55,6 +55,10 @@ HEADLINE = [
     "q34_embedding_neardup",
     "q36_ann_topk_lsh",
     "q38_binary_features",
+    "q43_embedding_neardup_bucketed",
+    "q45_token_counts",
+    "q46_payload_transform",
+    "q47_ivf_topk",
 ]
 
 

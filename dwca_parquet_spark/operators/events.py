@@ -64,6 +64,68 @@ def tumbling_agg(
     )
 
 
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    ts_col: str,
+    right_cols: list[str],
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """As-of join: for each left row, the LATEST right row with
+    ``ts_right <= ts_left`` in the same key group (left-outer: no prior
+    right row → nulls). The operator Spark's join zoo lacks.
+
+    Scalable formulation — union + ordered carry-forward, NOT a range
+    join: a range-condition join plans as a per-key nested loop
+    (O(|L|·|R|) pairs per key); instead both inputs union into one
+    event-ordered stream per key and a running ``last(ignoreNulls)``
+    window carries the most recent right payload forward onto each left
+    row. One shuffle on the key; the per-key sort lives inside the window
+    operator — the same shape Flink/KDB use for as-of semantics.
+
+    ``ts_col`` must exist in both inputs (epoch-µs bigint recommended —
+    see ts_micros). Same-timestamp rows resolve right-before-left
+    (inclusive <=); duplicate right timestamps within a key order by
+    ``tiebreak_col`` if given (latest wins), else are ambiguous — exactly
+    DuckDB ASOF JOIN's contract, which serves as the oracle.
+    """
+    rtypes = dict(right.dtypes)
+    r_struct = "struct<" + ",".join(f"{c}:{rtypes[c]}" for c in right_cols) + ">"
+    l_struct = "struct<" + ",".join(f"{c}:{t}" for c, t in left.dtypes) + ">"
+    tb_type = rtypes.get(tiebreak_col, "bigint") if tiebreak_col else "bigint"
+
+    r_std = right.select(
+        F.col(key_col),
+        F.col(ts_col).alias("_ts"),
+        F.lit(0).alias("_side"),
+        F.struct(*[F.col(c) for c in right_cols]).alias("_rv"),
+        F.lit(None).cast(l_struct).alias("_lv"),
+        (F.col(tiebreak_col) if tiebreak_col else F.lit(0)).alias("_tb"),
+    )
+    l_std = left.select(
+        F.col(key_col),
+        F.col(ts_col).alias("_ts"),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(r_struct).alias("_rv"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("_lv"),
+        F.lit(None).cast(tb_type).alias("_tb"),
+    )
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col("_ts").asc(), F.col("_side").asc(), F.col("_tb").asc_nulls_last())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = (
+        r_std.unionByName(l_std)
+        .withColumn("_rv_c", F.last("_rv", ignorenulls=True).over(w))
+    )
+    return carried.filter(F.col("_side") == 1).select(
+        *[F.col("_lv").getField(c).alias(c) for c in left.columns],
+        *[F.col("_rv_c").getField(c).alias(f"r_{c}") for c in right_cols],
+    )
+
+
 def sessionize(
     df: DataFrame,
     ts_col: str = "ts",

@@ -1230,6 +1230,45 @@ def q43_embedding_neardup_bucketed(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+@query(
+    "q48_asof_join",
+    """
+    WITH ev AS (SELECT event_id, user_id, event_type, value,
+                       epoch_us(ts) AS ts_us FROM events),
+    p AS (SELECT event_id, user_id, ts_us, value FROM ev
+          WHERE event_type = 'purchase'),
+    c AS (SELECT user_id, ts_us, value FROM ev WHERE event_type = 'click')
+    SELECT p.event_id, p.user_id, p.ts_us, p.value,
+           c.ts_us AS r_ts_us, c.value AS r_value
+    FROM p ASOF LEFT JOIN c
+      ON p.user_id = c.user_id AND p.ts_us >= c.ts_us
+    """,
+)
+def q48_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase paired with the user's latest click at or
+    before it (left-outer). Spark lacks the operator; the union +
+    carry-forward-window formulation gives it one key shuffle and no
+    range-join pair explosion (operators/events.py asof_join). The oracle
+    is DuckDB's native ASOF LEFT JOIN."""
+    ev = _t(spark, sf_dir, "events")
+    ev_us = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        E.ts_micros(ev, "ts").alias("ts_us"),
+    )
+    purchases = ev_us.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts_us", "value"
+    )
+    clicks = ev_us.filter(F.col("event_type") == "click").select(
+        "user_id", "ts_us", "value"
+    )
+    return E.asof_join(
+        purchases, clicks, "user_id", "ts_us", ["ts_us", "value"]
+    )
+
+
 def _ivf_oracle(q_below: int = 50, k: int = 5, k_cells: int = 16, nprobe: int = 2) -> str:
     d2 = (
         f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
