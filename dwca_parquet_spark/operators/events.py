@@ -64,6 +64,38 @@ def tumbling_agg(
     )
 
 
+def sliding_agg(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+    duration: str = "1 hour",
+    slide: str = "30 minutes",
+) -> DataFrame:
+    """Sliding (hopping) event-time windows: each event lands in
+    duration/slide overlapping windows. Same single-shuffle groupBy shape
+    as tumbling — F.window with a slide emits one row per (event, window)
+    pair before aggregation, so the shuffle grows by the overlap factor,
+    nothing else changes."""
+    event_time = F.timestamp_micros(ts_micros(df, ts_col))
+    win = F.window(event_time, duration, slide)
+    return (
+        df.groupBy(win.alias("w"), F.col(key_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dec_sum(value_col).alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            key_col,
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

@@ -1231,6 +1231,84 @@ def q43_embedding_neardup_bucketed(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @query(
+    "q51_cube",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           GROUPING(l_returnflag, l_linestatus) AS gid,
+           count(*) AS n,
+           {_osum('l_quantity')} AS sum_qty
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def q51_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two dimensions with grouping_id disambiguation (closes the
+    grouping-sets family next to q19's ROLLUP; same single-shuffle
+    expand-then-aggregate plan)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.grouping_id().cast("long").alias("gid"),
+        F.count(F.lit(1)).alias("n"),
+        R.dec_sum("l_quantity").alias("sum_qty"),
+    ).select("l_returnflag", "l_linestatus", "gid", "n", "sum_qty")
+
+
+@query(
+    "q50_percentiles",
+    """
+    SELECT l_returnflag,
+           round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.25), 6) AS p25,
+           round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5), 6) AS p50,
+           round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.9), 6) AS p90,
+           round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.99), 6) AS p99
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q50_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact continuous percentiles per group (the distribution-profiling
+    aggregate). Spark's percentile and DuckDB's quantile_cont share linear
+    interpolation over the sorted set; inputs cast to DOUBLE first so both
+    engines interpolate identical IEEE values."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.col("l_extendedprice").cast("double").alias("p")
+    )
+    return li.groupBy("l_returnflag").agg(
+        *[
+            F.round(F.percentile("p", q), 6).alias(name)
+            for name, q in [
+                ("p25", 0.25),
+                ("p50", 0.5),
+                ("p90", 0.9),
+                ("p99", 0.99),
+            ]
+        ]
+    )
+
+
+@query(
+    "q49_event_sliding",
+    f"""
+    WITH ev AS (SELECT event_type, value, epoch_us(ts) AS us FROM events),
+    expanded AS (
+        SELECT event_type, value,
+               (us // 1800000000 - k.k) * 1800000000 AS wstart_us
+        FROM ev CROSS JOIN (SELECT unnest([0, 1]) AS k) k
+    )
+    SELECT strftime(make_timestamp(wstart_us), '%Y-%m-%d %H:%M:%S')
+               AS window_start,
+           event_type,
+           count(*) AS n_events,
+           {_osum('value')} AS total_value
+    FROM expanded GROUP BY 1, 2
+    """,
+)
+def q49_event_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1-hour windows hopping every 30 min: each event counts in 2
+    overlapping windows (epoch-aligned, matching the oracle's floor-to-
+    slide-boundary expansion)."""
+    return E.sliding_agg(_t(spark, sf_dir, "events"))
+
+
+@query(
     "q48_asof_join",
     """
     WITH ev AS (SELECT event_id, user_id, event_type, value,
