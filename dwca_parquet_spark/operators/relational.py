@@ -77,3 +77,39 @@ def dedup_latest(
     survivor is well-defined, which differential testing requires."""
     out = per_group_topk(df, keys, order, 1)
     return out if keep_rank_col else out.drop("rn")
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    num_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: identical results to ``left.join(right,
+    key)``, with hot keys spread across ``num_salts`` shuffle partitions.
+
+    The big/skewed side gets a deterministic per-row salt (hash of all its
+    columns — no RNG, so plans replay identically); the other side
+    replicates num_salts×, and the join keys on (key, salt). A key whose
+    rows all landed in one reducer now lands in num_salts of them, at the
+    cost of replicating the small side's shuffle volume num_salts×.
+
+    Use when AQE's skew-join splitting isn't available or the skew is in
+    an aggregation-feeding join it can't split. 'inner' and 'left' only —
+    the salted right side would multiply unmatched-row semantics for
+    right/full joins.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports inner/left joins")
+    salt = F.pmod(
+        F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(num_salts)
+    )
+    l_salted = left.withColumn("_salt", salt)
+    r_salted = right.withColumn(
+        "_salt",
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), F.lit(num_salts - 1).cast("long"))
+        ),
+    )
+    return l_salted.join(r_salted, [key, "_salt"], how).drop("_salt")

@@ -1231,6 +1231,29 @@ def q43_embedding_neardup_bucketed(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @query(
+    "q52_salted_join",
+    """
+    SELECT o.o_orderkey, c.c_name, c.c_mktsegment, o.o_totalprice
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def q52_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted fact-dim join: same result set as the plain equi-join
+    (the oracle), with hot customer keys spread over 8 salted shuffle
+    partitions (operators/relational.py salted_join). The manual fallback
+    for skew AQE can't split."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_custkey").alias("c_custkey"), "o_totalprice"
+    )
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    return R.salted_join(o, c, "c_custkey").select(
+        "o_orderkey", "c_name", "c_mktsegment", "o_totalprice"
+    )
+
+
+@query(
     "q51_cube",
     f"""
     SELECT l_returnflag, l_linestatus,
