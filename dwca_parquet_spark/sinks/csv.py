@@ -21,10 +21,13 @@ from pyspark.sql.types import StructType
 
 from dwca_parquet_spark.fs import FS, parent
 
+# Lossless null-vs-empty contract (property-tested): the WRITER emits null
+# as \N and empty string quoted (its default '""'); the READER maps \N back
+# to null and must NOT set emptyValue — overriding it to '' makes the
+# writer emit empty unquoted, which every reader then collapses to null.
 CSV_OPTIONS = {
     "header": "true",
     "nullValue": "\\N",
-    "emptyValue": "",
     "timestampFormat": "yyyy-MM-dd HH:mm:ss",
     "escape": '"',
 }
