@@ -254,12 +254,14 @@ def connected_components(
     re-executes everything at every action), and convergence is detected by
     probing for a single changed label.
 
-    Rounds needed = graph diameter. Near-dup graphs are short-diameter
-    (docs similar to a common doc are usually similar to each other), so
-    this converges in a handful of rounds; for adversarial long-chain
-    graphs at 100 TB the alternating large-star/small-star variant
-    (Kiveris et al., "Connected Components in MapReduce and Beyond",
-    SoCC'14) drops it to O(log n) rounds with the same per-round shape.
+    Each round also propagates label(label(v)) — pointer jumping, one
+    extra small equi-join of the label table with itself — so the distance
+    a component-minimum travels per round roughly doubles: O(log diameter)
+    rounds instead of O(diameter), with the same per-round shuffle shape
+    (equi-joins + one map-side-combinable min-aggregate). The alternating
+    large-star/small-star variant (Kiveris et al., "Connected Components
+    in MapReduce and Beyond", SoCC'14) is the further refinement for
+    degree-skewed graphs at 100 TB.
     """
     edges = (
         pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
@@ -277,8 +279,13 @@ def connected_components(
         prop = edges.join(
             labels.select(F.col("node").alias("dst"), "label"), "dst"
         ).select(F.col("src").alias("node"), "label")
+        jump = labels.alias("x").join(
+            labels.select(F.col("node").alias("label"), F.col("label").alias("_l2")),
+            "label",
+        ).select(F.col("node"), F.col("_l2").alias("label"))
         new_labels = (
             labels.union(prop)
+            .union(jump)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
             .localCheckpoint()
