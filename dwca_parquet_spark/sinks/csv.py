@@ -25,11 +25,15 @@ from dwca_parquet_spark.fs import FS, parent
 # as \N and empty string quoted (its default '""'); the READER maps \N back
 # to null and must NOT set emptyValue — overriding it to '' makes the
 # writer emit empty unquoted, which every reader then collapses to null.
+# ignoreLeading/TrailingWhiteSpace: the WRITER defaults these to true and
+# silently trims ' ' → '' — both sides pin false for lossless whitespace.
 CSV_OPTIONS = {
     "header": "true",
     "nullValue": "\\N",
     "timestampFormat": "yyyy-MM-dd HH:mm:ss",
     "escape": '"',
+    "ignoreLeadingWhiteSpace": "false",
+    "ignoreTrailingWhiteSpace": "false",
 }
 
 
