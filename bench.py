@@ -59,6 +59,8 @@ HEADLINE = [
     "q45_token_counts",
     "q46_payload_transform",
     "q47_ivf_topk",
+    "q55_hash_split",
+    "q57_tfidf_top_terms",
 ]
 
 

@@ -1,0 +1,73 @@
+"""Deterministic sampling / dataset-split operators.
+
+A 100 TB training pipeline needs reproducible train/val/test assignment that
+is (a) stable across runs and engines, (b) computable per-row with no state,
+and (c) skew-free. ``df.randomSplit`` fails (a) — its sampling depends on
+partition layout — so these operators derive the assignment from the
+engine-portable polynomial hash (functions/hashing.py) of a key column:
+``bucket = poly_hash(key) mod 100``. Same input row → same split, on any
+engine, any partitioning, any day.
+
+The reference has no sampling surface (its only query is
+``/root/reference/src/dwca_parquet/templates/query.sql:1-5``); this closes
+the training-data-pipeline gap alongside dedup/similarity/text (SURVEY §2
+round-2 extensions).
+
+Scale notes: pure per-row projections — they codegen into the scan stage,
+shuffle nothing, and commute with partition pruning. The per-split counts
+aggregate is one map-side-combinable shuffle over ≤ |splits| keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from dwca_parquet_spark.functions import hashing as H
+
+# (name, upper-bound-exclusive) over the 0..99 hash-bucket space.
+DEFAULT_SPLITS: tuple[tuple[str, int], ...] = (
+    ("train", 80),
+    ("val", 90),
+    ("test", 100),
+)
+
+
+def split_bucket(key: Column) -> Column:
+    """0..99 bucket from the portable polynomial hash of ``key`` (as string)."""
+    return F.pmod(H.poly_hash(key.cast("string")), F.lit(100))
+
+
+def split_label(
+    key: Column, splits: tuple[tuple[str, int], ...] = DEFAULT_SPLITS
+) -> Column:
+    """Split name for ``key`` under cumulative bucket thresholds."""
+    b = split_bucket(key)
+    expr = F.lit(splits[-1][0])
+    for name, hi in reversed(splits[:-1]):
+        expr = F.when(b < hi, F.lit(name)).otherwise(expr)
+    return expr
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    splits: tuple[tuple[str, int], ...] = DEFAULT_SPLITS,
+) -> DataFrame:
+    """Assign every row a deterministic split label (adds ``split``)."""
+    return df.withColumn("split", split_label(F.col(key_col), splits))
+
+
+def sql_split_bucket(key_expr: str) -> str:
+    """DuckDB SQL for split_bucket — same hash constants, same mod."""
+    return f"(({H.sql_poly_hash(key_expr)}) % 100)"
+
+
+def sql_split_label(
+    key_expr: str, splits: tuple[tuple[str, int], ...] = DEFAULT_SPLITS
+) -> str:
+    b = sql_split_bucket(key_expr)
+    cases = " ".join(
+        f"WHEN {b} < {hi} THEN '{name}'" for name, hi in splits[:-1]
+    )
+    return f"CASE {cases} ELSE '{splits[-1][0]}' END"

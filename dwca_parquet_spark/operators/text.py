@@ -12,7 +12,7 @@ break last-ulp parity), so the quality score is a piecewise-linear composite.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from dwca_parquet_spark.functions import hashing as H
@@ -160,4 +160,61 @@ def fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         H.poly_hash(F.col("_norm")).alias("full_hash"),
         H.poly_hash(F.substring(F.col("_norm"), 1, 64)).alias("prefix_hash"),
         F.length(F.col("_norm")).cast("long").alias("n_chars"),
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    top_k: int = 5,
+    min_term_len: int = 3,
+) -> DataFrame:
+    """Per-document top-k terms by term frequency, with tf-idf attached.
+
+    Shape (the scalable formulation of HashingTF/IDF without MLlib's
+    Vector types):
+      1. tokenize → explode → (doc, term) counts: one map-side-combinable
+         shuffle on (doc, term);
+      2. document frequency per term: one shuffle on term (the vocabulary —
+         orders of magnitude smaller than the corpus);
+      3. corpus size N: single-row aggregate (broadcast scalar);
+      4. tf-idf = tf · ln((N+1)/(df+1)) (smoothed); per-doc top-k via a
+         row_number window partitioned by doc.
+
+    Determinism: ranking uses the INTEGER pair (tf desc, term asc) — never
+    the float tfidf — so the selected rows are engine-exact even though the
+    tfidf value itself is an IEEE double (surfaced rounded).
+
+    At 100 TB the only large shuffles are keyed by (doc, term) and term;
+    both combine map-side. The df table joins back to term counts on term —
+    an equi-join Spark can hash-partition; genuinely hot terms (stopwords)
+    are bounded by min_term_len and by the top-k cut happening per-doc.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(tokens(F.col(text_col))).alias("term"),
+    ).filter(F.length("term") >= min_term_len)
+    tf = toks.groupBy("doc", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
+    # corpus size as a lazy broadcast 1-row join (no eager driver action)
+    n_docs = df.select(F.countDistinct(F.col(id_col)).alias("n_docs"))
+    w = Window.partitionBy("doc").orderBy(F.desc("tf"), F.asc("term"))
+    return (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= top_k)
+        .select(
+            F.col("doc").alias(id_col),
+            "term",
+            "tf",
+            "df_t",
+            F.round(
+                F.col("tf")
+                * F.log((F.col("n_docs") + 1.0) / (F.col("df_t") + 1.0)),
+                6,
+            ).alias("tfidf"),
+            F.col("rk").cast("long").alias("rk"),
+        )
     )

@@ -33,6 +33,7 @@ from dwca_parquet_spark.operators import dedup as D
 from dwca_parquet_spark.operators import events as E
 from dwca_parquet_spark.operators import multimodal as M
 from dwca_parquet_spark.operators import relational as R
+from dwca_parquet_spark.operators import sampling as SMP
 from dwca_parquet_spark.operators import similarity as S
 from dwca_parquet_spark.operators import text as T
 
@@ -1464,3 +1465,213 @@ def q44_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The entry() smoke query: star join + aggregation (q03)."""
     return q03_star_join_revenue(spark, sf_dir)
+
+
+# ===========================================================================
+# Round-2 closure: pivot/unpivot, deterministic splits, edit distance,
+# tf-idf, grouping sets (SURVEY §2 round-2 extensions 30-35)
+# ===========================================================================
+
+
+@query(
+    "q53_pivot",
+    f"""
+    SELECT l_returnflag,
+           count(CASE WHEN l_linestatus = 'O' THEN 1 END) AS n_O,
+           count(CASE WHEN l_linestatus = 'F' THEN 1 END) AS n_F,
+           {_osum("CASE WHEN l_linestatus = 'O' THEN l_quantity END")} AS qty_O,
+           {_osum("CASE WHEN l_linestatus = 'F' THEN l_quantity END")} AS qty_F
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q53_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long → wide): one output column per (pivot value × aggregate).
+    Explicit pivot values keep the plan single-pass — Spark rewrites this to
+    conditional aggregates (exactly the oracle SQL), one map-side-combined
+    shuffle on the group key, no second job to discover distinct values."""
+    li = _t(spark, sf_dir, "lineitem")
+    out = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            R.dec_sum("l_quantity").alias("qty"),
+        )
+    )
+    # Spark names pivot columns "{value}_{aggAlias}"; surface as alias_value.
+    return out.select(
+        "l_returnflag",
+        F.col("O_n").alias("n_O"),
+        F.col("F_n").alias("n_F"),
+        F.col("O_qty").alias("qty_O"),
+        F.col("F_qty").alias("qty_F"),
+    )
+
+
+@query(
+    "q54_unpivot",
+    """
+    SELECT l_orderkey, l_linenumber, metric, value FROM (
+        SELECT l_orderkey, l_linenumber, 'quantity' AS metric,
+               CAST(l_quantity AS DOUBLE) AS value
+        FROM lineitem WHERE l_orderkey < 100
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'extendedprice' AS metric,
+               CAST(l_extendedprice AS DOUBLE) AS value
+        FROM lineitem WHERE l_orderkey < 100
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'discount' AS metric,
+               CAST(l_discount AS DOUBLE) AS value
+        FROM lineitem WHERE l_orderkey < 100
+    )
+    """,
+)
+def q54_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide → long): measure columns → (metric, value) rows.
+    A narrow per-row expansion (Spark's Expand node) — zero shuffle, 3×
+    rows out; the filter still pushes into the parquet scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_orderkey") < 100)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.col("l_quantity").cast("double").alias("quantity"),
+            F.col("l_extendedprice").cast("double").alias("extendedprice"),
+            F.col("l_discount").cast("double").alias("discount"),
+        )
+        .unpivot(
+            ["l_orderkey", "l_linenumber"],
+            ["quantity", "extendedprice", "discount"],
+            "metric",
+            "value",
+        )
+    )
+
+
+@query(
+    "q55_hash_split",
+    f"""
+    SELECT split, count(*) AS n_docs, count(DISTINCT lang) AS n_langs
+    FROM (SELECT lang,
+                 {SMP.sql_split_label("CAST(doc_id AS VARCHAR)")} AS split
+          FROM documents)
+    GROUP BY split
+    """,
+)
+def q55_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (operators/sampling.py): label =
+    portable-hash(doc_id) bucket, so assignment is reproducible across
+    engines, runs, and partitionings — unlike randomSplit. Verified here by
+    aggregating per-split counts in both engines."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        SMP.hash_split(d, "doc_id")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+    )
+
+
+def _q56_oracle() -> str:
+    norm = H.sql_normalize_text("text")
+    return f"""
+    WITH t AS (SELECT doc_id, substr({norm}, 1, 48) AS s
+               FROM documents WHERE doc_id < 40)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
+    FROM t a JOIN t b ON a.doc_id < b.doc_id
+    WHERE levenshtein(a.s, b.s) <= 32
+    """
+
+
+@query("q56_edit_distance", _q56_oracle())
+def q56_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup pairs over a bounded candidate set (the exact
+    verifier you run AFTER blocking — levenshtein is O(len²)/pair, so at
+    100 TB it only ever runs on candidate pairs from a blocking key
+    (fingerprint prefix / LSH bucket), never all-pairs; the bounded id
+    filter here stands in for that blocking stage)."""
+    d = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 40)
+        .select(
+            "doc_id",
+            F.substring(H.normalize_text(F.col("text")), 1, 48).alias("s"),
+        )
+    )
+    a = d.select(F.col("doc_id").alias("id_a"), F.col("s").alias("s_a"))
+    b = d.select(F.col("doc_id").alias("id_b"), F.col("s").alias("s_b"))
+    return (
+        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.levenshtein("s_a", "s_b").cast("long").alias("dist"),
+        )
+        .filter(F.col("dist") <= 32)
+    )
+
+
+def _q57_oracle() -> str:
+    return f"""
+    WITH toks AS (
+        SELECT doc_id AS doc, unnest({_TOKENS}) AS term FROM documents
+    ),
+    tf AS (SELECT doc, term, count(*) AS tf FROM toks
+           WHERE length(term) >= 3 GROUP BY doc, term),
+    dfreq AS (SELECT term, count(*) AS df_t FROM tf GROUP BY term),
+    n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+    ranked AS (
+        SELECT doc, term, tf, df_t, n_docs,
+               row_number() OVER (PARTITION BY doc
+                                  ORDER BY tf DESC, term ASC) AS rk
+        FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    )
+    SELECT doc AS doc_id, term, tf, df_t,
+           round(tf * ln((n_docs + 1.0) / (df_t + 1.0)), 6) AS tfidf,
+           CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= 5
+    """
+
+
+@query("q57_tfidf_top_terms", _q57_oracle())
+def q57_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-5 terms by frequency with smoothed tf-idf
+    (operators/text.py tfidf_top_terms). Ranking is by the integer pair
+    (tf, term) so row selection is engine-exact; the float tfidf rides
+    along rounded."""
+    d = _t(spark, sf_dir, "documents")
+    return T.tfidf_top_terms(d, "doc_id", "text", top_k=5)
+
+
+@query(
+    "q58_grouping_sets",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           GROUPING(l_returnflag, l_linestatus) AS gid,
+           count(*) AS n,
+           {_osum('l_extendedprice')} AS sum_price
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+    """,
+)
+def q58_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS (the general form closing the family next to
+    ROLLUP q19 / CUBE q51) — still one Expand + one shuffle, rows replicated
+    only per requested set."""
+    li = _t(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("lineitem_gs")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+               count(*) AS n,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS sum_price
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+        """
+    )
