@@ -113,3 +113,55 @@ def salted_join(
         ),
     )
     return l_salted.join(r_salted, [key, "_salt"], how).drop("_salt")
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    lo_col: str,
+    hi_col: str,
+    bucket_width: int,
+) -> DataFrame:
+    """Big-big point-in-interval join as an equi-join (the 100 TB range join).
+
+    A raw theta join ``lo <= p < hi`` has no equi key, so Spark must plan a
+    nested-loop join — O(|points|·|intervals|) unless one side broadcasts
+    (q41's small-side case). This rewrite restores hash partitioning:
+
+      1. each interval explodes into the fixed-width buckets it overlaps
+         (``sequence(floor(lo/w), floor(hi/w))``) — blow-up is
+         ``len/w + 2`` rows per interval, tunable via ``bucket_width``;
+      2. each point maps to exactly one bucket — no duplication on the big
+         probe side, so no dedup pass is needed afterwards;
+      3. equi-join on bucket (shuffle-partitionable, AQE-skew-splittable),
+         then the exact ``lo <= p < hi`` residual filters in the join stage.
+
+    Pick ``bucket_width`` near the median interval length: wider buckets cut
+    the interval blow-up, narrower buckets cut residual-filter waste.
+    Outputs all columns of both inputs, one row per matching (point row,
+    interval row) pair — exactly the theta-join result set.
+    """
+    iv = intervals.withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_col) / bucket_width),
+                # floor(hi/w) may add one empty boundary bucket for the
+                # half-open [lo, hi); the residual filter discards it. This
+                # keeps the mapping exact for REAL-valued domains too.
+                F.floor(F.col(hi_col) / bucket_width),
+            )
+        ),
+    )
+    pt = points.withColumn(
+        "_bucket", F.floor(F.col(point_col) / bucket_width)
+    )
+    return (
+        pt.join(iv, "_bucket")
+        .filter(
+            (F.col(point_col) >= F.col(lo_col))
+            & (F.col(point_col) < F.col(hi_col))
+        )
+        .drop("_bucket")
+    )

@@ -1675,3 +1675,37 @@ def q58_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
         """
     )
+
+
+@query(
+    "q59_interval_join",
+    f"""
+    SELECT p_partkey, count(*) AS n_orders,
+           {_osum('o_totalprice')} AS sum_price
+    FROM part JOIN orders
+      ON o_totalprice >= p_retailprice * 100
+     AND o_totalprice <  p_retailprice * 100 + 2000
+    GROUP BY p_partkey
+    """,
+)
+def q59_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Big-big point-in-interval join via the bucketized equi-join rewrite
+    (operators/relational.py interval_join) — the scale path q41's docstring
+    promises: no broadcast, no nested loop; intervals explode into
+    fixed-width buckets, points map to one bucket each, the join is a plain
+    hash-partitioned equi-join with the exact range residual. The oracle
+    runs the raw theta join."""
+    p = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        (F.col("p_retailprice") * 100).alias("lo"),
+        (F.col("p_retailprice") * 100 + 2000).alias("hi"),
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    return (
+        R.interval_join(o, p, "o_totalprice", "lo", "hi", bucket_width=1024)
+        .groupBy("p_partkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            R.dec_sum("o_totalprice").alias("sum_price"),
+        )
+    )
