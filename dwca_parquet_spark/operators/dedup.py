@@ -263,9 +263,19 @@ def connected_components(
     in MapReduce and Beyond", SoCC'14) is the further refinement for
     degree-skewed graphs at 100 TB.
     """
+    # Both edge orientations from ONE pass over pairs (a union of two
+    # selects would evaluate the upstream pair pipeline twice inside the
+    # materializing job — the pair verify stage is the expensive part).
     edges = (
-        pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
-        .union(pairs.select(F.col(b).alias("src"), F.col(a).alias("dst")))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(a).alias("src"), F.col(b).alias("dst")),
+                    F.struct(F.col(b).alias("src"), F.col(a).alias("dst")),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
         .distinct()
         .persist()
     )
@@ -275,18 +285,21 @@ def connected_components(
         .withColumn("label", F.col("node"))
         .localCheckpoint()
     )
-    for _ in range(max_iter):
+    for it in range(max_iter):
         prop = edges.join(
             labels.select(F.col("node").alias("dst"), "label"), "dst"
         ).select(F.col("src").alias("node"), "label")
-        jump = labels.alias("x").join(
-            labels.select(F.col("node").alias("label"), F.col("label").alias("_l2")),
-            "label",
-        ).select(F.col("node"), F.col("_l2").alias("label"))
+        fused = labels.union(prop)
+        if it > 0:  # round 0 labels are the identity map — jump is a no-op
+            jump = labels.alias("x").join(
+                labels.select(
+                    F.col("node").alias("label"), F.col("label").alias("_l2")
+                ),
+                "label",
+            ).select(F.col("node"), F.col("_l2").alias("label"))
+            fused = fused.union(jump)
         new_labels = (
-            labels.union(prop)
-            .union(jump)
-            .groupBy("node")
+            fused.groupBy("node")
             .agg(F.min("label").alias("label"))
             .localCheckpoint()
         )
