@@ -34,6 +34,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
     LongType,
     StructField,
@@ -536,3 +537,86 @@ def embedding_neardup_pairs(
     return pairs.select(
         "id_a", "id_b", F.round(F.col("cosine"), 4).alias("cosine")
     ).filter(F.col("cosine") >= threshold)
+
+
+def _buckets_udf_multi(num_planes: int, n_tables: int):
+    """Arrow-batched multi-table bucket assignment: table t's bucket comes
+    from planes j ∈ [t·P, (t+1)·P) of the same deterministic ±1 family —
+    one int64 matmul against the (dim × P·L) plane matrix yields all L
+    buckets per vector at once."""
+
+    @pandas_udf(ArrayType(LongType()))
+    def buckets_of(svec: pd.Series) -> pd.Series:
+        m = np.stack(svec.to_numpy()).astype(np.int64)
+        dim = m.shape[1]
+        i = np.arange(1, dim + 1, dtype=np.int64)
+        total = num_planes * n_tables
+        planes = np.empty((dim, total), dtype=np.int64)
+        for j in range(total):
+            planes[:, j] = np.where(
+                ((j * COEF_A + i * COEF_B + COEF_C) % COEF_MOD) % 2 == 0, 1, -1
+            )
+        bits = (m @ planes) > 0  # (n, P·L)
+        weights = np.int64(1) << np.arange(num_planes, dtype=np.int64)
+        out = [
+            (bits[:, t * num_planes : (t + 1) * num_planes].astype(np.int64) @ weights)
+            for t in range(n_tables)
+        ]
+        return pd.Series(np.stack(out, axis=1).tolist())
+
+    return buckets_of
+
+
+def ann_topk_multitable(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 3,
+    num_planes: int = NUM_PLANES,
+    n_tables: int = 2,
+) -> DataFrame:
+    """Multi-table sign-LSH ANN top-k: candidates = same bucket in ANY of
+    ``n_tables`` independent hash tables.
+
+    The recall repair for single-table LSH (two near vectors split by one
+    hyperplane are unioned back in by the other tables) and the skew hedge
+    (a degenerate bucket in one table doesn't capture a vector's entire
+    candidate set). Shape: one Arrow matmul assigns all L buckets;
+    posexplode → groupBy (table, bucket) → per-group matmul scoring, so the
+    pair bound is Σ_t Σ_b |bucket_tb|². Duplicate candidates that co-bucket
+    in several tables are collapsed by a distinct on the scored rows —
+    exact int64 scoring makes the duplicate cosines bit-identical, which is
+    cheaper at scale than re-joining vectors onto a deduped pair list.
+    """
+    exploded = (
+        df.select(
+            F.col(id_col).alias("_gid"), scaled_vec(F.col(vec_col)).alias("svec")
+        )
+        .withColumn(
+            "_bkts", _buckets_udf_multi(num_planes, n_tables)(F.col("svec"))
+        )
+        .select(
+            "_gid", "svec", F.posexplode("_bkts").alias("_table", "bucket")
+        )
+    )
+    pairs = (
+        exploded.groupBy("_table", "bucket")
+        .applyInPandas(
+            lambda pdf: _group_cosine_pairs(pdf, ordered=True),
+            _GROUP_PAIRS_SCHEMA,
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("cand_id").asc()
+    )
+    return (
+        pairs.select(
+            F.col("id_a").alias("query_id"),
+            F.col("id_b").alias("cand_id"),
+            F.round(F.col("cosine"), 4).alias("cosine"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )

@@ -1709,3 +1709,43 @@ def q59_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             R.dec_sum("o_totalprice").alias("sum_price"),
         )
     )
+
+
+def _ann_multitable_oracle(n_tables: int = 2) -> str:
+    tbl_pairs = []
+    for t in range(n_tables):
+        bits = " + ".join(
+            f"(CASE WHEN {S.sql_plane_dot('s', t * S.NUM_PLANES + b, EMB_DIM)} > 0"
+            f" THEN {2**b} ELSE 0 END)"
+            for b in range(S.NUM_PLANES)
+        )
+        tbl_pairs.append(
+            f"""
+        SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+               round({S.sql_cosine_scaled('q.s', 'c.s', EMB_DIM)}, 4) AS cosine
+        FROM (SELECT vec_id, CAST({bits} AS BIGINT) AS bucket, s FROM sv) q
+        JOIN (SELECT vec_id, CAST({bits} AS BIGINT) AS bucket, s FROM sv) c
+          ON q.bucket = c.bucket AND q.vec_id != c.vec_id
+        """
+        )
+    union = "\n        UNION\n".join(tbl_pairs)  # UNION (not ALL) dedups
+    return f"""
+    WITH sv AS (SELECT vec_id, {S.sql_scaled_vec('embedding', EMB_DIM)} AS s
+                FROM embeddings),
+    pairs AS ({union})
+    SELECT query_id, cand_id, cosine FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, cand_id ASC) AS rn
+        FROM pairs
+    ) WHERE rn <= 3
+    """
+
+
+@query("q60_ann_multitable", _ann_multitable_oracle())
+def q60_ann_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table sign-LSH ANN top-3 (operators/similarity.py
+    ann_topk_multitable): same Σ|bucket|² candidate bound per table, L=2
+    independent tables union-ed for recall and skew resilience."""
+    return S.ann_topk_multitable(
+        _t(spark, sf_dir, "embeddings"), "vec_id", "embedding", k=3, n_tables=2
+    )

@@ -19,7 +19,12 @@ from pyspark.sql import functions as F
 
 from dwca_parquet_spark.operators.dedup import minhash_dup_pairs
 from dwca_parquet_spark.operators.events import asof_join
-from dwca_parquet_spark.operators.relational import dedup_latest, topk
+from dwca_parquet_spark.operators.relational import (
+    dedup_latest,
+    interval_join,
+    topk,
+)
+from dwca_parquet_spark.operators.sampling import hash_split
 from dwca_parquet_spark.sinks.csv import read_csv, write_csv
 
 SETTINGS = settings(
@@ -171,3 +176,56 @@ def test_minhash_planted_exact_dups(spark, n_dups):
     }
     for i in range(n_dups):
         assert pairs.get((i, 100 + i)) == 1.0
+
+
+@SETTINGS
+@given(
+    points=st.lists(st.integers(-50, 50), min_size=0, max_size=25),
+    ivs=st.lists(
+        st.tuples(st.integers(-60, 60), st.integers(0, 25)),
+        min_size=0,
+        max_size=15,
+    ),
+    width=st.sampled_from([1, 3, 7, 16]),
+)
+def test_interval_join_matches_naive(spark, points, ivs, width):
+    """Bucketized interval_join == the naive theta join, for any bucket
+    width (incl. negative domains and empty/boundary intervals)."""
+    pts = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(points)], "pid long, p long"
+    )
+    intervals = spark.createDataFrame(
+        [(j, lo, lo + ln) for j, (lo, ln) in enumerate(ivs)],
+        "iid long, lo long, hi long",
+    )
+    got = Counter(
+        (r.pid, r.iid)
+        for r in interval_join(pts, intervals, "p", "lo", "hi", width).collect()
+    )
+    want = Counter(
+        (i, j)
+        for i, p in enumerate(points)
+        for j, (lo, ln) in enumerate(ivs)
+        if lo <= p < lo + ln
+    )
+    assert got == want
+
+
+def _py_poly_hash(s: str) -> int:
+    h = 0
+    for ch in s:
+        h = (h * 31 + ord(ch)) % 1_000_000_007
+    return h
+
+
+@SETTINGS
+@given(keys=st.lists(st.integers(0, 10**9), min_size=1, max_size=30))
+def test_hash_split_matches_python(spark, keys):
+    """Split labels are a pure function of the key — cross-checked against
+    an independent Python reimplementation of the portable hash."""
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    got = {r.k: r.split for r in hash_split(df, "k").collect()}
+    for k in set(keys):
+        b = _py_poly_hash(str(k)) % 100
+        want = "train" if b < 80 else ("val" if b < 90 else "test")
+        assert got[k] == want
