@@ -1749,3 +1749,66 @@ def q60_ann_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ann_topk_multitable(
         _t(spark, sf_dir, "embeddings"), "vec_id", "embedding", k=3, n_tables=2
     )
+
+
+def _q61_oracle() -> str:
+    score = f"""round(0.5 * (CAST(least(len({_TOKENS}), 100) AS DOUBLE) / 100.0)
+                 + 0.3 * (1.0 - CASE WHEN length({_NORM_TEXT}) = 0 THEN 0.0
+                       ELSE CAST(length(regexp_replace({_NORM_TEXT}, '[^.,!?;:]', '', 'g')) AS DOUBLE)
+                            / CAST(length({_NORM_TEXT}) AS DOUBLE) END)
+                 + 0.2 * (CASE WHEN len({_TOKENS}) = 0 THEN 0.0
+                       ELSE CAST(len(list_filter({_TOKENS},
+                                t -> list_contains(['the','and','of','to','a'], t))) AS DOUBLE)
+                            / CAST(len({_TOKENS}) AS DOUBLE) END), 6)"""
+    return f"""
+    WITH RECURSIVE pairs AS MATERIALIZED ({_minhash_oracle()}),
+    edges AS MATERIALIZED (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs
+    ),
+    lbl(node, label) AS (
+        SELECT DISTINCT src, src FROM edges
+        UNION
+        SELECT e.src, l.label
+        FROM lbl l JOIN edges e ON e.dst = l.node
+        WHERE l.label < e.src
+    ),
+    comp AS (SELECT node, min(label) AS cluster_id FROM lbl GROUP BY node),
+    clustered AS (
+        SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+               {score} AS quality_score
+        FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+    )
+    SELECT cluster_id, doc_id, quality_score, n_docs FROM (
+        SELECT *,
+               row_number() OVER (PARTITION BY cluster_id
+                                  ORDER BY quality_score DESC, doc_id ASC) AS rn,
+               count(*) OVER (PARTITION BY cluster_id) AS n_docs
+        FROM clustered
+    ) WHERE rn = 1
+    """
+
+
+@query("q61_dedup_keep_best", _q61_oracle())
+def q61_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end fuzzy-dedup pipeline a pretraining corpus actually
+    runs: MinHash-LSH pairs → connected-component clusters → keep the
+    highest-quality document per cluster. Pure composition of declared
+    operators (dedup_clusters ∘ quality_score ∘ window top-1); the output
+    is the deduplicated corpus manifest — O(#clusters) rows, never the
+    quadratic pair set."""
+    d = _t(spark, sf_dir, "documents")
+    clusters = D.dedup_clusters(d, "doc_id", "text")
+    quality = T.quality_score(d, "doc_id", "text").select(
+        "doc_id", "quality_score"
+    )
+    joined = clusters.join(quality, "doc_id")
+    pc = Window.partitionBy("cluster_id")
+    w = pc.orderBy(F.col("quality_score").desc(), F.col("doc_id").asc())
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_docs", F.count(F.lit(1)).over(pc))
+        .filter(F.col("rn") == 1)
+        .select("cluster_id", "doc_id", "quality_score", "n_docs")
+    )
