@@ -12,6 +12,8 @@ rewriting logic.
 - ``stream_sessionize``: session windows via the built-in
   ``F.session_window`` (gap-based, watermark-closed) — the streaming
   equivalent of the batch lag+cumsum formulation.
+- ``stream_attribution_join``: watermarked stream-stream inner join with a
+  two-sided time bound (state evictable on both sides).
 
 Tests drive both with a file source feeding the events fixture and a
 memory sink (tests/test_streaming.py); production swaps source/sink strings
@@ -87,5 +89,67 @@ def stream_sessionize(
             F.unix_micros(F.col("sw.start")).alias("start_us"),
             F.unix_micros(F.col("sw.end")).alias("end_us"),
             "n_events",
+        )
+    )
+
+
+def stream_attribution_join(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    ts_col: str = "ts",
+    tolerance: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked stream-stream inner join: every (click, purchase) pair of
+    the same user where the purchase lands within ``tolerance`` after the
+    click — the attribution primitive.
+
+    Both sides carry watermarks and the join condition bounds the time
+    range in BOTH directions, which is what lets Structured Streaming
+    evict state: a buffered click can be dropped once the watermark passes
+    ``click_time + tolerance``, a purchase once matched candidates are
+    final. State is O(events inside the watermark horizon), keyed by
+    user — the same shuffle key as the batch equi-join. Append output mode;
+    the identical expression on batch DataFrames gives the batch parity
+    result (tests/test_streaming.py).
+    """
+    c = (
+        with_event_time(clicks, ts_col)
+        .withWatermark("event_time", watermark)
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("event_time").alias("click_time"),
+        )
+    )
+    p = (
+        with_event_time(purchases, ts_col)
+        .withWatermark("event_time", watermark)
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("event_time").alias("purchase_time"),
+            F.col("value").alias("purchase_value"),
+        )
+    )
+    return (
+        c.join(
+            p,
+            (F.col("c_user") == F.col("p_user"))
+            & (F.col("click_time") <= F.col("purchase_time"))
+            & (
+                F.col("purchase_time")
+                <= F.col("click_time") + F.expr(f"INTERVAL {tolerance}")
+            ),
+        )
+        .select(
+            F.col("c_user").alias("user_id"),
+            "click_id",
+            "purchase_id",
+            F.date_format("click_time", "yyyy-MM-dd HH:mm:ss").alias("click_at"),
+            F.date_format("purchase_time", "yyyy-MM-dd HH:mm:ss").alias(
+                "purchase_at"
+            ),
+            "purchase_value",
         )
     )

@@ -152,3 +152,37 @@ def test_stream_sessions_counts(spark, event_schema, events_dir):
     # total events across sessions == table size
     total = sum(r["n_events"] for r in rows)
     assert total == spark.read.parquet(f"{SF_SMOKE}/events.parquet").count()
+
+
+def test_stream_stream_attribution_join(spark, event_schema, events_dir):
+    """Stream-stream inner join (watermarked, time-bounded) equals the same
+    expression evaluated on batch DataFrames."""
+    from dwca_parquet_spark.streaming.events import stream_attribution_join
+
+    def split(df):
+        return (
+            df.filter(df.event_type == "click"),
+            df.filter(df.event_type == "purchase"),
+        )
+
+    stream = (
+        spark.readStream.schema(event_schema).format("parquet").load(events_dir)
+    )
+    joined = stream_attribution_join(*split(stream))
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("attr_mem")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("SELECT * FROM attr_mem")
+
+    batch = stream_attribution_join(
+        *split(spark.read.parquet(f"{SF_SMOKE}/events.parquet"))
+    )
+    srows = sorted(tuple(r) for r in out.collect())
+    brows = sorted(tuple(r) for r in batch.collect())
+    assert len(brows) > 0, "fixture produced no click→purchase pairs"
+    assert srows == brows
