@@ -165,3 +165,22 @@ def interval_join(
         )
         .drop("_bucket")
     )
+
+
+def key_skew_profile(df: DataFrame, key_col: str, top_n: int = 10) -> DataFrame:
+    """Top-N hottest keys with their share of all rows — the pre-flight
+    check before any big join/agg on ``key_col`` (decides whether to salt,
+    AQE-split, or broadcast). One map-side-combinable count shuffle plus a
+    broadcast 1-row total; output is O(top_n)."""
+    counts = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("n_rows"))
+    total = df.select(F.count(F.lit(1)).alias("_total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            key_col,
+            "n_rows",
+            F.round(F.col("n_rows") / F.col("_total"), 6).alias("row_share"),
+        )
+        .orderBy(F.col("n_rows").desc(), F.col(key_col).asc())
+        .limit(top_n)
+    )

@@ -1866,3 +1866,23 @@ def q62_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("corr_qty_price"),
     )
+
+
+@query(
+    "q63_skew_profile",
+    """
+    SELECT o_custkey, n_rows, row_share FROM (
+        SELECT o_custkey, count(*) AS n_rows,
+               round(count(*) / (SELECT CAST(count(*) AS DOUBLE) FROM orders), 6)
+                   AS row_share,
+               row_number() OVER (ORDER BY count(*) DESC, o_custkey ASC) AS rn
+        FROM orders GROUP BY o_custkey
+    ) WHERE rn <= 10
+    """,
+)
+def q63_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew profile (operators/relational.py key_skew_profile): the
+    top-10 hottest join/agg keys and their row share — the measurement that
+    decides salting vs AQE-split vs broadcast before a 100 TB shuffle."""
+    o = _t(spark, sf_dir, "orders")
+    return R.key_skew_profile(o, "o_custkey", top_n=10)

@@ -97,3 +97,40 @@ def write_versioned(
         fs.delete(latest)
     fs.copy(versioned, latest)
     return versioned, latest
+
+
+def write_clustered(
+    df: DataFrame,
+    path: str | Path,
+    cluster_by: list[str],
+    num_files: int | None = None,
+    compression: str = "zstd",
+) -> str:
+    """Range-clustered parquet layout: rows range-partitioned by
+    ``cluster_by`` across files and sorted within each file.
+
+    The 100 TB scan lever: parquet stores per-file/row-group min-max
+    statistics, and a range-clustered layout makes those statistics
+    selective — a reader filtering on the cluster keys skips whole files
+    (Spark/DuckDB/pyarrow all do this automatically). Unclustered writes
+    give every file ~the full key range, so min-max pruning prunes nothing.
+
+    ``repartitionByRange`` samples the keys to build balanced range bounds
+    (one shuffle), ``sortWithinPartitions`` orders rows for row-group-level
+    pruning and better RLE/dictionary compression on the sort key. Rows with
+    equal boundary keys may straddle two files — pruning is conservative,
+    correctness is unaffected.
+    """
+    cols = [df[c] for c in cluster_by]
+    part = (
+        df.repartitionByRange(num_files, *cols)
+        if num_files
+        else df.repartitionByRange(*cols)
+    )
+    (
+        part.sortWithinPartitions(*cols)
+        .write.mode("overwrite")
+        .option("compression", compression)
+        .parquet(str(path))
+    )
+    return str(path)

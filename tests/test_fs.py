@@ -91,3 +91,43 @@ def test_write_json_array_uri(spark, tmp_path):
     assert got == uri
     rows = json.loads((tmp_path / "cfg.json").read_text())
     assert [r["id"] for r in rows] == [1, 2, 3]
+
+
+def test_write_clustered_prunes(spark, tmp_path):
+    """Range clustering yields (near-)disjoint per-file min-max ranges on
+    the cluster key — the property parquet min-max pruning needs — and the
+    data round-trips exactly."""
+    import pyarrow.parquet as pq
+    from collections import Counter
+
+    from dwca_parquet_spark.sinks.parquet import write_clustered
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").select(
+        "l_orderkey", "l_quantity", "l_shipdate"
+    )
+    out = tmp_path / "clustered"
+    write_clustered(li, out, ["l_orderkey"], num_files=8)
+
+    parts = sorted(out.glob("part-*.parquet"))
+    assert len(parts) > 1
+    ranges = []
+    for p in parts:
+        md = pq.ParquetFile(p).metadata
+        col_idx = next(
+            i for i in range(md.num_columns)
+            if md.row_group(0).column(i).path_in_schema == "l_orderkey"
+        )
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(col_idx).statistics
+            mins.append(st.min); maxs.append(st.max)
+        ranges.append((min(mins), max(maxs)))
+    ranges.sort()
+    # ranges from repartitionByRange are disjoint up to equal boundary keys
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, f"overlapping file ranges {(lo1, hi1)} {(lo2, hi2)}"
+
+    back = spark.read.parquet(str(out))
+    assert Counter(map(tuple, back.collect())) == Counter(
+        map(tuple, li.collect())
+    )
