@@ -61,6 +61,9 @@ HEADLINE = [
     "q47_ivf_topk",
     "q55_hash_split",
     "q57_tfidf_top_terms",
+    "q59_interval_join",
+    "q60_ann_multitable",
+    "q63_skew_profile",
 ]
 
 

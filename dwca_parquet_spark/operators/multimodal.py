@@ -125,3 +125,60 @@ def transform_payload(
             )
 
     return binary_df.mapInPandas(batch_fn, schema)
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("byte_sum", LongType()),
+    ]
+)
+
+
+def sample_frames(binary_df: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Frame sampling over binary payloads: each payload splits into
+    ``n_frames`` contiguous equal-size chunks (frame size = ⌈len/n⌉, last
+    frame takes the remainder; empty payloads yield no frames), and each
+    frame reduces to its deterministic features.
+
+    The video-pipeline shape: a real decoder would seek keyframes and emit
+    (doc, frame_idx, decoded_tensor) — here the chunking IS the "decode"
+    stub, so the fan-out mechanics (one input row → ≤ n output rows inside
+    one Arrow batch, no shuffle, no explode materialization of the blob in
+    the JVM) are real and oracle-checkable. Output is frame *features*, not
+    frame bytes — at 100 TB the decoded frames stay inside the Python
+    worker and only fixed-width features cross back.
+    """
+
+    def batch_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, lens, sums = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n = len(payload)
+                if n == 0:
+                    continue
+                size = -(-n // n_frames)  # ceil
+                for i in range(n_frames):
+                    start = i * size
+                    if start >= n:
+                        break
+                    chunk = payload[start : start + size]
+                    total = 0
+                    for b in chunk:
+                        total = (total + b) % HASH_MOD
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    lens.append(len(chunk))
+                    sums.append(total)
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "frame_idx": idxs,
+                    "n_bytes": lens,
+                    "byte_sum": sums,
+                }
+            )
+
+    return binary_df.mapInPandas(batch_fn, FRAME_SCHEMA)

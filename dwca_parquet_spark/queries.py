@@ -1679,9 +1679,10 @@ def q58_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q59_interval_join",
-    f"""
+    """
     SELECT p_partkey, count(*) AS n_orders,
-           {_osum('o_totalprice')} AS sum_price
+           CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS DOUBLE)
+               / 100.0 AS sum_price
     FROM part JOIN orders
       ON o_totalprice >= p_retailprice * 100
      AND o_totalprice <  p_retailprice * 100 + 2000
@@ -1701,12 +1702,16 @@ def q59_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("p_retailprice") * 100 + 2000).alias("hi"),
     )
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    # Exact money sum as int64 cents: ~3x cheaper per joined row than a
+    # decimal cast+sum, which matters here — the join output is O(matches),
+    # orders of magnitude larger than either input.
     return (
         R.interval_join(o, p, "o_totalprice", "lo", "hi", bucket_width=1024)
+        .withColumn("_cents", F.round(F.col("o_totalprice") * 100, 0).cast("long"))
         .groupBy("p_partkey")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            R.dec_sum("o_totalprice").alias("sum_price"),
+            (F.sum("_cents").cast("double") / 100.0).alias("sum_price"),
         )
     )
 
@@ -1886,3 +1891,32 @@ def q63_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     decides salting vs AQE-split vs broadcast before a 100 TB shuffle."""
     o = _t(spark, sf_dir, "orders")
     return R.key_skew_profile(o, "o_custkey", top_n=10)
+
+
+def _q64_oracle(n_frames: int = 4) -> str:
+    # frame i of the ASCII-normalized payload: substr is byte-accurate
+    # because normalize_text strips to printable ASCII.
+    return f"""
+    WITH d AS (SELECT doc_id, {_NORM_TEXT} AS s FROM documents),
+    f AS (
+        SELECT doc_id, i AS frame_idx,
+               substr(s, i * CAST(ceil(length(s) / {n_frames}.0) AS BIGINT) + 1,
+                      CAST(ceil(length(s) / {n_frames}.0) AS BIGINT)) AS fs
+        FROM d CROSS JOIN (SELECT unnest(range(0, {n_frames})) AS i)
+        WHERE i * CAST(ceil(length(s) / {n_frames}.0) AS BIGINT) < length(s)
+    )
+    SELECT doc_id, frame_idx,
+           CAST(length(fs) AS BIGINT) AS n_bytes,
+           {H.sql_byte_sum('fs')} AS byte_sum
+    FROM f
+    """
+
+
+@query("q64_frame_sample", _q64_oracle())
+def q64_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over binary payloads (operators/multimodal.py
+    sample_frames): ≤4 frames per doc, per-frame deterministic features,
+    all fan-out inside the Arrow batch — the video-decode pipeline shape
+    with the codec stubbed (container has no media libraries)."""
+    d = _t(spark, sf_dir, "documents")
+    return M.sample_frames(M.to_binary_table(d, "doc_id", "text"), n_frames=4)
