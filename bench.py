@@ -94,6 +94,10 @@ def main() -> None:
                 t0 = time.perf_counter()
                 materialize(fn(spark, SF_DIR))
                 times.append(time.perf_counter() - t0)
+                # operators persist() intermediates (shingle/bucket tables);
+                # each call creates fresh ones, so drop the dead copies or
+                # repeated runs accumulate storage and skew GC.
+                spark.catalog.clearCache()
             per_query[name] = round(statistics.median(times), 4)
             print(f"  {name}: {per_query[name]}s", file=sys.stderr, flush=True)
         except Exception as exc:  # keep benching the remaining queries

@@ -49,6 +49,9 @@ def test_query_matches_oracle(name, spark, duck):
     sdf = qfn(spark, SF_T2)
     srows = [tuple(r) for r in sdf.collect()]
     scols = list(sdf.columns)
+    # dedup/similarity operators persist() intermediates per call; drop them
+    # so the 60+-query session doesn't accumulate dead cached tables.
+    spark.catalog.clearCache()
 
     if name not in ORACLES:
         # rows-only contract (non-SQL-expressible op): schema stable, runs.
