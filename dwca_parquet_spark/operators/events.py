@@ -30,6 +30,15 @@ def ts_micros(df: DataFrame, ts_col: str) -> F.Column:
         # integer `div`, NOT `/`: bigint/1000 promotes to DOUBLE and loses
         # precision beyond 2**53 (epoch-nanos are ~2**60)
         return F.expr(f"`{ts_col}` div 1000")
+    if dtype == "timestamp_ntz":
+        # Wall clock interpreted as UTC — the same reading DuckDB's
+        # epoch_us() gives a TIMESTAMP (NTZ) column. timestampdiff against
+        # an NTZ epoch literal never consults the session timezone, unlike
+        # a cast to TIMESTAMP_LTZ.
+        return F.expr(
+            "timestampdiff(MICROSECOND, "
+            f"TIMESTAMP_NTZ'1970-01-01 00:00:00', `{ts_col}`)"
+        )
     return F.unix_micros(F.col(ts_col))
 
 
