@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from dwca_parquet_spark import queries as Q
+from dwca_parquet_spark.cache import release_caches
 from dwca_parquet_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -94,9 +95,11 @@ def main() -> None:
                 t0 = time.perf_counter()
                 materialize(fn(spark, SF_DIR))
                 times.append(time.perf_counter() - t0)
-                # operators persist() intermediates (shingle/bucket tables);
-                # each call creates fresh ones, so drop the dead copies or
-                # repeated runs accumulate storage and skew GC.
+                # operators persist() tracked intermediates (shingle/bucket
+                # tables); each call creates fresh ones, so release them or
+                # repeated runs accumulate storage and skew GC. clearCache
+                # as a belt for anything the registry missed.
+                release_caches()
                 spark.catalog.clearCache()
             per_query[name] = round(statistics.median(times), 4)
             print(f"  {name}: {per_query[name]}s", file=sys.stderr, flush=True)

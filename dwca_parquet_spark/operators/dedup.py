@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from dwca_parquet_spark.cache import persist_tracked
 from dwca_parquet_spark.functions import hashing as H
 
 
@@ -202,7 +203,7 @@ def minhash_dup_pairs(
     fused into the verify stage. At 100 TB you would checkpoint the
     candidate set before an expensive verify anyway.
     """
-    sh = shingle_hash_table(df, id_col, text_col, k).persist()
+    sh = persist_tracked(shingle_hash_table(df, id_col, text_col, k))
     buckets = band_bucket_table(minhash_signatures(sh, id_col), id_col)
     if max_bucket_size is not None:
         w = Window.partitionBy("band", "bucket")
@@ -211,7 +212,7 @@ def minhash_dup_pairs(
             .filter(F.col("_bsz") <= max_bucket_size)
             .drop("_bsz")
         )
-    buckets = buckets.persist()
+    buckets = persist_tracked(buckets)
     left = buckets.alias("l")
     right = buckets.alias("r")
     cand = (
@@ -225,10 +226,8 @@ def minhash_dup_pairs(
             F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
         )
         .distinct()
-        .persist()
     )
-    if eager:
-        cand.count()
+    cand = persist_tracked(cand, eager=eager)
     return (
         pair_jaccard(cand, sh, id_col)
         .withColumn("jaccard", F.round(F.col("jaccard"), 6))
@@ -356,8 +355,15 @@ def simhash_fingerprints(
     All 32 bit-votes aggregate in ONE pass over the exploded shingle stream
     (single shuffle, map-side combined), then the fingerprint folds together
     arithmetically in the projection.
+
+    The shingle table is persisted (tracked; see cache.py) before the
+    explode: left lazy, the higher-order shingle expression fuses into the
+    Generate stage and re-evaluates pathologically — measured at sf0.01 the
+    aggregation costs ~50 s lazy vs ~1.4 s persisted, and at sf0.1 the lazy
+    form was 552 s (87% of the round-2 bench). A repartition barrier does
+    not help; only materialization does.
     """
-    sh = shingle_hash_table(df, id_col, text_col, k)
+    sh = persist_tracked(shingle_hash_table(df, id_col, text_col, k))
     exploded = sh.select(F.col(id_col), F.explode("hashes").alias("h"))
     aggs = [
         F.sum(
@@ -387,7 +393,7 @@ def ngram_jaccard_topk(
     """For each query doc (id < query_ids_below): top-k most-similar other
     docs by exact shingle Jaccard. Brute-force over a bounded query set —
     the scale path is minhash_dup_pairs / LSH; this is the exact baseline."""
-    sh = shingle_hash_table(df, id_col, text_col, k).persist()
+    sh = persist_tracked(shingle_hash_table(df, id_col, text_col, k))
     q = sh.filter(F.col(id_col) < query_ids_below).select(
         F.col(id_col).alias("query_id")
     )

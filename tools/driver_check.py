@@ -16,6 +16,7 @@ from pyspark.sql import SparkSession
 
 sys.path.insert(0, "/root/repo")
 import __spark_entry__ as entry  # noqa: E402
+from dwca_parquet_spark.cache import release_caches  # noqa: E402
 
 SF_DIR = "/root/testdata/sf0.01"
 TABLES = [
@@ -76,7 +77,7 @@ def main():
             rows = [tuple(r) for r in df.collect()]
             rec["spark_rows"] = len(rows)
             if name in oracles:
-                cur = con.execute(orcles := oracles[name])
+                cur = con.execute(oracles[name])
                 ocols = [d[0] for d in cur.description]
                 orows = cur.fetchall()
                 rec["oracle_rows"] = len(orows)
@@ -87,6 +88,14 @@ def main():
                 rec["oracle_rows"] = None
         except Exception as exc:  # noqa: BLE001
             rec["err"] = f"{type(exc).__name__}: {exc}"[:400]
+        # operators persist() tracked intermediates; release them so 60+
+        # queries in one session don't accumulate cached tables, and flag
+        # any cache the registry missed.
+        release_caches()
+        leaked = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+        if leaked:
+            rec["leaked_caches"] = leaked
+            spark.catalog.clearCache()
         results[name] = rec
         bad = rec.get("err") or (
             name in oracles
