@@ -42,10 +42,10 @@ HEADLINE = [
     "q03_star_join_revenue",
     "q04_left_join_agg",
     "q08_dedup_latest",
-    "q11_window_rank",
+    "q11_window_funcs",
     "q13_topk",
     "q21_scalar_subquery",
-    "q23_event_tumbling",
+    "q23_event_windows",
     "q24_event_sessions",
     "q25_text_stats",
     "q29_dedup_exact",
@@ -57,7 +57,6 @@ HEADLINE = [
     "q36_ann_topk_lsh",
     "q38_binary_features",
     "q43_embedding_neardup_bucketed",
-    "q45_token_counts",
     "q46_payload_transform",
     "q47_ivf_topk",
     "q55_hash_split",

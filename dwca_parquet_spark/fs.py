@@ -32,7 +32,7 @@ if TYPE_CHECKING:  # pragma: no cover
     from pyspark.sql import SparkSession
 
 
-def _has_scheme(path: str) -> bool:
+def has_scheme(path: str) -> bool:
     # "s3a://...", "file:/tmp/x", "hdfs://nn/x" — but not "C:\" (not a
     # concern on the target platforms) and not plain "/local/path".
     head, sep, _ = path.partition(":")
@@ -95,11 +95,26 @@ class FS:
             return []
         return sorted(s.getPath().toString() for s in statuses)
 
+    def copy_to_local(self, src: str | Path, local_dst: str | Path) -> None:
+        """Stream a filesystem file to the driver's local disk
+        (Hadoop ``copyToLocalFile`` — the FS-side read stream, not py4j
+        byte shuttling). For bounded, catalog-sized artifacts only."""
+        self._fs.copyToLocalFile(
+            False, self._jpath(src), self._jpath(str(local_dst)), True
+        )
+
+    def copy_from_local(self, local_src: str | Path, dst: str | Path) -> None:
+        """Stream a driver-local file back to the filesystem, overwriting
+        dst (Hadoop ``copyFromLocalFile``)."""
+        self._fs.copyFromLocalFile(
+            False, True, self._jpath(str(local_src)), self._jpath(dst)
+        )
+
 
 def parent(path: str | Path) -> str:
     """Parent of a path string, URI-safe (no pathlib scheme mangling)."""
     s = str(path).rstrip("/")
-    if _has_scheme(s):
+    if has_scheme(s):
         scheme, _, rest = s.partition("://")
         base, _, _ = rest.rpartition("/")
         return f"{scheme}://{base}"
@@ -107,13 +122,9 @@ def parent(path: str | Path) -> str:
 
 
 def to_local(path: str | Path) -> Path | None:
-    """Local pathlib.Path for a plain path or file: URI; None otherwise.
-
-    Used by the GeoParquet metadata-injection pass, which runs pyarrow on
-    the driver and is documented as local/small-output only (SURVEY §4.3).
-    """
+    """Local pathlib.Path for a plain path or file: URI; None otherwise."""
     s = str(path)
-    if not _has_scheme(s):
+    if not has_scheme(s):
         return Path(s)
     if s.startswith("file:"):
         rest = s[len("file:"):]

@@ -250,8 +250,11 @@ def connected_components(
     groupBy(min) — both shuffles keyed on node id, no skew beyond the
     graph's own degree distribution. ``localCheckpoint`` truncates lineage
     each round (an iterative plan otherwise grows a plan tree per round and
-    re-executes everything at every action), and convergence is detected by
-    probing for a single changed label.
+    re-executes everything at every action). Convergence: labels only ever
+    decrease (each node takes a min), so the label sum (exact decimal —
+    never a float reduction) is strictly decreasing until the fixpoint;
+    comparing it across rounds costs one single-column aggregate over the
+    already-checkpointed table instead of a join-based changed-row probe.
 
     Each round also propagates label(label(v)) — pointer jumping, one
     extra small equi-join of the label table with itself — so the distance
@@ -284,6 +287,7 @@ def connected_components(
         .withColumn("label", F.col("node"))
         .localCheckpoint()
     )
+    prev_sum = None
     for it in range(max_iter):
         prop = edges.join(
             labels.select(F.col("node").alias("dst"), "label"), "dst"
@@ -302,16 +306,13 @@ def connected_components(
             .agg(F.min("label").alias("label"))
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
+        label_sum = new_labels.agg(
+            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
         labels = new_labels
-        if changed == 0:
+        if label_sum == prev_sum:
             break
+        prev_sum = label_sum
     edges.unpersist()
     return labels
 

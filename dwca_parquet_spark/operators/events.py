@@ -23,7 +23,9 @@ def ts_micros(df: DataFrame, ts_col: str) -> F.Column:
 
     Parquet TIMESTAMP(NANOS) columns arrive as epoch-nanos BIGINT (see
     session.py nanosAsLong) → floor-divide to µs, identical to DuckDB's
-    ns→µs truncation; real timestamps go through unix_micros.
+    ns→µs truncation. timestamp_ntz columns take the timestampdiff branch
+    (wall clock interpreted as UTC via an NTZ epoch literal, never the
+    session timezone); timezone-aware timestamps go through unix_micros.
     """
     dtype = dict(df.dtypes)[ts_col]
     if dtype in ("bigint", "long"):

@@ -68,8 +68,14 @@ def stopword_count(toks: Column, words: tuple[str, ...]) -> Column:
     return F.size(F.filter(toks, lambda t: F.array_contains(wl, t))).cast("long")
 
 
-def text_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Per-document token/char statistics (the BPE-ish pre-tokenizer view)."""
+def text_stats(
+    df: DataFrame, id_col: str, text_col: str, include_bpe: bool = False
+) -> DataFrame:
+    """Per-document token/char statistics (the BPE-ish pre-tokenizer view).
+
+    ``include_bpe`` appends the BPE-ish-regex token count (the pretraining
+    token-cost estimator) as ``n_bpe_tokens`` — still one projection, zero
+    shuffle."""
     norm = H.normalize_text(F.col(text_col))
     toks = tokens(F.col(text_col))
     total_tok_chars = F.aggregate(
@@ -78,7 +84,7 @@ def text_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         lambda acc, x: acc + x,
     )
     n_tok = F.size(toks).cast("long")
-    return df.select(
+    cols = [
         F.col(id_col),
         F.length(norm).cast("long").alias("n_chars"),
         n_tok.alias("n_tokens"),
@@ -89,7 +95,10 @@ def text_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             6,
         ).alias("avg_token_len"),
         F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_tokens"),
-    )
+    ]
+    if include_bpe:
+        cols.append(token_count_bpe(F.col(text_col)).alias("n_bpe_tokens"))
+    return df.select(*cols)
 
 
 def language_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

@@ -207,44 +207,37 @@ def q04_left_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q05_anti_join",
+    "q05_semi_anti_join",
     """
-    SELECT c_custkey, c_name FROM customer
+    SELECT 'anti' AS kind, c_custkey AS entity_id, c_name AS entity_name
+    FROM customer
     WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
-    """,
-)
-def q05_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left-anti join: customers with no orders."""
-    c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders")
-    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
-        "c_custkey", "c_name"
-    )
-
-
-@query(
-    "q06_semi_join",
-    """
-    SELECT s_suppkey, s_name FROM supplier
+    UNION ALL
+    SELECT 'semi' AS kind, s_suppkey AS entity_id, s_name AS entity_name
+    FROM supplier
     WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey)
     """,
 )
-def q06_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left-semi join: suppliers that appear in lineitem."""
+def q05_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti + left-semi joins in one tagged result: customers with no
+    orders ('anti') and suppliers that appear in lineitem ('semi'). Both
+    plan as existence joins — the build side carries only the key, never
+    the payload, so at 100 TB the probe is a bloom-filterable key lookup."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
     s = _t(spark, sf_dir, "supplier")
     li = _t(spark, sf_dir, "lineitem")
-    return s.join(li, s.s_suppkey == li.l_suppkey, "left_semi").select(
-        "s_suppkey", "s_name"
+    anti = c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        F.lit("anti").alias("kind"),
+        F.col("c_custkey").alias("entity_id"),
+        F.col("c_name").alias("entity_name"),
     )
-
-
-@query(
-    "q07_distinct",
-    "SELECT DISTINCT c_nationkey, c_mktsegment FROM customer",
-)
-def q07_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """distinct = hash-aggregate on all columns (map-side combined)."""
-    return _t(spark, sf_dir, "customer").select("c_nationkey", "c_mktsegment").distinct()
+    semi = s.join(li, s.s_suppkey == li.l_suppkey, "left_semi").select(
+        F.lit("semi").alias("kind"),
+        F.col("s_suppkey").alias("entity_id"),
+        F.col("s_name").alias("entity_name"),
+    )
+    return anti.unionAll(semi)
 
 
 @query(
@@ -268,21 +261,7 @@ def q08_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q09_union_distinct",
-    """
-    SELECT c_nationkey AS nationkey FROM customer
-    UNION
-    SELECT s_nationkey FROM supplier
-    """,
-)
-def q09_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
-    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
-    return c.union(s).distinct()
-
-
-@query(
-    "q10_except_intersect",
+    "q10_set_ops",
     """
     SELECT n_nationkey AS nationkey, 'no_supplier' AS tag FROM (
         SELECT n_nationkey FROM nation
@@ -295,10 +274,19 @@ def q09_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         INTERSECT
         SELECT s_nationkey FROM supplier
     )
+    UNION ALL
+    SELECT nationkey, 'any' AS tag FROM (
+        SELECT c_nationkey AS nationkey FROM customer
+        UNION
+        SELECT s_nationkey FROM supplier
+    )
     """,
 )
-def q10_except_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXCEPT + INTERSECT + UNION ALL in one result, tagged."""
+def q10_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole set-op family in one tagged result: EXCEPT ('no_supplier'),
+    INTERSECT ('both'), UNION-distinct ('any'), glued with UNION ALL. Each
+    leg is a hash-aggregate/join on the key alone — at scale these are the
+    cheapest shuffles there are (key-only rows, map-side combined)."""
     n = _t(spark, sf_dir, "nation").select("n_nationkey")
     c = _t(spark, sf_dir, "customer").select("c_nationkey")
     s = _t(spark, sf_dir, "supplier").select("s_nationkey")
@@ -309,28 +297,53 @@ def q10_except_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.intersect(s)
         .select(F.col("c_nationkey").alias("nationkey"), F.lit("both").alias("tag"))
     )
-    return no_sup.unionAll(both)
+    any_ = (
+        c.select(F.col("c_nationkey").alias("nationkey"))
+        .union(s.select(F.col("s_nationkey").alias("nationkey")))
+        .distinct()
+        .select("nationkey", F.lit("any").alias("tag"))
+    )
+    return no_sup.unionAll(both).unionAll(any_)
 
 
 @query(
-    "q11_window_rank",
+    "q11_window_funcs",
     """
-    SELECT o_custkey, o_orderkey, o_totalprice, rn, rnk, drnk FROM (
+    SELECT o_custkey, o_orderkey, o_totalprice, rn, rnk, drnk,
+           running_spend, prev_order, next_order
+    FROM (
         SELECT o_custkey, o_orderkey, o_totalprice,
                row_number() OVER w AS rn,
                rank()       OVER w AS rnk,
-               dense_rank() OVER w AS drnk
+               dense_rank() OVER w AS drnk,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                    OVER (PARTITION BY o_custkey
+                          ORDER BY o_orderdate ASC, o_orderkey ASC
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS DOUBLE) AS running_spend,
+               lag(o_orderkey)  OVER wd AS prev_order,
+               lead(o_orderkey) OVER wd AS next_order
         FROM orders
-        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC)
+        WINDOW w  AS (PARTITION BY o_custkey
+                      ORDER BY o_totalprice DESC, o_orderkey ASC),
+               wd AS (PARTITION BY o_custkey
+                      ORDER BY o_orderdate ASC, o_orderkey ASC)
     ) WHERE rn <= 3
     """,
 )
-def q11_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """row_number / rank / dense_rank over one shuffle-shared window."""
+def q11_window_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The window-function family in one pass: rank trio over one ordering,
+    running decimal sum with an explicit ROWS frame plus lag/lead over a
+    second ordering — both windows share the o_custkey partitioning, so
+    Spark shuffles ONCE and only re-sorts between the two specs."""
     o = _t(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy(
         F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
     )
+    wd = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    wf = wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return (
         o.select(
             "o_custkey",
@@ -339,40 +352,13 @@ def q11_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.row_number().over(w).alias("rn"),
             F.rank().over(w).alias("rnk"),
             F.dense_rank().over(w).alias("drnk"),
+            F.sum(F.col("o_totalprice").cast(R.DEC)).over(wf).cast("double").alias(
+                "running_spend"
+            ),
+            F.lag("o_orderkey").over(wd).alias("prev_order"),
+            F.lead("o_orderkey").over(wd).alias("next_order"),
         )
         .filter(F.col("rn") <= 3)
-    )
-
-
-@query(
-    "q12_window_running",
-    """
-    SELECT o_custkey, o_orderkey,
-           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
-                OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
-                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
-               AS running_spend,
-           lag(o_orderkey)  OVER w AS prev_order,
-           lead(o_orderkey) OVER w AS next_order
-    FROM orders
-    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
-    """,
-)
-def q12_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Running aggregate with explicit ROWS frame + lag/lead."""
-    o = _t(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey").orderBy(
-        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
-    )
-    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    return o.select(
-        "o_custkey",
-        "o_orderkey",
-        F.sum(F.col("o_totalprice").cast(R.DEC)).over(wf).cast("double").alias(
-            "running_spend"
-        ),
-        F.lag("o_orderkey").over(w).alias("prev_order"),
-        F.lead("o_orderkey").over(w).alias("next_order"),
     )
 
 
@@ -395,42 +381,17 @@ def q13_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q14_string_funcs",
-    """
-    SELECT p_partkey,
-           upper(p_name) AS name_upper,
-           lower(p_brand) AS brand_lower,
-           substr(p_type, 1, 5) AS type_prefix,
-           len(string_split(p_name, ' ')) AS n_words,
-           string_split(p_name, ' ')[1] AS first_word,
-           concat_ws('|', p_brand, p_type) AS brand_type,
-           regexp_replace(p_name, '[aeiou]', '', 'g') AS name_novowels,
-           length(p_name) AS name_len
-    FROM part
-    """,
-)
-def q14_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """String library closure: case, substring, split, concat_ws, regex
-    (SURVEY §2.D D2/D8 generalized)."""
-    p = _t(spark, sf_dir, "part")
-    words = F.split(F.col("p_name"), " ")
-    return p.select(
-        "p_partkey",
-        F.upper("p_name").alias("name_upper"),
-        F.lower("p_brand").alias("brand_lower"),
-        F.substring("p_type", 1, 5).alias("type_prefix"),
-        F.size(words).cast("long").alias("n_words"),
-        F.element_at(words, 1).alias("first_word"),
-        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
-        F.regexp_replace("p_name", "[aeiou]", "").alias("name_novowels"),
-        F.length("p_name").cast("long").alias("name_len"),
-    )
-
-
-@query(
-    "q15_date_funcs",
+    "q14_string_date_funcs",
     """
     SELECT o_orderkey,
+           upper(o_orderpriority) AS prio_upper,
+           lower(o_orderpriority) AS prio_lower,
+           substr(o_orderpriority, 1, 1) AS prio_code,
+           len(string_split(o_orderpriority, '-')) AS n_parts,
+           string_split(o_orderpriority, '-')[1] AS first_part,
+           concat_ws('|', o_orderstatus, o_orderpriority) AS status_prio,
+           regexp_replace(o_orderpriority, '[aeiou]', '', 'g') AS prio_novowels,
+           length(o_orderpriority) AS prio_len,
            CAST(year(o_orderdate) AS INTEGER) AS order_year,
            CAST(month(o_orderdate) AS INTEGER) AS order_month,
            CAST(quarter(o_orderdate) AS INTEGER) AS order_quarter,
@@ -441,13 +402,25 @@ def q14_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM orders
     """,
 )
-def q15_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Date/time closure. Spark dayofweek is 1=Sunday, DuckDB dow is
-    0=Sunday — normalized to Sunday=0 on both sides."""
+def q14_string_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-library closure in one projection: string family (case,
+    substring, split, concat_ws, regex — SURVEY §2.D D2/D8) and date family
+    (parts, trunc, diff). Spark dayofweek is 1=Sunday, DuckDB dow is
+    0=Sunday — normalized to Sunday=0 on both sides. Pure scan-stage
+    projections, zero shuffle."""
     o = _t(spark, sf_dir, "orders")
+    parts = F.split(F.col("o_orderpriority"), "-")
     d = F.col("o_orderdate")
     return o.select(
         "o_orderkey",
+        F.upper("o_orderpriority").alias("prio_upper"),
+        F.lower("o_orderpriority").alias("prio_lower"),
+        F.substring("o_orderpriority", 1, 1).alias("prio_code"),
+        F.size(parts).cast("long").alias("n_parts"),
+        F.element_at(parts, 1).alias("first_part"),
+        F.concat_ws("|", "o_orderstatus", "o_orderpriority").alias("status_prio"),
+        F.regexp_replace("o_orderpriority", "[aeiou]", "").alias("prio_novowels"),
+        F.length("o_orderpriority").cast("long").alias("prio_len"),
         F.year(d).alias("order_year"),
         F.month(d).alias("order_month"),
         F.quarter(d).alias("order_quarter"),
@@ -481,7 +454,7 @@ def q16_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q17_conditional_agg",
+    "q17_conditional_agg_having",
     f"""
     SELECT o_orderstatus,
            count(*) AS n_orders,
@@ -490,59 +463,28 @@ def q16_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
            {_osum("CASE WHEN o_orderpriority LIKE '1%' THEN o_totalprice ELSE 0 END")}
                AS urgent_value
     FROM orders GROUP BY o_orderstatus
+    HAVING sum(CASE WHEN o_orderpriority LIKE '1%' THEN 1 ELSE 0 END) > 0
     """,
 )
-def q17_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Conditional aggregation (pivot building block)."""
+def q17_conditional_agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation (the pivot building block) + HAVING (a plain
+    post-aggregation filter in both engines — evaluated after the single
+    map-side-combined shuffle, so it adds no plan cost)."""
     o = _t(spark, sf_dir, "orders")
     urgent = F.col("o_orderpriority").like("1%")
-    return o.groupBy("o_orderstatus").agg(
-        F.count(F.lit(1)).alias("n_orders"),
-        F.sum(F.when(urgent, 1).otherwise(0)).alias("n_urgent"),
-        F.sum(F.when(F.col("o_totalprice") > 150000, 1).otherwise(0)).alias("n_big"),
-        R.dec_sum(
-            F.when(urgent, F.col("o_totalprice")).otherwise(F.lit(0))
-        ).alias("urgent_value"),
-    )
-
-
-@query(
-    "q18_having",
-    """
-    SELECT c_nationkey, count(*) AS n_customers
-    FROM customer GROUP BY c_nationkey HAVING count(*) > 50
-    """,
-)
-def q18_having(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Post-aggregation filter (HAVING)."""
-    c = _t(spark, sf_dir, "customer")
     return (
-        c.groupBy("c_nationkey")
-        .agg(F.count(F.lit(1)).alias("n_customers"))
-        .filter(F.col("n_customers") > 50)
-    )
-
-
-@query(
-    "q19_rollup",
-    """
-    SELECT r_name, n_name, count(*) AS n_customers
-    FROM customer
-    JOIN nation ON c_nationkey = n_nationkey
-    JOIN region ON n_regionkey = r_regionkey
-    GROUP BY ROLLUP (r_name, n_name)
-    """,
-)
-def q19_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ROLLUP hierarchy totals (region → nation → grand total)."""
-    c = _t(spark, sf_dir, "customer")
-    n = _t(spark, sf_dir, "nation")
-    r = _t(spark, sf_dir, "region")
-    joined = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
-        F.broadcast(r), n.n_regionkey == r.r_regionkey
-    )
-    return joined.rollup("r_name", "n_name").agg(
-        F.count(F.lit(1)).alias("n_customers")
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.when(urgent, 1).otherwise(0)).alias("n_urgent"),
+            F.sum(F.when(F.col("o_totalprice") > 150000, 1).otherwise(0)).alias(
+                "n_big"
+            ),
+            R.dec_sum(
+                F.when(urgent, F.col("o_totalprice")).otherwise(F.lit(0))
+            ).alias("urgent_value"),
+        )
+        .filter(F.col("n_urgent") > 0)
     )
 
 
@@ -596,49 +538,63 @@ def q21_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q22_union_all_tagged",
-    """
-    SELECT c_custkey AS entity_id, 'customer' AS kind, c_acctbal AS acctbal
-    FROM customer
-    UNION ALL
-    SELECT s_suppkey AS entity_id, 'supplier' AS kind, s_acctbal AS acctbal
-    FROM supplier
-    """,
-)
-def q22_union_all_tagged(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = _t(spark, sf_dir, "customer").select(
-        F.col("c_custkey").alias("entity_id"),
-        F.lit("customer").alias("kind"),
-        F.col("c_acctbal").alias("acctbal"),
-    )
-    s = _t(spark, sf_dir, "supplier").select(
-        F.col("s_suppkey").alias("entity_id"),
-        F.lit("supplier").alias("kind"),
-        F.col("s_acctbal").alias("acctbal"),
-    )
-    return c.unionAll(s)
-
-
 # ===========================================================================
 # Event-table ops (SURVEY §2.G op 20)
 # ===========================================================================
 
 
 @query(
-    "q23_event_tumbling",
+    "q23_event_windows",
     f"""
-    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
-           event_type,
-           count(*) AS n_events,
-           {_osum('value')} AS total_value
-    FROM events GROUP BY 1, 2
+    SELECT 'tumbling' AS kind, window_start, event_type, n_events, total_value
+    FROM (
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+               event_type,
+               count(*) AS n_events,
+               {_osum('value')} AS total_value
+        FROM events GROUP BY 1, 2
+    )
+    UNION ALL
+    SELECT 'sliding' AS kind, window_start, event_type, n_events, total_value
+    FROM (
+        WITH ev AS (SELECT event_type, value, epoch_us(ts) AS us FROM events),
+        expanded AS (
+            SELECT event_type, value,
+                   (us // 1800000000 - k.k) * 1800000000 AS wstart_us
+            FROM ev CROSS JOIN (SELECT unnest([0, 1]) AS k) k
+        )
+        SELECT strftime(make_timestamp(wstart_us), '%Y-%m-%d %H:%M:%S')
+                   AS window_start,
+               event_type,
+               count(*) AS n_events,
+               {_osum('value')} AS total_value
+        FROM expanded GROUP BY 1, 2
+    )
     """,
 )
-def q23_event_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tumbling 1-hour event-time windows on a batch DataFrame — the same
-    F.window() transformation streaming/events.py runs under a watermark."""
-    return E.tumbling_agg(_t(spark, sf_dir, "events"))
+def q23_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time windowed aggregation, both shapes tagged in one result:
+    tumbling 1-hour windows ('tumbling') and sliding 1-hour/30-min hop
+    windows ('sliding', each event in 2 overlapping windows) — the same
+    F.window() transformations streaming/events.py runs under a watermark.
+    Each leg is one map-side-combined shuffle; the sliding leg's shuffle
+    grows only by the overlap factor."""
+    ev = _t(spark, sf_dir, "events")
+    tumbling = E.tumbling_agg(ev).select(
+        F.lit("tumbling").alias("kind"),
+        "window_start",
+        "event_type",
+        "n_events",
+        "total_value",
+    )
+    sliding = E.sliding_agg(ev).select(
+        F.lit("sliding").alias("kind"),
+        "window_start",
+        "event_type",
+        "n_events",
+        "total_value",
+    )
+    return tumbling.unionAll(sliding)
 
 
 @query(
@@ -674,9 +630,13 @@ def q24_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ===========================================================================
 
 
-@query(
-    "q25_text_stats",
-    f"""
+def _text_stats_oracle() -> str:
+    # Java regex and RE2 share leftmost-first alternation for the BPE
+    # pattern, so match counts agree; inside the SQL string literal the
+    # pattern's backslashes double and its apostrophes (contraction tokens)
+    # escape by doubling.
+    pat = T.BPE_TOKEN_PATTERN.replace("\\", "\\\\").replace("'", "''")
+    return f"""
     SELECT doc_id,
            CAST(length({_NORM_TEXT}) AS BIGINT) AS n_chars,
            CAST(len({_TOKENS}) AS BIGINT) AS n_tokens,
@@ -685,40 +645,20 @@ def q24_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
                           [CAST(length(t) AS BIGINT) for t in {_TOKENS}]),
                           (a, b) -> a + b) AS DOUBLE)
                       / CAST(len({_TOKENS}) AS DOUBLE) END, 6) AS avg_token_len,
-           CAST(len(list_distinct({_TOKENS})) AS BIGINT) AS n_distinct_tokens
-    FROM documents
-    """,
-)
-def q25_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting / char stats — pure projection, runs in the scan stage."""
-    return T.text_stats(_t(spark, sf_dir, "documents"), "doc_id", "text")
-
-
-def _token_counts_oracle() -> str:
-    # Java regex and RE2 share leftmost-first alternation for this pattern,
-    # so match counts agree; inside the SQL string literal the pattern's
-    # backslashes double and its apostrophes (contraction tokens) escape
-    # by doubling.
-    pat = T.BPE_TOKEN_PATTERN.replace("\\", "\\\\").replace("'", "''")
-    return f"""
-    SELECT doc_id,
-           CAST(len({_TOKENS}) AS BIGINT) AS n_ws_tokens,
+           CAST(len(list_distinct({_TOKENS})) AS BIGINT) AS n_distinct_tokens,
            CAST(len(regexp_extract_all({_NORM_TEXT}, '{pat}')) AS BIGINT)
                AS n_bpe_tokens
     FROM documents
     """
 
 
-@query("q45_token_counts", _token_counts_oracle())
-def q45_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Whitespace + BPE-ish-regex token counts (the pretraining token-cost
-    estimators) — pure projections, zero shuffle."""
+@query("q25_text_stats", _text_stats_oracle())
+def q25_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting / char stats / BPE-ish-regex token count (the
+    pretraining token-cost estimators) — pure projections, all in the scan
+    stage, zero shuffle."""
     docs = _t(spark, sf_dir, "documents")
-    return docs.select(
-        F.col("doc_id"),
-        T.token_count(F.col("text")).cast("long").alias("n_ws_tokens"),
-        T.token_count_bpe(F.col("text")).alias("n_bpe_tokens"),
-    )
+    return T.text_stats(docs, "doc_id", "text", include_bpe=True)
 
 
 def _lang_oracle() -> str:
@@ -956,24 +896,6 @@ def q34_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _lsh_bucket_oracle() -> str:
-    bits = " + ".join(
-        f"(CASE WHEN {S.sql_plane_dot('s', j, EMB_DIM)} > 0 THEN {2**j} ELSE 0 END)"
-        for j in range(S.NUM_PLANES)
-    )
-    return f"""
-    WITH sv AS (SELECT vec_id, {S.sql_scaled_vec('embedding', EMB_DIM)} AS s FROM embeddings)
-    SELECT vec_id, CAST({bits} AS BIGINT) AS bucket FROM sv
-    """
-
-
-@query("q35_rp_lsh_buckets", _lsh_bucket_oracle())
-def q35_rp_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Random-hyperplane LSH bucket assignment — pure projection, the
-    linear-cost half of ANN at scale."""
-    return S.rp_lsh_buckets(_t(spark, sf_dir, "embeddings"), "vec_id", "embedding")
-
-
 def _ann_lsh_oracle() -> str:
     bits = " + ".join(
         f"(CASE WHEN {S.sql_plane_dot('s', j, EMB_DIM)} > 0 THEN {2**j} ELSE 0 END)"
@@ -1089,23 +1011,6 @@ def q46_payload_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ===========================================================================
 # Join-type closure + sinks (SURVEY §2.G ops 5/12 completions)
 # ===========================================================================
-
-
-@query(
-    "q39_right_join",
-    """
-    SELECT c_custkey, c_name, o_orderkey, o_totalprice
-    FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
-    """,
-)
-def q39_right_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Right outer join: every customer kept, order columns NULL when the
-    customer has no orders (row-preserving mirror of q04's left join)."""
-    o = _t(spark, sf_dir, "orders")
-    c = _t(spark, sf_dir, "customer")
-    return o.join(c, o.o_custkey == c.c_custkey, "right").select(
-        "c_custkey", "c_name", "o_orderkey", "o_totalprice"
-    )
 
 
 @query(
@@ -1255,28 +1160,6 @@ def q52_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q51_cube",
-    f"""
-    SELECT l_returnflag, l_linestatus,
-           GROUPING(l_returnflag, l_linestatus) AS gid,
-           count(*) AS n,
-           {_osum('l_quantity')} AS sum_qty
-    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
-    """,
-)
-def q51_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUBE over two dimensions with grouping_id disambiguation (closes the
-    grouping-sets family next to q19's ROLLUP; same single-shuffle
-    expand-then-aggregate plan)."""
-    li = _t(spark, sf_dir, "lineitem")
-    return li.cube("l_returnflag", "l_linestatus").agg(
-        F.grouping_id().cast("long").alias("gid"),
-        F.count(F.lit(1)).alias("n"),
-        R.dec_sum("l_quantity").alias("sum_qty"),
-    ).select("l_returnflag", "l_linestatus", "gid", "n", "sum_qty")
-
-
-@query(
     "q50_percentiles",
     """
     SELECT l_returnflag,
@@ -1306,30 +1189,6 @@ def q50_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         ]
     )
-
-
-@query(
-    "q49_event_sliding",
-    f"""
-    WITH ev AS (SELECT event_type, value, epoch_us(ts) AS us FROM events),
-    expanded AS (
-        SELECT event_type, value,
-               (us // 1800000000 - k.k) * 1800000000 AS wstart_us
-        FROM ev CROSS JOIN (SELECT unnest([0, 1]) AS k) k
-    )
-    SELECT strftime(make_timestamp(wstart_us), '%Y-%m-%d %H:%M:%S')
-               AS window_start,
-           event_type,
-           count(*) AS n_events,
-           {_osum('value')} AS total_value
-    FROM expanded GROUP BY 1, 2
-    """,
-)
-def q49_event_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sliding 1-hour windows hopping every 30 min: each event counts in 2
-    overlapping windows (epoch-aligned, matching the oracle's floor-to-
-    slide-boundary expansion)."""
-    return E.sliding_agg(_t(spark, sf_dir, "events"))
 
 
 @query(
@@ -1474,23 +1333,31 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q53_pivot",
+    "q53_pivot_unpivot",
     f"""
-    SELECT l_returnflag,
-           count(CASE WHEN l_linestatus = 'O' THEN 1 END) AS n_O,
-           count(CASE WHEN l_linestatus = 'F' THEN 1 END) AS n_F,
-           {_osum("CASE WHEN l_linestatus = 'O' THEN l_quantity END")} AS qty_O,
-           {_osum("CASE WHEN l_linestatus = 'F' THEN l_quantity END")} AS qty_F
-    FROM lineitem GROUP BY l_returnflag
+    WITH wide AS (
+        SELECT l_returnflag,
+               CAST(count(CASE WHEN l_linestatus = 'O' THEN 1 END) AS DOUBLE) AS n_O,
+               CAST(count(CASE WHEN l_linestatus = 'F' THEN 1 END) AS DOUBLE) AS n_F,
+               {_osum("CASE WHEN l_linestatus = 'O' THEN l_quantity END")} AS qty_O,
+               {_osum("CASE WHEN l_linestatus = 'F' THEN l_quantity END")} AS qty_F
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, 'n_O' AS metric, n_O AS value FROM wide
+    UNION ALL SELECT l_returnflag, 'n_F', n_F FROM wide
+    UNION ALL SELECT l_returnflag, 'qty_O', qty_O FROM wide
+    UNION ALL SELECT l_returnflag, 'qty_F', qty_F FROM wide
     """,
 )
-def q53_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pivot (long → wide): one output column per (pivot value × aggregate).
-    Explicit pivot values keep the plan single-pass — Spark rewrites this to
-    conditional aggregates (exactly the oracle SQL), one map-side-combined
-    shuffle on the group key, no second job to discover distinct values."""
+def q53_pivot_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long → wide) immediately unpivoted back (wide → long) — the
+    round-trip gates both reshapes in one query. The pivot's explicit value
+    list keeps it single-pass (Spark rewrites to conditional aggregates,
+    one map-side-combined shuffle, no distinct-value discovery job); the
+    unpivot is a narrow per-row Expand, zero shuffle. Measures are cast to
+    a common DOUBLE before unpivoting (unpivot requires one value type)."""
     li = _t(spark, sf_dir, "lineitem")
-    out = (
+    wide = (
         li.groupBy("l_returnflag")
         .pivot("l_linestatus", ["O", "F"])
         .agg(
@@ -1499,53 +1366,16 @@ def q53_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     # Spark names pivot columns "{value}_{aggAlias}"; surface as alias_value.
-    return out.select(
-        "l_returnflag",
-        F.col("O_n").alias("n_O"),
-        F.col("F_n").alias("n_F"),
-        F.col("O_qty").alias("qty_O"),
-        F.col("F_qty").alias("qty_F"),
-    )
-
-
-@query(
-    "q54_unpivot",
-    """
-    SELECT l_orderkey, l_linenumber, metric, value FROM (
-        SELECT l_orderkey, l_linenumber, 'quantity' AS metric,
-               CAST(l_quantity AS DOUBLE) AS value
-        FROM lineitem WHERE l_orderkey < 100
-        UNION ALL
-        SELECT l_orderkey, l_linenumber, 'extendedprice' AS metric,
-               CAST(l_extendedprice AS DOUBLE) AS value
-        FROM lineitem WHERE l_orderkey < 100
-        UNION ALL
-        SELECT l_orderkey, l_linenumber, 'discount' AS metric,
-               CAST(l_discount AS DOUBLE) AS value
-        FROM lineitem WHERE l_orderkey < 100
-    )
-    """,
-)
-def q54_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Unpivot (wide → long): measure columns → (metric, value) rows.
-    A narrow per-row expansion (Spark's Expand node) — zero shuffle, 3×
-    rows out; the filter still pushes into the parquet scan."""
-    li = _t(spark, sf_dir, "lineitem")
     return (
-        li.filter(F.col("l_orderkey") < 100)
-        .select(
-            "l_orderkey",
-            "l_linenumber",
-            F.col("l_quantity").cast("double").alias("quantity"),
-            F.col("l_extendedprice").cast("double").alias("extendedprice"),
-            F.col("l_discount").cast("double").alias("discount"),
+        wide.select(
+            "l_returnflag",
+            F.col("O_n").cast("double").alias("n_O"),
+            F.col("F_n").cast("double").alias("n_F"),
+            F.col("O_qty").alias("qty_O"),
+            F.col("F_qty").alias("qty_F"),
         )
-        .unpivot(
-            ["l_orderkey", "l_linenumber"],
-            ["quantity", "extendedprice", "discount"],
-            "metric",
-            "value",
-        )
+        .unpivot(["l_returnflag"], ["n_O", "n_F", "qty_O", "qty_F"],
+                 "metric", "value")
     )
 
 
@@ -1655,13 +1485,17 @@ def q57_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) AS n,
            {_osum('l_extendedprice')} AS sum_price
     FROM lineitem
-    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag),
+                            (l_linestatus), ())
     """,
 )
 def q58_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arbitrary GROUPING SETS (the general form closing the family next to
-    ROLLUP q19 / CUBE q51) — still one Expand + one shuffle, rows replicated
-    only per requested set."""
+    """Arbitrary GROUPING SETS — the general form of the multi-dimensional
+    aggregation family. The four sets requested here are exactly
+    CUBE(l_returnflag, l_linestatus), and ROLLUP is the prefix subset
+    ((a,b),(a),()) — so this one query gates rollup/cube/grouping-sets
+    semantics together. Physically still one Expand + one
+    map-side-combined shuffle, rows replicated only per requested set."""
     li = _t(spark, sf_dir, "lineitem")
     li.createOrReplaceTempView("lineitem_gs")
     return spark.sql(
@@ -1672,7 +1506,8 @@ def q58_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
                    AS sum_price
         FROM lineitem_gs
-        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag),
+                                (l_linestatus), ())
         """
     )
 

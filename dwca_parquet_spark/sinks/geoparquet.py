@@ -15,6 +15,12 @@ GeoParquet footer metadata, so (SURVEY §4.3) the sink:
    single-file outputs; a 100 TB deployment would use Sedona's GeoParquet
    writer or a custom committer instead, noted here deliberately).
 
+Object-store outputs work too: part files that are not driver-local are
+staged through the Hadoop FileSystem (``copyToLocalFile`` → pyarrow rewrite
+→ ``copyFromLocalFile``), so the same sink serves ``file://``, ``hdfs://``
+and ``s3a://`` URIs — the staging round-trip is FS-side streaming, bounded
+by the catalog-sized outputs this pass is documented for.
+
 Metadata follows the GeoParquet 1.0.0 spec: version, primary_column, and a
 per-column dict with ``encoding: WKB``, observed ``geometry_types``, bbox.
 """
@@ -28,7 +34,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from dwca_parquet_spark.functions.geometry import geometry_type, wkt_to_wkb
-from dwca_parquet_spark.fs import to_local
+from dwca_parquet_spark.fs import FS, has_scheme
 from dwca_parquet_spark.sinks.parquet import write_parquet
 
 _TITLECASE = {
@@ -73,7 +79,7 @@ def write_geoparquet(
     path: str | Path,
     geom_col: str = "geom",
     single_file: bool = True,
-) -> Path:
+) -> str:
     """Write df (with a WKT ``geom_col``) as GeoParquet. Returns the path.
 
     The WKT column is replaced by its WKB encoding under the same name;
@@ -81,7 +87,9 @@ def write_geoparquet(
     ``geo`` metadata come from one aggregate over the data (computed in the
     same Spark job, executor-side).
     """
-    path = Path(path)
+    # Keep the path a string: Path() would collapse "file://" double
+    # slashes and break URI dispatch.
+    path = str(path)
     stats = (
         df.select(
             geometry_type(F.col(geom_col)).alias("_gt"),
@@ -123,14 +131,28 @@ def write_geoparquet(
 
     out = df.withColumn(geom_col, wkt_to_wkb(F.col(geom_col)))
     written = write_parquet(out, path, single_file=single_file)
-    local = to_local(written)
-    if local is None:
-        raise NotImplementedError(
-            "GeoParquet metadata injection runs pyarrow on the driver and "
-            "supports local/file: outputs only; for object-store outputs "
-            "at scale use a GeoParquet-native writer (e.g. Apache Sedona)."
-        )
-    targets = [local] if local.is_file() else sorted(local.glob("*.parquet"))
-    for part in targets:
-        _inject_geo_metadata(part, geo)
+    if not has_scheme(str(written)):
+        # Driver-local output: rewrite footers in place.
+        local = Path(str(written))
+        targets = [local] if local.is_file() else sorted(local.glob("*.parquet"))
+        for part in targets:
+            _inject_geo_metadata(part, geo)
+        return written
+    # URI output (file://, hdfs://, s3a://): stage each part through the
+    # path's own Hadoop FileSystem — file:// exercises the exact dispatch
+    # an object store takes.
+    import tempfile
+
+    fs = FS(df.sparkSession, written)
+    parts = (
+        [str(written)]
+        if fs.is_file(written)
+        else fs.glob(f"{str(written).rstrip('/')}/*.parquet")
+    )
+    with tempfile.TemporaryDirectory(prefix="geoparquet_meta_") as tmp:
+        for i, part in enumerate(parts):
+            staged = Path(tmp) / f"part_{i}.parquet"
+            fs.copy_to_local(part, staged)
+            _inject_geo_metadata(staged, geo)
+            fs.copy_from_local(staged, part)
     return written

@@ -12,8 +12,10 @@ import pytest
 
 from dwca_parquet_spark.plans.csw import (
     CatalogConfig,
+    anytext_from_xml,
     eml_to_csw_records,
     harvest_rows,
+    iso19139_xml,
 )
 from dwca_parquet_spark.plans.geoapi import (
     harvest_geoapi_rows,
@@ -139,6 +141,79 @@ def test_parse_eml_shape():
     assert ["Occurrence", "Birds"] in groups and ["Occurrence", "Norway"] in groups
     names = {c["individualname"] for c in md["contact"].values()}
     assert names == {"Grete Olsen", "Kari Hansen"}
+
+
+# The stand-in's exact serialization, pinned so any drift is a visible,
+# reviewable diff. Divergence from the reference's pygeometa
+# ISO19139OutputSchema render (pygeometa not installed here) is documented
+# in ISO19139_FIELD_MAP below.
+ISO19139_GOLDEN = (
+    '<gmd:MD_Metadata xmlns:gco="http://www.isotc211.org/2005/gco"'
+    ' xmlns:gmd="http://www.isotc211.org/2005/gmd">'
+    "<gmd:fileIdentifier><gco:CharacterString>doi:10.1/birds/v1.7"
+    "</gco:CharacterString></gmd:fileIdentifier>"
+    "<gmd:identificationInfo>"
+    "<gmd:title><gco:CharacterString>Bird occurrences"
+    "</gco:CharacterString></gmd:title>"
+    "<gmd:abstract><gco:CharacterString>Observations of birds."
+    "</gco:CharacterString></gmd:abstract>"
+    "<gmd:keyword><gco:CharacterString>Occurrence</gco:CharacterString></gmd:keyword>"
+    "<gmd:keyword><gco:CharacterString>Birds</gco:CharacterString></gmd:keyword>"
+    "<gmd:keyword><gco:CharacterString>Occurrence</gco:CharacterString></gmd:keyword>"
+    "<gmd:keyword><gco:CharacterString>Norway</gco:CharacterString></gmd:keyword>"
+    "<gmd:EX_GeographicBoundingBox>"
+    "<gmd:westBoundLongitude><gco:Decimal>4.5</gco:Decimal></gmd:westBoundLongitude>"
+    "<gmd:southBoundLatitude><gco:Decimal>57.75</gco:Decimal></gmd:southBoundLatitude>"
+    "<gmd:eastBoundLongitude><gco:Decimal>31.0</gco:Decimal></gmd:eastBoundLongitude>"
+    "<gmd:northBoundLatitude><gco:Decimal>71.5</gco:Decimal></gmd:northBoundLatitude>"
+    "</gmd:EX_GeographicBoundingBox>"
+    "</gmd:identificationInfo>"
+    "</gmd:MD_Metadata>"
+)
+
+# What the stand-in covers vs a full pygeometa ISO19139 render
+# (reference ``libs/csw.py:46-48``). "covered" fields feed the CSW record's
+# xml/anytext columns with equivalent content; "absent" fields exist in
+# pygeometa's output but not here, so the record's xml/anytext differ
+# byte-wise from the reference's for those (documented delta, SURVEY §4.3).
+ISO19139_FIELD_MAP = {
+    "covered": [
+        "fileIdentifier",
+        "identificationInfo/title",
+        "identificationInfo/abstract",
+        "identificationInfo/keyword (flattened, per-keyword elements)",
+        "identificationInfo/EX_GeographicBoundingBox (4 bounds)",
+    ],
+    "absent": [
+        "language / characterSet / hierarchyLevel",
+        "contact (CI_ResponsibleParty tree)",
+        "dateStamp / metadataStandardName / metadataStandardVersion",
+        "referenceSystemInfo (CRS)",
+        "distributionInfo (transfer options / links)",
+        "dataQualityInfo (lineage)",
+    ],
+}
+
+
+def test_iso19139_golden():
+    """Pin the stand-in's exact ISO19139 serialization + its anytext
+    derivation; the field map above makes the pygeometa delta explicit."""
+    md = parse_eml(EML["birds"])
+    xml = iso19139_xml(md)
+    assert xml == ISO19139_GOLDEN
+    assert anytext_from_xml(xml) == (
+        "doi:10.1/birds/v1.7 Bird occurrences Observations of birds. "
+        "Occurrence Birds Occurrence Norway 4.5 57.75 31.0 71.5"
+    )
+    # every "covered" element is really present in the serialization
+    for path in ("fileIdentifier", "title", "abstract", "keyword",
+                 "EX_GeographicBoundingBox"):
+        assert f"gmd:{path}" in xml
+    # and the documented-absent elements really are absent (if one appears,
+    # the stand-in grew and the map must be updated)
+    for absent in ("gmd:contact", "gmd:dateStamp", "gmd:language",
+                   "gmd:distributionInfo", "gmd:dataQualityInfo"):
+        assert absent not in xml
 
 
 def test_csw_records_golden(spark, client, cfg, tmp_path):

@@ -113,6 +113,32 @@ def test_geoparquet_sink(spark, tmp_path):
     assert wkbs[3] is None
 
 
+def test_geoparquet_sink_file_uri(spark, tmp_path):
+    """file:// URI takes the Hadoop-FS staging path (the same dispatch an
+    s3a:// output takes: glob parts → copyToLocalFile → pyarrow footer
+    rewrite → copyFromLocalFile), and the geo metadata must still land."""
+    import pyarrow.parquet as pq
+
+    df = spark.createDataFrame(
+        [(1, "POINT (4.5 60.0)"), (2, "POINT (10.0 63.5)")],
+        "fid long, geom string",
+    )
+    uri = f"file://{tmp_path}/geo_uri.parquet"
+    out = write_geoparquet(df, uri, single_file=False)
+    assert str(out) == uri
+    local_dir = tmp_path / "geo_uri.parquet"
+    parts = sorted(local_dir.glob("*.parquet"))
+    assert parts, "directory-layout write produced no part files"
+    for part in parts:
+        meta = pq.read_table(part).schema.metadata
+        geo = json.loads(meta[b"geo"])
+        assert geo["primary_column"] == "geom"
+        assert geo["columns"]["geom"]["encoding"] == "WKB"
+    # payload survived the footer rewrite round-trip
+    table = pq.read_table(str(local_dir))
+    assert sorted(table.column("fid").to_pylist()) == [1, 2]
+
+
 def test_dwca_e2e_geoparquet(spark, tmp_path):
     rows = FX.core_rows()
     z = FX.build_archive(tmp_path, "geo_e2e", rows, FX.CORE_HEADERS)
