@@ -13,6 +13,12 @@ projection-only queries from the scan without computing the projections
 
 A query that raises is recorded as an "errors" entry and the run continues,
 so one regression can never zero out the whole benchmark.
+
+The same JSON line also carries DuckDB oracle timings ("oracle" per-query,
+"oracle_total") so the Spark-vs-baseline ratio is self-evident from one
+artifact: each headline query's oracle_sql() runs once in DuckDB over the
+same parquet files (fetchall() forces full materialization). Disable with
+SPARK_GRAFT_BENCH_ORACLE=0.
 """
 
 from __future__ import annotations
@@ -33,6 +39,13 @@ from dwca_parquet_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+ORACLE = os.environ.get("SPARK_GRAFT_BENCH_ORACLE", "1").lower() not in (
+    "0", "false", "no", "",
+)
+TABLES = (
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+)
 
 # Representative spread: scans/aggs, joins, windows, set ops, events,
 # dedup (exact + LSH), similarity (exact + ANN), text stats, multimodal.
@@ -117,8 +130,47 @@ def main() -> None:
     }
     if errors:
         out["errors"] = errors
+    if ORACLE:
+        oracle_times, oracle_errors = run_oracles()
+        out["oracle"] = oracle_times
+        out["oracle_total"] = round(sum(oracle_times.values()), 4)
+        if oracle_errors:
+            out["oracle_errors"] = oracle_errors
+        common = [q for q in per_query if q in oracle_times]
+        osum = sum(oracle_times[q] for q in common)
+        if osum > 0:
+            out["vs_oracle"] = round(
+                sum(per_query[q] for q in common) / osum, 4
+            )
     print(json.dumps(out))
     spark.stop()
+
+
+def run_oracles() -> tuple[dict[str, float], dict[str, str]]:
+    """Time each headline query's DuckDB oracle once (single run — the
+    oracle is the baseline yardstick, not the optimization target)."""
+    import duckdb
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    times: dict[str, float] = {}
+    errors: dict[str, str] = {}
+    for name in HEADLINE:
+        sql = Q.ORACLES.get(name)
+        if sql is None:
+            continue
+        try:
+            t0 = time.perf_counter()
+            con.execute(sql).fetchall()
+            times[name] = round(time.perf_counter() - t0, 4)
+            print(f"  oracle {name}: {times[name]}s", file=sys.stderr, flush=True)
+        except Exception as exc:  # keep timing the rest
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+    return times, errors
 
 
 if __name__ == "__main__":
