@@ -154,6 +154,103 @@ def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+# PII patterns kept deliberately simple and engine-portable (same leftmost
+# match semantics in Java regex and RE2): emails, international-ish phone
+# numbers (7+ digits with separators, optional +CC), dotted-quad IPv4.
+# Real deployments layer locale-specific validators on top; this is the
+# scrubbing-pass plumbing (projection shape, replacement tokens).
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("phone", r"\+?\d[\d\- ]{5,}\d"),
+    ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b"),
+)
+
+
+def redact_pii(
+    df: DataFrame, id_col: str, text_col: str, token: str = "[PII:{kind}]"
+) -> DataFrame:
+    """Replace PII spans with typed placeholder tokens + per-kind counts.
+
+    The pretraining scrubbing pass: (id, redacted text, n_email, n_phone,
+    n_ipv4). Pure regexp projections — zero shuffle, runs in the scan
+    stage, scales with input splits. Patterns apply in the declared order
+    (email first, so user@host never half-matches as a phone run).
+    """
+    redacted = F.col(text_col)
+    counts = []
+    for kind, pat in PII_PATTERNS:
+        counts.append(
+            F.regexp_count(redacted, F.lit(pat)).cast("long").alias(f"n_{kind}")
+        )
+        redacted = F.regexp_replace(redacted, pat, token.format(kind=kind))
+    return df.select(
+        F.col(id_col), redacted.alias("redacted_text"), *counts
+    )
+
+
+def repetition_ratio(
+    df: DataFrame, id_col: str, text_col: str, n: int = 2
+) -> DataFrame:
+    """Share of the document occupied by its most frequent n-gram (token
+    n-grams) — the classic repetition/boilerplate quality filter: generated
+    or templated text scores high, natural prose low.
+
+    ratio = max_g count(g) · n / max(n_tokens, 1), with the modal n-gram
+    surfaced for inspection (ties break lexicographically). Occurrences
+    overlap, so a run of one repeated token scores up to ~n (not 1) —
+    values above 1 mean extreme repetition; thresholding, not the absolute
+    value, is the intended use. All array
+    built-ins: one transform to build n-grams, one aggregate to find the
+    mode — zero shuffle, the same projection shape as the other quality
+    signals. Output: (id, n_tokens, top_ngram, top_count, rep_ratio).
+    """
+    toks = tokens(F.col(text_col))
+    n_tok = F.size(toks).cast("long")
+    grams = F.when(n_tok < n, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n_tok.cast("int") - (n - 1), F.lit(1))),
+            lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]),
+        )
+    )
+    staged = df.select(F.col(id_col), n_tok.alias("n_tokens"), grams.alias("_g"))
+    # mode of the gram array without a shuffle: sort the grams, then one
+    # fold counting runs — O(d log d)/row (a per-distinct-gram count scan
+    # would be O(d²)/row and die on long documents). Sorted order makes the
+    # tie-break free: a later equal-length run has a larger gram, so
+    # keeping the first strictly-longer run keeps the lexicographically
+    # smallest mode.
+    sorted_g = F.array_sort(F.col("_g"))
+    acc0 = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("bc"),
+        F.lit("").alias("bg"),
+    )
+
+    def step(acc, x):
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("long"))
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.when(run > acc["bc"], run).otherwise(acc["bc"]).alias("bc"),
+            F.when(run > acc["bc"], x).otherwise(acc["bg"]).alias("bg"),
+        )
+
+    best_struct = F.aggregate(sorted_g, acc0, step)
+    best = F.struct(best_struct["bc"].alias("c"), best_struct["bg"].alias("g"))
+    return staged.select(
+        F.col(id_col),
+        F.col("n_tokens"),
+        best["g"].alias("top_ngram"),
+        best["c"].alias("top_count"),
+        F.round(
+            best["c"].cast("double") * n
+            / F.greatest(F.col("n_tokens"), F.lit(1)).cast("double"),
+            6,
+        ).alias("rep_ratio"),
+    )
+
+
 def fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Rolling-hash fingerprints: full text + 64-char prefix + length.
 

@@ -1,0 +1,149 @@
+"""Differential tests for the round-3 text operators (PII redaction,
+repetition ratio) against DuckDB computing the identical semantics — same
+discipline as the driver's oracle gate, pytest-hosted because the 50-entry
+query registry is full (these operators are SURVEY §2 round-3 extensions).
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from dwca_parquet_spark.operators.text import (
+    PII_PATTERNS,
+    redact_pii,
+    repetition_ratio,
+)
+from tests.conftest import SF_T2
+
+PII_ROWS = [
+    (1, "contact me at jane.doe+x@example.org or call +47 22 44-55 66 now"),
+    (2, "server at 10.0.42.7 acked; backup 192.168.1.254 timed out"),
+    (3, "no pii here, just words and the number 42"),
+    (4, "two mails: a@b.co and c.d@e.museum; one phone 555-123-4567"),
+    (5, ""),
+]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF_T2}/documents.parquet')"
+    )
+    return con
+
+
+def _duck_redact_sql(source: str) -> str:
+    expr = "t"
+    counts = []
+    for kind, pat in PII_PATTERNS:
+        counts.append(
+            f"CAST(len(regexp_extract_all({expr}, '{pat}')) AS BIGINT) AS n_{kind}"
+        )
+        expr = f"regexp_replace({expr}, '{pat}', '[PII:{kind}]', 'g')"
+    return f"SELECT id, {expr} AS redacted_text, {', '.join(counts)} FROM {source}"
+
+
+def test_redact_pii_synthetic(spark, duck):
+    df = spark.createDataFrame(PII_ROWS, "id long, t string")
+    got = {
+        r["id"]: r.asDict() for r in redact_pii(df, "id", "t").collect()
+    }
+    duck.execute("CREATE OR REPLACE TABLE pii_rows (id BIGINT, t VARCHAR)")
+    duck.executemany("INSERT INTO pii_rows VALUES (?, ?)", PII_ROWS)
+    cur = duck.execute(_duck_redact_sql("pii_rows"))
+    cols = [d[0] for d in cur.description]
+    for row in cur.fetchall():
+        want = dict(zip(cols, row))
+        assert got[want["id"]] == want
+    # sanity on the semantics themselves, not just parity
+    assert got[1]["n_email"] == 1 and got[1]["n_phone"] == 1
+    assert "[PII:email]" in got[1]["redacted_text"]
+    assert got[2]["n_ipv4"] == 2
+    assert got[3]["n_email"] == got[3]["n_phone"] == got[3]["n_ipv4"] == 0
+    assert got[5]["redacted_text"] == ""
+
+
+def test_redact_pii_documents_parity(spark, duck):
+    docs = spark.read.parquet(f"{SF_T2}/documents.parquet")
+    got = sorted(
+        tuple(r)
+        for r in redact_pii(docs, "doc_id", "text")
+        .select("doc_id", "n_email", "n_phone", "n_ipv4")
+        .collect()
+    )
+    want = sorted(
+        duck.execute(
+            _duck_redact_sql(
+                "(SELECT doc_id AS id, text AS t FROM documents)"
+            ).replace("redacted_text,", "redacted_text,")
+        ).fetchall()
+    )
+    want = sorted((r[0], r[2], r[3], r[4]) for r in want)
+    assert got == want
+
+
+DUCK_REP_SQL = f"""
+WITH d AS (
+    SELECT doc_id,
+           trim(regexp_replace(regexp_replace(lower(text), '[^\\x20-\\x7e]', '', 'g'),
+                '\\s+', ' ', 'g')) AS s
+    FROM documents
+),
+t AS (
+    SELECT doc_id,
+           CASE WHEN length(s) = 0 THEN CAST([] AS VARCHAR[])
+                ELSE string_split_regex(s, '\\s+') END AS toks
+    FROM d
+),
+g AS (
+    SELECT doc_id, len(toks) AS n_tokens,
+           CASE WHEN len(toks) < 2 THEN CAST([] AS VARCHAR[])
+                ELSE [toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))]
+           END AS grams
+    FROM t
+),
+c AS (
+    SELECT doc_id, unnest(grams) AS gram FROM g
+),
+m AS (
+    SELECT doc_id, gram, count(*) AS cnt FROM c GROUP BY doc_id, gram
+),
+best AS (
+    SELECT doc_id, gram, cnt FROM (
+        SELECT *, row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY cnt DESC, gram ASC) AS rn
+        FROM m
+    ) WHERE rn = 1
+)
+SELECT g.doc_id,
+       CAST(g.n_tokens AS BIGINT) AS n_tokens,
+       coalesce(b.gram, '') AS top_ngram,
+       CAST(coalesce(b.cnt, 0) AS BIGINT) AS top_count,
+       round(coalesce(b.cnt, 0) * 2.0 / greatest(g.n_tokens, 1), 6) AS rep_ratio
+FROM g LEFT JOIN best b USING (doc_id)
+"""
+
+
+def test_repetition_ratio_documents_parity(spark, duck):
+    docs = spark.read.parquet(f"{SF_T2}/documents.parquet")
+    got = sorted(
+        tuple(r) for r in repetition_ratio(docs, "doc_id", "text").collect()
+    )
+    want = sorted(tuple(r) for r in duck.execute(DUCK_REP_SQL).fetchall())
+    assert got == want
+
+
+def test_repetition_ratio_flags_boilerplate(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "buy now " * 50),           # pure boilerplate
+            (2, "a quiet brown fox walked over seven distant hills today"),
+        ],
+        "id long, t string",
+    )
+    out = {r["id"]: r.asDict() for r in repetition_ratio(df, "id", "t").collect()}
+    assert out[1]["rep_ratio"] > 0.9
+    assert out[2]["rep_ratio"] <= 0.3
