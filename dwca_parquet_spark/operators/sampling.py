@@ -58,6 +58,51 @@ def hash_split(
     return df.withColumn("split", split_label(F.col(key_col), splits))
 
 
+SAMPLE_MOD = 1_000_000  # ppm resolution for fraction sampling
+SAMPLE_A = 2_654_435_761  # Knuth multiplicative constant; A*HASH_MOD < 2^63
+SAMPLE_B = 104_729
+
+
+def hash_sample(
+    df: DataFrame, key_col: str, fraction: float, salt: str = ""
+) -> DataFrame:
+    """Deterministic ~``fraction`` sample keyed on ``key_col``.
+
+    Keeps rows whose portable hash of (key ‖ salt) lands below
+    fraction·SAMPLE_MOD — the reproducible replacement for
+    ``df.sample(fraction)`` (whose output depends on partition layout and
+    seed plumbing). Different ``salt`` values draw independent samples;
+    the same salt always draws the SAME keys, which is exactly what a
+    training pipeline wants for resumable subsampling and for consistent
+    joins between sampled tables (sample the fact and its features by the
+    same key+salt and the join still lines up). Per-row projection, zero
+    shuffle, commutes with pushdown.
+    """
+    threshold = int(fraction * SAMPLE_MOD)
+    h = H.poly_hash(F.concat(F.col(key_col).cast("string"), F.lit(salt)))
+    # Mixing permutation before the mod: poly_hash of a short key is a
+    # small number (3 chars → < ~57k), so h % 1e6 would keep EVERYTHING
+    # under a ppm threshold. (h·A + B) mod M spreads any input range over
+    # the full modulus; A·max(h) < 2^63 keeps it ANSI-safe, and the same
+    # constants reproduce in the oracle.
+    bucket = F.pmod(
+        F.pmod(h * F.lit(SAMPLE_A) + F.lit(SAMPLE_B), F.lit(H.HASH_MOD)),
+        F.lit(SAMPLE_MOD),
+    )
+    return df.filter(bucket < threshold)
+
+
+def sql_hash_sample_pred(key_expr: str, fraction: float, salt: str = "") -> str:
+    """DuckDB predicate computing the identical sample membership."""
+    threshold = int(fraction * SAMPLE_MOD)
+    keyed = f"({key_expr} || '{salt}')" if salt else key_expr
+    h = H.sql_poly_hash(keyed)
+    return (
+        f"((({h}) * {SAMPLE_A} + {SAMPLE_B}) % {H.HASH_MOD} % {SAMPLE_MOD})"
+        f" < {threshold}"
+    )
+
+
 def sql_split_bucket(key_expr: str) -> str:
     """DuckDB SQL for split_bucket — same hash constants, same mod."""
     return f"(({H.sql_poly_hash(key_expr)}) % 100)"

@@ -1351,11 +1351,13 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q53_pivot_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot (long → wide) immediately unpivoted back (wide → long) — the
-    round-trip gates both reshapes in one query. The pivot's explicit value
-    list keeps it single-pass (Spark rewrites to conditional aggregates,
-    one map-side-combined shuffle, no distinct-value discovery job); the
-    unpivot is a narrow per-row Expand, zero shuffle. Measures are cast to
-    a common DOUBLE before unpivoting (unpivot requires one value type)."""
+    round-trip gates both reshapes in one query. The explicit pivot value
+    list avoids the distinct-value discovery job; the plan (verified with
+    explain) is two map-side-combinable aggregations — a partial on
+    (flag, status), then the pivot assembly keyed on flag — both shuffles
+    carrying only keys + aggregates. The unpivot is a narrow per-row
+    Expand, zero shuffle. Measures are cast to a common DOUBLE before
+    unpivoting (unpivot requires one value type)."""
     li = _t(spark, sf_dir, "lineitem")
     wide = (
         li.groupBy("l_returnflag")

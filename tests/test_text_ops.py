@@ -136,6 +136,45 @@ def test_repetition_ratio_documents_parity(spark, duck):
     assert got == want
 
 
+def test_hash_sample_deterministic_and_duck_parity(spark, duck):
+    from dwca_parquet_spark.operators.sampling import (
+        hash_sample,
+        sql_hash_sample_pred,
+    )
+
+    docs = spark.read.parquet(f"{SF_T2}/documents.parquet")
+    got = sorted(
+        r["doc_id"]
+        for r in hash_sample(docs, "doc_id", 0.25).select("doc_id").collect()
+    )
+    # same keys on a repartitioned input — partition-layout independence,
+    # the property df.sample() lacks
+    again = sorted(
+        r["doc_id"]
+        for r in hash_sample(docs.repartition(7), "doc_id", 0.25)
+        .select("doc_id")
+        .collect()
+    )
+    assert got == again
+    pred = sql_hash_sample_pred("CAST(doc_id AS VARCHAR)", 0.25)
+    want = sorted(
+        r[0]
+        for r in duck.execute(
+            f"SELECT doc_id FROM documents WHERE {pred}"
+        ).fetchall()
+    )
+    assert got == want
+    # roughly the requested fraction, and salts draw different samples
+    assert 0.15 <= len(got) / docs.count() <= 0.35
+    salted = sorted(
+        r["doc_id"]
+        for r in hash_sample(docs, "doc_id", 0.25, salt="s1")
+        .select("doc_id")
+        .collect()
+    )
+    assert salted != got
+
+
 def test_repetition_ratio_flags_boilerplate(spark):
     df = spark.createDataFrame(
         [
