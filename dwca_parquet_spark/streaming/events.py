@@ -68,6 +68,40 @@ def stream_tumbling_agg(
     )
 
 
+def stream_sliding_agg(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+    duration: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked sliding (hopping) windows — same shape as the batch
+    ``sliding_agg``: F.window with a slide emits one row per (event,
+    window) pair before aggregation, so state and shuffle grow only by the
+    overlap factor duration/slide; windows finalize as the watermark
+    passes their end."""
+    src = with_event_time(stream, ts_col).withWatermark("event_time", watermark)
+    return (
+        src.groupBy(
+            F.window("event_time", duration, slide).alias("w"), F.col(key_col)
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dec_sum(value_col).alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            key_col,
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 def stream_sessionize(
     stream: DataFrame,
     ts_col: str = "ts",

@@ -8,8 +8,12 @@ import shutil
 
 import pytest
 
-from dwca_parquet_spark.operators.events import tumbling_agg
-from dwca_parquet_spark.streaming.events import stream_sessionize, stream_tumbling_agg
+from dwca_parquet_spark.operators.events import sliding_agg, tumbling_agg
+from dwca_parquet_spark.streaming.events import (
+    stream_sessionize,
+    stream_sliding_agg,
+    stream_tumbling_agg,
+)
 from dwca_parquet_spark.streaming.stateful import (
     stream_dedup_exact,
     stream_user_stats,
@@ -54,6 +58,19 @@ def test_stream_tumbling_matches_batch(spark, event_schema, events_dir):
     )
     out = _run_stream(spark, stream_tumbling_agg(stream), "tumbling_mem")
     batch = tumbling_agg(spark.read.parquet(f"{SF_SMOKE}/events.parquet"))
+    srows = {tuple(r) for r in out.collect()}
+    brows = {tuple(r) for r in batch.collect()}
+    assert srows == brows
+
+
+def test_stream_sliding_matches_batch(spark, event_schema, events_dir):
+    stream = (
+        spark.readStream.schema(event_schema)
+        .format("parquet")
+        .load(events_dir)
+    )
+    out = _run_stream(spark, stream_sliding_agg(stream), "sliding_mem")
+    batch = sliding_agg(spark.read.parquet(f"{SF_SMOKE}/events.parquet"))
     srows = {tuple(r) for r in out.collect()}
     brows = {tuple(r) for r in batch.collect()}
     assert srows == brows
