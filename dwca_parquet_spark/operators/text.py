@@ -251,6 +251,50 @@ def repetition_ratio(
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int = 128,
+    overlap: int = 16,
+) -> DataFrame:
+    """Split documents into fixed-token-count chunks with overlap — the
+    context-window preparation step of a training pipeline.
+
+    Chunk i covers tokens [i·stride, i·stride + chunk_tokens) with
+    stride = chunk_tokens − overlap; the last chunk may be short; empty
+    documents produce no chunks. Output: (id, chunk_idx, chunk_text,
+    n_chunk_tokens).
+
+    Shape: tokenize → build chunk index array → posexplode → slice+join —
+    a per-row expansion (Spark Generate node), zero shuffle; output rows
+    ≈ n_tokens/stride per doc. At 100 TB this runs in the scan stage and
+    the chunk stream feeds straight into downstream shuffles (dedup,
+    tokenizer costing) without ever materializing whole documents again.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = tokens(F.col(text_col))
+    n_tok = F.size(toks)
+    n_chunks = F.when(n_tok <= 0, F.lit(0)).otherwise(
+        F.floor((n_tok - 1) / stride) + 1
+    )
+    staged = df.select(F.col(id_col), toks.alias("_t"), n_chunks.alias("_nc"))
+    exploded = staged.select(
+        F.col(id_col),
+        F.col("_t"),
+        F.posexplode(F.sequence(F.lit(1), F.col("_nc"))).alias("chunk_idx", "_one"),
+    )
+    piece = F.slice(F.col("_t"), F.col("chunk_idx") * stride + 1, chunk_tokens)
+    return exploded.select(
+        F.col(id_col),
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.array_join(piece, " ").alias("chunk_text"),
+        F.size(piece).cast("long").alias("n_chunk_tokens"),
+    )
+
+
 def fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Rolling-hash fingerprints: full text + 64-char prefix + length.
 

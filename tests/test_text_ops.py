@@ -175,6 +175,61 @@ def test_hash_sample_deterministic_and_duck_parity(spark, duck):
     assert salted != got
 
 
+CHUNK, OVERLAP = 32, 8
+STRIDE = CHUNK - OVERLAP
+DUCK_CHUNK_SQL = f"""
+WITH d AS (
+    SELECT doc_id,
+           trim(regexp_replace(regexp_replace(lower(text), '[^\\x20-\\x7e]', '', 'g'),
+                '\\s+', ' ', 'g')) AS s
+    FROM documents
+),
+t AS (
+    SELECT doc_id,
+           CASE WHEN length(s) = 0 THEN CAST([] AS VARCHAR[])
+                ELSE string_split_regex(s, '\\s+') END AS toks
+    FROM d
+),
+x AS (
+    SELECT doc_id, toks,
+           CASE WHEN len(toks) <= 0 THEN 0
+                ELSE (len(toks) - 1) // {STRIDE} + 1 END AS nc
+    FROM t
+),
+e AS (
+    SELECT doc_id, toks, unnest(range(nc)) AS chunk_idx FROM x
+)
+SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       array_to_string(toks[chunk_idx * {STRIDE} + 1 :
+                            chunk_idx * {STRIDE} + {CHUNK}], ' ') AS chunk_text,
+       CAST(len(toks[chunk_idx * {STRIDE} + 1 :
+                     chunk_idx * {STRIDE} + {CHUNK}]) AS BIGINT)
+           AS n_chunk_tokens
+FROM e
+"""
+
+
+def test_chunk_documents_parity(spark, duck):
+    from dwca_parquet_spark.operators.text import chunk_documents
+
+    docs = spark.read.parquet(f"{SF_T2}/documents.parquet")
+    got = sorted(
+        tuple(r)
+        for r in chunk_documents(
+            docs, "doc_id", "text", chunk_tokens=CHUNK, overlap=OVERLAP
+        ).collect()
+    )
+    want = sorted(tuple(r) for r in duck.execute(DUCK_CHUNK_SQL).fetchall())
+    assert got == want
+    # overlap really present: consecutive chunks share their boundary tokens
+    by_doc = {}
+    for doc_id, idx, text, n in got:
+        by_doc.setdefault(doc_id, []).append((idx, text.split()))
+    multi = next(v for v in by_doc.values() if len(v) >= 2)
+    first, second = (toks for _, toks in sorted(multi)[:2])
+    assert first[STRIDE:STRIDE + OVERLAP] == second[:OVERLAP]
+
+
 def test_repetition_ratio_flags_boilerplate(spark):
     df = spark.createDataFrame(
         [
