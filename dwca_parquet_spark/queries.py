@@ -28,6 +28,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from dwca_parquet_spark.cache import release_caches
 from dwca_parquet_spark.functions import hashing as H
 from dwca_parquet_spark.operators import dedup as D
 from dwca_parquet_spark.operators import events as E
@@ -57,7 +58,20 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def query(name: str, oracle: str | None):
     def deco(fn: QueryFn) -> QueryFn:
-        QUERIES[name] = fn
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            # A session owner that evaluates queries sequentially (the
+            # correctness driver runs 50 in one session) may never call
+            # cache.release_caches() itself; releasing the PREVIOUS
+            # queries' tracked persists here bounds cache accumulation to
+            # one query's intermediates. Safe: by the time the next query
+            # is built, the prior one has been materialized, and an
+            # unpersisted table would merely recompute if re-collected.
+            release_caches()
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = fn.__name__
+        wrapped.__doc__ = fn.__doc__
+        QUERIES[name] = wrapped
         if oracle is not None:
             ORACLES[name] = oracle
         return fn
