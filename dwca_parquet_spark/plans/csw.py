@@ -54,12 +54,15 @@ class CatalogConfig:
 
 
 def iso19139_xml(metadata: dict) -> str:
-    """Minimal ISO19139-shaped XML for a parsed EML dict.
+    """ISO19139-shaped XML for a parsed EML dict.
 
     Stand-in for the reference's pygeometa ISO19139OutputSchema
-    (``csw.py:20,48``) — not installed here; covers identifier, title,
-    abstract, keywords and bbox, which is the content the CSW record's
-    ``xml``/``anytext`` fields carry forward.
+    (``csw.py:20,48``) — the library is not installed here; covers
+    identifier, language, dateStamp, contacts, title, abstract, keywords
+    and bbox — the content the CSW record's ``xml``/``anytext`` fields
+    carry forward. Still absent vs a full pygeometa render: characterSet/
+    hierarchyLevel codelists, CRS, distribution links, lineage (the
+    golden-file test pins the exact serialization and the field map).
     """
     idf = metadata["identification"]
     kws = [
@@ -83,6 +86,18 @@ def iso19139_xml(metadata: dict) -> str:
         return el
 
     leaf(root, "fileIdentifier", metadata["metadata"]["identifier"])
+    leaf(root, "language", metadata["metadata"].get("language", "eng"))
+    stamp = ET.SubElement(root, f"{{{gmd}}}dateStamp")
+    date_el = ET.SubElement(stamp, f"{{{gco}}}Date")
+    date_el.text = idf["dates"]["publication"]
+    # first-occurrence order, matching the record pipeline's
+    # array_distinct determinism note (reference iterates a set here)
+    for name in dict.fromkeys(
+        c["individualname"] for c in metadata["contact"].values()
+    ):
+        contact = ET.SubElement(root, f"{{{gmd}}}contact")
+        party = ET.SubElement(contact, f"{{{gmd}}}CI_ResponsibleParty")
+        leaf(party, "individualName", name)
     ident = ET.SubElement(root, f"{{{gmd}}}identificationInfo")
     leaf(ident, "title", idf["title"])
     leaf(ident, "abstract", idf["abstract"])

@@ -152,6 +152,16 @@ ISO19139_GOLDEN = (
     ' xmlns:gmd="http://www.isotc211.org/2005/gmd">'
     "<gmd:fileIdentifier><gco:CharacterString>doi:10.1/birds/v1.7"
     "</gco:CharacterString></gmd:fileIdentifier>"
+    "<gmd:language><gco:CharacterString>eng</gco:CharacterString></gmd:language>"
+    "<gmd:dateStamp><gco:Date>2024-05-01</gco:Date></gmd:dateStamp>"
+    "<gmd:contact><gmd:CI_ResponsibleParty>"
+    "<gmd:individualName><gco:CharacterString>Grete Olsen"
+    "</gco:CharacterString></gmd:individualName>"
+    "</gmd:CI_ResponsibleParty></gmd:contact>"
+    "<gmd:contact><gmd:CI_ResponsibleParty>"
+    "<gmd:individualName><gco:CharacterString>Kari Hansen"
+    "</gco:CharacterString></gmd:individualName>"
+    "</gmd:CI_ResponsibleParty></gmd:contact>"
     "<gmd:identificationInfo>"
     "<gmd:title><gco:CharacterString>Bird occurrences"
     "</gco:CharacterString></gmd:title>"
@@ -179,15 +189,17 @@ ISO19139_GOLDEN = (
 ISO19139_FIELD_MAP = {
     "covered": [
         "fileIdentifier",
+        "language (EML metadata language, default 'eng')",
+        "dateStamp (publication date)",
+        "contact (CI_ResponsibleParty/individualName, first-occurrence order)",
         "identificationInfo/title",
         "identificationInfo/abstract",
         "identificationInfo/keyword (flattened, per-keyword elements)",
         "identificationInfo/EX_GeographicBoundingBox (4 bounds)",
     ],
     "absent": [
-        "language / characterSet / hierarchyLevel",
-        "contact (CI_ResponsibleParty tree)",
-        "dateStamp / metadataStandardName / metadataStandardVersion",
+        "characterSet / hierarchyLevel codelists",
+        "metadataStandardName / metadataStandardVersion",
         "referenceSystemInfo (CRS)",
         "distributionInfo (transfer options / links)",
         "dataQualityInfo (lineage)",
@@ -202,17 +214,19 @@ def test_iso19139_golden():
     xml = iso19139_xml(md)
     assert xml == ISO19139_GOLDEN
     assert anytext_from_xml(xml) == (
-        "doi:10.1/birds/v1.7 Bird occurrences Observations of birds. "
+        "doi:10.1/birds/v1.7 eng 2024-05-01 Grete Olsen Kari Hansen "
+        "Bird occurrences Observations of birds. "
         "Occurrence Birds Occurrence Norway 4.5 57.75 31.0 71.5"
     )
     # every "covered" element is really present in the serialization
-    for path in ("fileIdentifier", "title", "abstract", "keyword",
+    for path in ("fileIdentifier", "language", "dateStamp", "contact",
+                 "individualName", "title", "abstract", "keyword",
                  "EX_GeographicBoundingBox"):
         assert f"gmd:{path}" in xml
     # and the documented-absent elements really are absent (if one appears,
     # the stand-in grew and the map must be updated)
-    for absent in ("gmd:contact", "gmd:dateStamp", "gmd:language",
-                   "gmd:distributionInfo", "gmd:dataQualityInfo"):
+    for absent in ("gmd:referenceSystemInfo", "gmd:distributionInfo",
+                   "gmd:dataQualityInfo", "gmd:metadataStandardName"):
         assert absent not in xml
 
 
