@@ -229,3 +229,44 @@ def test_hash_split_matches_python(spark, keys):
         b = _py_poly_hash(str(k)) % 100
         want = "train" if b < 80 else ("val" if b < 90 else "test")
         assert got[k] == want
+
+
+@SETTINGS
+@given(keys=st.lists(st.integers(0, 10**9), min_size=5, max_size=60, unique=True))
+def test_hash_sample_nesting(spark, keys):
+    """Threshold sampling nests: sample(f1) ⊆ sample(f2) for f1 ≤ f2 —
+    the property that makes subsample-then-grow workflows reproducible
+    (a bigger budget strictly extends the smaller sample, never reshuffles
+    it). randomSplit/sample have no such guarantee."""
+    from dwca_parquet_spark.operators.sampling import hash_sample
+
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    small = {r.k for r in hash_sample(df, "k", 0.2).collect()}
+    big = {r.k for r in hash_sample(df, "k", 0.6).collect()}
+    assert small <= big
+
+
+@SETTINGS
+@given(
+    words=st.lists(
+        st.text(alphabet="abcdefg", min_size=1, max_size=5),
+        min_size=0,
+        max_size=40,
+    ),
+    chunk=st.integers(2, 12),
+)
+def test_chunk_documents_reconstructs(spark, words, chunk):
+    """With overlap=0, concatenating the chunks in index order gives back
+    exactly the token stream — no token lost, duplicated, or reordered."""
+    from dwca_parquet_spark.operators.text import chunk_documents, tokens
+
+    text = " ".join(words)
+    df = spark.createDataFrame([(1, text)], "id long, t string")
+    rows = sorted(
+        (r.chunk_idx, r.chunk_text)
+        for r in chunk_documents(df, "id", "t", chunk_tokens=chunk, overlap=0)
+        .collect()
+    )
+    rebuilt = [w for _, t in rows for w in t.split()]
+    expected = df.select(tokens(F.col("t")).alias("tk")).collect()[0].tk
+    assert rebuilt == expected
