@@ -182,3 +182,56 @@ def wkt_to_wkb(col: Column) -> Column:
     overhead; a Sedona deployment swaps this for a JVM expression.
     """
     return _wkt_to_wkb_udf(col)
+
+
+# ---------------------------------------------------------------------------
+# Point analytics (the dominant DwC-A case: occurrence coordinates).
+# A real geometry engine (Sedona) owns polygons/CRS; these JVM-expression
+# helpers cover what occurrence pipelines actually run — coordinate
+# extraction, bbox predicates, great-circle distance — without leaving
+# whole-stage codegen.
+# ---------------------------------------------------------------------------
+
+_POINT_XY_RE = rf"^\s*POINT\s*\(\s*({_NUM})\s+({_NUM})\s*\)\s*$"
+
+
+def point_x(col: Column) -> Column:
+    """X (longitude) of a WKT POINT, NULL for non-points/invalid WKT."""
+    x = F.regexp_extract(F.upper(F.trim(col)), _POINT_XY_RE, 1)
+    return F.when(x != "", x.cast("double"))
+
+
+def point_y(col: Column) -> Column:
+    """Y (latitude) of a WKT POINT, NULL for non-points/invalid WKT."""
+    y = F.regexp_extract(F.upper(F.trim(col)), _POINT_XY_RE, 2)
+    return F.when(y != "", y.cast("double"))
+
+
+def within_bbox(
+    col: Column, minx: float, miny: float, maxx: float, maxy: float
+) -> Column:
+    """Boolean: WKT POINT inside [minx,miny,maxx,maxy] (inclusive edges,
+    the GeoParquet/EML bbox convention). NULL geometry / non-point → false,
+    so the predicate is filter-safe. Pure regexp + compare — pushes into
+    the scan stage; at 100 TB pair it with write_clustered on (x, y) so
+    file-level min-max statistics prune before the predicate even runs."""
+    x, y = point_x(col), point_y(col)
+    inside = (x >= minx) & (x <= maxx) & (y >= miny) & (y <= maxy)
+    return F.coalesce(inside, F.lit(False))
+
+
+def haversine_km(
+    lon_a: Column, lat_a: Column, lon_b: Column, lat_b: Column
+) -> Column:
+    """Great-circle distance in km (haversine, R=6371.0088 — the IUGG mean
+    earth radius). All JVM trig built-ins; accuracy ~0.5% vs ellipsoidal,
+    the standard trade for proximity filtering/joins at scale."""
+    r = 6371.0088
+    la, lb = F.radians(lat_a), F.radians(lat_b)
+    dlat = F.radians(lat_b - lat_a)
+    dlon = F.radians(lon_b - lon_a)
+    a = (
+        F.sin(dlat / 2) * F.sin(dlat / 2)
+        + F.cos(la) * F.cos(lb) * F.sin(dlon / 2) * F.sin(dlon / 2)
+    )
+    return 2 * r * F.asin(F.sqrt(a))

@@ -159,6 +159,63 @@ def test_dwca_e2e_geoparquet(spark, tmp_path):
             assert (order, code) == (1, 1)
 
 
+def test_point_analytics(spark):
+    import math
+
+    from dwca_parquet_spark.functions.geometry import (
+        haversine_km,
+        point_x,
+        point_y,
+        within_bbox,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [
+            (1, "POINT (4.5 60.0)"),
+            (2, "point(10.75 59.91)"),          # case/space variants parse
+            (3, "POLYGON ((0 0, 1 0, 1 1, 0 0))"),  # non-point -> NULL coords
+            (4, None),
+            (5, "POINT (-122.42 37.77)"),
+        ],
+        "fid long, geom string",
+    )
+    rows = {
+        r.fid: r
+        for r in df.select(
+            "fid",
+            point_x(F.col("geom")).alias("x"),
+            point_y(F.col("geom")).alias("y"),
+            within_bbox(F.col("geom"), 4.0, 57.0, 31.5, 71.5).alias("in_norway"),
+        ).collect()
+    }
+    assert (rows[1].x, rows[1].y) == (4.5, 60.0)
+    assert (rows[2].x, rows[2].y) == (10.75, 59.91)
+    assert rows[3].x is None and rows[4].x is None
+    assert rows[1].in_norway and rows[2].in_norway
+    assert not rows[3].in_norway and not rows[4].in_norway and not rows[5].in_norway
+
+    # haversine vs an independent Python computation (Oslo -> Bergen)
+    got = (
+        spark.range(1)
+        .select(
+            haversine_km(
+                F.lit(10.7522), F.lit(59.9139), F.lit(5.3221), F.lit(60.3913)
+            ).alias("km")
+        )
+        .collect()[0]
+        .km
+    )
+    r = 6371.0088
+    la, lb = math.radians(59.9139), math.radians(60.3913)
+    dlat = math.radians(60.3913 - 59.9139)
+    dlon = math.radians(5.3221 - 10.7522)
+    a = math.sin(dlat / 2) ** 2 + math.cos(la) * math.cos(lb) * math.sin(dlon / 2) ** 2
+    want = 2 * r * math.asin(math.sqrt(a))
+    assert abs(got - want) < 1e-9
+    assert 300 < got < 310  # ~305 km Oslo-Bergen great-circle
+
+
 def test_flatten_nullifies_malformed_footprint(spark, tmp_path):
     headers = FX.CORE_HEADERS_WKT
     rows = FX.core_rows()
