@@ -1,0 +1,87 @@
+"""Plan-shape regression tests: the 100 TB design claims, asserted.
+
+Each test pins a property of the physical plan that the docstrings and
+SCALE.md argue from — if a refactor silently breaks pushdown, drops a
+broadcast, or turns top-k into a global sort, these fail before any
+benchmark notices.  (tools/plan_audit.py is the complementary sweep for
+anti-patterns across all 50 queries.)
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from dwca_parquet_spark import queries as Q
+from dwca_parquet_spark.cache import release_caches
+from tests.conftest import SF_T2
+
+
+def plan_of(spark, name: str) -> str:
+    df = Q.QUERIES[name](spark, SF_T2)
+    s = df._jdf.queryExecution().executedPlan().toString()
+    release_caches()
+    return s
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    """q02's predicates (BETWEEN/IN/LIKE/null) must reach the parquet
+    scan as PushedFilters — a scan reading everything then filtering in
+    Spark is the 100 TB failure mode."""
+    plan = plan_of(spark, "q02_filter_project")
+    assert "PushedFilters: [" in plan
+    # at least one real filter pushed (not the empty list)
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert pushed.strip(), "no filters pushed into the parquet scan"
+
+
+def test_projection_pruning_reaches_scan(spark):
+    """q13 touches 2 of orders' 6 columns; the scan's ReadSchema must
+    carry only those — reading untouched columns is the 100 TB I/O
+    failure mode."""
+    plan = plan_of(spark, "q13_topk")
+    read_schema = plan.split("ReadSchema: ", 1)[1].splitlines()[0]
+    assert "o_orderkey" in read_schema and "o_totalprice" in read_schema
+    for untouched in ("o_orderdate", "o_orderpriority", "o_custkey"):
+        assert untouched not in read_schema
+
+
+def test_star_join_broadcasts_dimensions(spark):
+    """q03's nation/region/customer joins must be broadcast joins — a
+    shuffled sort-merge against a 25-row dimension is wrong at any
+    scale."""
+    plan = plan_of(spark, "q03_star_join_revenue")
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_topk_never_global_sorts(spark):
+    """q13 must plan as TakeOrderedAndProject (per-partition top-k +
+    k-row merge), never a full Sort followed by a limit."""
+    plan = plan_of(spark, "q13_topk")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_text_projections_have_no_exchange(spark):
+    """The text-stats family is scan-stage projection work; any Exchange
+    in the plan means someone added an accidental shuffle."""
+    for name in ("q25_text_stats", "q26_language_id", "q28_fingerprints"):
+        assert "Exchange" not in plan_of(spark, name), name
+
+
+def test_simhash_single_shuffle(spark):
+    """q31: explode → ONE map-side-combined aggregation. More than one
+    Exchange means the 32-vote aggregation stopped combining map-side or
+    the shingle persist boundary broke."""
+    plan = plan_of(spark, "q31_simhash")
+    assert plan.count("Exchange") == 1
+    assert "partial_sum" in plan or "HashAggregate" in plan
+
+
+@pytest.mark.parametrize(
+    "name", ["q29_dedup_exact", "q17_conditional_agg_having"]
+)
+def test_aggregations_combine_map_side(spark, name):
+    """Partial aggregation before the shuffle: two HashAggregate levels
+    around each Exchange (partial → final)."""
+    plan = plan_of(spark, name)
+    assert plan.count("HashAggregate") >= 2
+    assert plan.count("Exchange") == 1
