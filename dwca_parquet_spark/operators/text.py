@@ -251,6 +251,68 @@ def repetition_ratio(
     )
 
 
+# URL pattern, engine-portable (no lookarounds): scheme://host/path. The
+# host must END alphanumeric so sentence punctuation ("...example.com.")
+# never rides along; the path stops at whitespace or closing punctuation
+# that commonly trails prose URLs.
+URL_PATTERN = (
+    r"https?://[A-Za-z0-9](?:[A-Za-z0-9.-]*[A-Za-z0-9])?"
+    r"(?:/[^\s)\]}>,\"']*)?"
+)
+_DOMAIN_FROM_URL = r"https?://([A-Za-z0-9.-]+)"
+
+
+def extract_urls(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """One row per URL occurrence: (id, url, domain).
+
+    The crawl-style provenance pass: explode every http(s) URL out of the
+    text with its registrable host (full hostname; public-suffix collapse
+    is a lookup-table join away and deliberately not hardcoded). Zero
+    shuffle — regexp_extract_all + explode run in the scan stage; the
+    usual downstream (per-domain counts for source mix, blocklist
+    anti-joins) adds one combinable shuffle each.
+    """
+    urls = F.regexp_extract_all(F.col(text_col), F.lit(URL_PATTERN), 0)
+    return (
+        df.select(F.col(id_col), F.explode(urls).alias("url"))
+        .withColumn(
+            "domain",
+            F.lower(F.regexp_extract(F.col("url"), _DOMAIN_FROM_URL, 1)),
+        )
+    )
+
+
+def find_contaminated(
+    df: DataFrame, id_col: str, text_col: str, probes: list[str]
+) -> DataFrame:
+    """Benchmark-decontamination scan: documents whose normalized text
+    contains a probe string (a benchmark answer/question fragment),
+    normalized the same way. Output: (id, probe_idx, probe).
+
+    The probe set is bounded by construction (a benchmark is thousands of
+    strings, not billions), so it broadcasts; the scan side streams — one
+    broadcast nested-loop with a `contains` predicate, which IS the right
+    plan for bounded-probe × corpus (the same justification as q41's band
+    table). For huge probe sets, block first on a shared fingerprint
+    (n-gram hash join) and verify with this operator.
+    """
+    spark = df.sparkSession
+    probe_df = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(probes)],
+        "probe_idx long, probe string",
+    ).withColumn("_pnorm", H.normalize_text(F.col("probe")))
+    docs = df.select(
+        F.col(id_col), H.normalize_text(F.col(text_col)).alias("_norm")
+    )
+    return (
+        docs.join(
+            F.broadcast(probe_df),
+            F.col("_norm").contains(F.col("_pnorm")),
+        )
+        .select(F.col(id_col), "probe_idx", "probe")
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     id_col: str,

@@ -230,6 +230,67 @@ def test_chunk_documents_parity(spark, duck):
     assert first[STRIDE:STRIDE + OVERLAP] == second[:OVERLAP]
 
 
+URL_ROWS = [
+    (1, "see https://example.org/a/b?x=1 and http://sub.Example.COM."),
+    (2, "bare domain example.org is not a url; https://a.b/c, done"),
+    (3, "no links at all"),
+    (4, "(wrapped https://x.y/z) [also https://q.r]"),
+]
+
+
+def test_extract_urls_parity(spark, duck):
+    from dwca_parquet_spark.operators.text import URL_PATTERN, extract_urls
+
+    df = spark.createDataFrame(URL_ROWS, "id long, t string")
+    got = sorted(
+        tuple(r) for r in extract_urls(df, "id", "t").collect()
+    )
+    duck.execute("CREATE OR REPLACE TABLE url_rows (id BIGINT, t VARCHAR)")
+    duck.executemany("INSERT INTO url_rows VALUES (?, ?)", URL_ROWS)
+    pat = URL_PATTERN.replace("'", "''")
+    want = sorted(
+        tuple(r)
+        for r in duck.execute(
+            f"""
+            SELECT id, url,
+                   lower(regexp_extract(url, 'https?://([A-Za-z0-9.-]+)', 1))
+                       AS domain
+            FROM (SELECT id, unnest(regexp_extract_all(t, '{pat}')) AS url
+                  FROM url_rows)
+            """
+        ).fetchall()
+    )
+    assert got == want
+    by_id = {}
+    for i, url, dom in got:  # sorted by (id, url)
+        by_id.setdefault(i, []).append(dom)
+    assert by_id[1] == ["sub.example.com", "example.org"]
+    assert 3 not in by_id
+    assert by_id[4] == ["q.r", "x.y"]
+    # sentence punctuation never rides along on the host
+    assert all(not d.endswith(".") for doms in by_id.values() for d in doms)
+
+
+def test_find_contaminated(spark):
+    from dwca_parquet_spark.operators.text import find_contaminated
+
+    docs = spark.createDataFrame(
+        [
+            (1, "The   QUICK brown fox JUMPS over the lazy dog."),
+            (2, "An entirely unrelated sentence."),
+            (3, "quick brown fox appears here too"),
+        ],
+        "doc_id long, text string",
+    )
+    probes = ["quick brown fox", "lazy dog", "benchmark answer 42"]
+    got = sorted(
+        (r.doc_id, r.probe_idx)
+        for r in find_contaminated(docs, "doc_id", "text", probes).collect()
+    )
+    # normalization makes matching case/whitespace-insensitive
+    assert got == [(1, 0), (1, 1), (3, 0)]
+
+
 def test_repetition_ratio_flags_boilerplate(spark):
     df = spark.createDataFrame(
         [
