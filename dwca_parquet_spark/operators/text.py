@@ -313,6 +313,93 @@ def find_contaminated(
     )
 
 
+def find_contaminated_blocked(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    probes: list[str],
+    k: int = 8,
+) -> DataFrame:
+    """Scale path for :func:`find_contaminated`: shingle-hash blocking
+    turns the probe scan into an equi-join, so the corpus side never meets
+    a nested loop.
+
+    Losslessness: if a probe (normalized) occurs inside a document
+    (normalized), every k-char shingle of the probe — in particular its
+    minimum shingle hash — appears among the document's shingle hashes.
+    So joining docs' exploded shingle stream against each probe's min
+    shingle hash produces a candidate superset, and the final `contains`
+    verify (on the bounded candidate set only) restores exactness.
+    Probes shorter than k characters have no shingles and fall back to
+    the broadcast contains path; output equals find_contaminated's.
+
+    Shuffle shape: one explode + equi-join keyed on the shingle hash
+    (probe side is tiny → broadcast), one distinct on (id, probe_idx),
+    then the verify join back to the normalized text by id. At 100 TB the
+    doc shingle stream is the same one the dedup family already computes
+    — share the persisted shingle table across both pipelines.
+    """
+    spark = df.sparkSession
+    # Length gate on the NORMALIZED probe — shingling happens post-
+    # normalization, so that is the length that decides whether a min
+    # shingle exists.
+    import re
+
+    def _norm_py(s: str) -> str:
+        s = re.sub(r"[^\x20-\x7e]", "", s.lower())
+        return re.sub(r"\s+", " ", s).strip()
+
+    long_pairs = [(i, p) for i, p in enumerate(probes) if len(_norm_py(p)) >= k]
+    short_pairs = [(i, p) for i, p in enumerate(probes) if len(_norm_py(p)) < k]
+    docs = df.select(
+        F.col(id_col), H.normalize_text(F.col(text_col)).alias("_norm")
+    )
+    out = None
+    if long_pairs:
+        probe_block = spark.createDataFrame(
+            long_pairs, "probe_idx long, probe string"
+        ).select(
+            "probe_idx",
+            "probe",
+            H.normalize_text(F.col("probe")).alias("_pnorm"),
+        ).select(
+            "probe_idx",
+            "probe",
+            "_pnorm",
+            F.array_min(
+                H.shingle_hashes_from_codes(H.char_codes(F.col("_pnorm")), k)
+            ).alias("_h"),
+        )
+        doc_shingles = docs.select(
+            F.col(id_col),
+            F.explode(
+                H.shingle_hashes_from_codes(H.char_codes(F.col("_norm")), k)
+            ).alias("_h"),
+        )
+        cand = (
+            doc_shingles.join(F.broadcast(probe_block), "_h")
+            .select(id_col, "probe_idx", "probe", "_pnorm")
+            .distinct()
+        )
+        out = (
+            cand.join(docs, id_col)
+            .filter(F.col("_norm").contains(F.col("_pnorm")))
+            .select(F.col(id_col), "probe_idx", "probe")
+        )
+    if short_pairs:
+        sp = spark.createDataFrame(
+            short_pairs, "probe_idx long, probe string"
+        ).withColumn("_pnorm", H.normalize_text(F.col("probe")))
+        fallback = (
+            docs.join(F.broadcast(sp), F.col("_norm").contains(F.col("_pnorm")))
+            .select(F.col(id_col), "probe_idx", "probe")
+        )
+        out = fallback if out is None else out.unionByName(fallback)
+    if out is None:
+        return spark.createDataFrame([], f"`{id_col}` long, probe_idx long, probe string")
+    return out
+
+
 def chunk_documents(
     df: DataFrame,
     id_col: str,

@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import duckdb
 import pytest
+from pyspark.sql import functions as F
 
 from dwca_parquet_spark.operators.text import (
     PII_PATTERNS,
@@ -289,6 +290,45 @@ def test_find_contaminated(spark):
     )
     # normalization makes matching case/whitespace-insensitive
     assert got == [(1, 0), (1, 1), (3, 0)]
+
+
+def test_find_contaminated_blocked_equals_exact(spark, duck):
+    """The shingle-blocked scale path must return exactly the broadcast
+    contains path's result — blocking is a lossless candidate superset
+    (min probe shingle must appear in any containing doc), and the verify
+    restores exactness. Checked on real documents plus planted probes,
+    including a short probe (< k, falls back) and a never-matching one."""
+    from dwca_parquet_spark.operators.text import (
+        find_contaminated,
+        find_contaminated_blocked,
+    )
+
+    docs = spark.read.parquet(f"{SF_T2}/documents.parquet")
+    # real substrings from two fixture docs + a short probe + a miss
+    frags = {
+        r.doc_id: r.text
+        for r in docs.filter(F.col("doc_id").isin(7, 123)).collect()
+    }
+    probes = [
+        frags[7][10:48],
+        frags[123][5:40],
+        "the",                      # shorter than k=8 -> fallback leg
+        "zz-never-in-corpus-zz",
+    ]
+    exact = sorted(
+        (r.doc_id, r.probe_idx)
+        for r in find_contaminated(docs, "doc_id", "text", probes).collect()
+    )
+    blocked = sorted(
+        (r.doc_id, r.probe_idx)
+        for r in find_contaminated_blocked(
+            docs, "doc_id", "text", probes, k=8
+        ).collect()
+    )
+    assert blocked == exact
+    # the planted fragments really were found in their source docs
+    assert (7, 0) in exact and (123, 1) in exact
+    assert all(i != 3 for _, i in exact)
 
 
 def test_repetition_ratio_flags_boilerplate(spark):
