@@ -99,6 +99,47 @@ def write_versioned(
     return versioned, latest
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    num_buckets: int,
+    sort_cols: list[str] | None = None,
+    path: str | Path | None = None,
+    compression: str = "zstd",
+) -> str:
+    """Write df as a bucketed parquet TABLE (hash-bucketed on
+    ``bucket_cols`` into ``num_buckets`` files per partition, optionally
+    sorted within buckets).
+
+    The co-location lever for repeated big-big joins: two tables bucketed
+    on the same key with the same bucket count join WITHOUT any Exchange —
+    each bucket pairs with its counterpart directly, and with ``sort_cols``
+    the per-bucket sort drops out of the sort-merge join too. At 100 TB
+    this converts every recurring fact-fact join on the bucket key from a
+    full shuffle into a local merge.
+
+    Bucketing metadata lives in the session catalog (``saveAsTable`` —
+    Spark cannot express bucketing for plain-path writes); on a real
+    deployment the catalog is a metastore and the layout persists. The
+    bucket hash is Spark's own (Murmur3) — bucketed layouts are a
+    Spark-side optimization, not an engine-portable contract like the
+    operators' polynomial hashes.
+    """
+    writer = (
+        df.write.mode("overwrite")
+        .format("parquet")
+        .option("compression", compression)
+        .bucketBy(num_buckets, *bucket_cols)
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    if path is not None:
+        writer = writer.option("path", str(path))
+    writer.saveAsTable(table)
+    return table
+
+
 def write_clustered(
     df: DataFrame,
     path: str | Path,

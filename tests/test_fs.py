@@ -131,3 +131,49 @@ def test_write_clustered_prunes(spark, tmp_path):
     assert Counter(map(tuple, back.collect())) == Counter(
         map(tuple, li.collect())
     )
+
+
+def test_write_bucketed_join_has_no_shuffle(spark, tmp_path):
+    """Two tables bucketed on the same key with the same bucket count must
+    join WITHOUT any Exchange (the co-location contract), and the join
+    result must equal the plain join's."""
+    from collections import Counter
+
+    from dwca_parquet_spark.sinks.parquet import write_bucketed
+
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    customer = spark.read.parquet(
+        "/root/testdata/sf0.001/customer.parquet"
+    ).select("c_custkey", "c_name")
+    write_bucketed(
+        orders, "b_orders", ["o_custkey"], 8,
+        sort_cols=["o_custkey"], path=tmp_path / "b_orders",
+    )
+    write_bucketed(
+        customer, "b_customer", ["c_custkey"], 8,
+        sort_cols=["c_custkey"], path=tmp_path / "b_customer",
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        bo = spark.table("b_orders")
+        bc = spark.table("b_customer")
+        joined = bo.join(bc, bo.o_custkey == bc.c_custkey)
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        got = Counter(map(tuple, joined.collect()))
+        want = Counter(
+            map(
+                tuple,
+                orders.join(
+                    customer, orders.o_custkey == customer.c_custkey
+                ).collect(),
+            )
+        )
+        assert got == want
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_customer")
