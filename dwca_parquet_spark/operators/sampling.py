@@ -92,6 +92,37 @@ def hash_sample(
     return df.filter(bucket < threshold)
 
 
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    key_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic per-stratum sampling — the data-mixture rebalancing
+    primitive (keep 100% of books, 10% of web, 1% of logs).
+
+    Same membership rule as :func:`hash_sample`, but the threshold is
+    looked up from ``fractions`` by the row's stratum (strata absent from
+    the dict get ``default_fraction``). Still a pure per-row projection —
+    the threshold map compiles into the expression, so there is no join,
+    no shuffle, and the nesting property holds per stratum (raising one
+    stratum's fraction strictly extends its sample).
+    """
+    h = H.poly_hash(F.concat(F.col(key_col).cast("string"), F.lit(salt)))
+    bucket = F.pmod(
+        F.pmod(h * F.lit(SAMPLE_A) + F.lit(SAMPLE_B), F.lit(H.HASH_MOD)),
+        F.lit(SAMPLE_MOD),
+    )
+    threshold = F.lit(int(default_fraction * SAMPLE_MOD))
+    for stratum, frac in sorted(fractions.items()):
+        threshold = F.when(
+            F.col(strata_col) == stratum, F.lit(int(frac * SAMPLE_MOD))
+        ).otherwise(threshold)
+    return df.filter(bucket < threshold)
+
+
 def sql_hash_sample_pred(key_expr: str, fraction: float, salt: str = "") -> str:
     """DuckDB predicate computing the identical sample membership."""
     threshold = int(fraction * SAMPLE_MOD)

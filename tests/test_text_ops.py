@@ -331,6 +331,40 @@ def test_find_contaminated_blocked_equals_exact(spark, duck):
     assert all(i != 3 for _, i in exact)
 
 
+def test_stratified_sample(spark):
+    from dwca_parquet_spark.operators.sampling import (
+        hash_sample,
+        stratified_sample,
+    )
+
+    docs = spark.read.parquet(f"{SF_T2}/documents.parquet")
+    langs = [r.lang for r in docs.select("lang").distinct().collect()]
+    keep_all, keep_some = sorted(langs)[0], sorted(langs)[1]
+    out = stratified_sample(
+        docs, "lang", "doc_id",
+        {keep_all: 1.0, keep_some: 0.5},  # others default to 0
+    )
+    got = out.groupBy("lang").count().collect()
+    by_lang = {r.lang: r["count"] for r in got}
+    totals = {
+        r.lang: r["count"] for r in docs.groupBy("lang").count().collect()
+    }
+    assert by_lang[keep_all] == totals[keep_all]          # fraction 1.0 keeps all
+    assert 0 < by_lang.get(keep_some, 0) < totals[keep_some]
+    assert set(by_lang) == {keep_all, keep_some}          # default 0 drops rest
+    # per-stratum membership agrees with hash_sample at the same fraction
+    want_some = {
+        r.doc_id
+        for r in hash_sample(
+            docs.filter(F.col("lang") == keep_some), "doc_id", 0.5
+        ).collect()
+    }
+    got_some = {
+        r.doc_id for r in out.filter(F.col("lang") == keep_some).collect()
+    }
+    assert got_some == want_some
+
+
 def test_repetition_ratio_flags_boilerplate(spark):
     df = spark.createDataFrame(
         [
