@@ -133,11 +133,26 @@ def stage_archive(source: str | Path, staging_dir: str | Path) -> Path:
 
 
 def parse_meta(extract_dir: str | Path) -> DwcaArchive:
-    """Parse meta.xml → DwcaArchive (semantics of ``libs/dwca.py:31-44``)."""
+    """Parse meta.xml → DwcaArchive (semantics of ``libs/dwca.py:31-44``).
+
+    Malformed archives fail with a message naming what is missing — a
+    harvest job processing hundreds of IPT datasets needs the failure to
+    say WHICH contract the archive broke, not an AttributeError."""
     root = Path(extract_dir)
-    tree = ElementTree.parse(root / "meta.xml")
-    meta = tree.getroot()
-    core = _parse_layer(meta.find(f"{_DWC_NS}core"), root)
+    meta_path = root / "meta.xml"
+    if not meta_path.exists():
+        raise FileNotFoundError(
+            f"not a DwC-A: no meta.xml in {root} (archive must carry its "
+            "descriptor at the extraction root)"
+        )
+    meta = ElementTree.parse(meta_path).getroot()
+    core_node = meta.find(f"{_DWC_NS}core")
+    if core_node is None:
+        raise ValueError(
+            f"malformed meta.xml in {root}: no <core> element — a DwC-A "
+            "declares exactly one core table"
+        )
+    core = _parse_layer(core_node, root)
     extensions = [
         _parse_layer(ext, root) for ext in meta.findall(f"{_DWC_NS}extension")
     ]

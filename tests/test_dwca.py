@@ -218,3 +218,33 @@ def test_fix_latlon_mode(spark, tmp_path):
     g_f = flat_fixed.select("geom").first()["geom"]
     assert g_v == "POINT (58.12 7.15)"  # reference order: lat first (query.sql:1)
     assert g_f == "POINT (7.15 58.12)"  # corrected lon-lat
+
+
+def test_malformed_archive_errors(tmp_path):
+    """Missing meta.xml / missing <core> fail with messages naming the
+    broken contract (a many-dataset harvest needs actionable failures)."""
+    import zipfile
+
+    import pytest
+
+    from dwca_parquet_spark.sources.dwca import parse_meta, stage_archive
+
+    # an archive with no meta.xml at all
+    z = tmp_path / "no_meta.zip"
+    with zipfile.ZipFile(z, "w") as zf:
+        zf.writestr("occurrence.txt", "id\tname\n1\tx\n")
+    extracted = stage_archive(z, tmp_path / "s1")
+    with pytest.raises(FileNotFoundError, match="no meta.xml"):
+        parse_meta(extracted)
+
+    # meta.xml present but without a <core> element
+    z2 = tmp_path / "no_core.zip"
+    with zipfile.ZipFile(z2, "w") as zf:
+        zf.writestr(
+            "meta.xml",
+            '<?xml version="1.0"?>'
+            '<archive xmlns="http://rs.tdwg.org/dwc/text/"></archive>',
+        )
+    extracted2 = stage_archive(z2, tmp_path / "s2")
+    with pytest.raises(ValueError, match="no <core>"):
+        parse_meta(extracted2)
