@@ -331,6 +331,34 @@ def test_find_contaminated_blocked_equals_exact(spark, duck):
     assert all(i != 3 for _, i in exact)
 
 
+def test_hash_sample_join_consistency(spark):
+    """The docstring's co-sampling claim, proven: sampling two tables by
+    the SAME key and salt keeps the same keys on both sides, so the join
+    of the samples equals the sample of the join — the property that lets
+    a pipeline subsample facts and their feature tables independently."""
+    from dwca_parquet_spark.operators.sampling import hash_sample
+
+    orders = spark.read.parquet(
+        "/root/testdata/sf0.001/orders.parquet"
+    ).select("o_orderkey", F.col("o_custkey").alias("custkey"))
+    customer = spark.read.parquet(
+        "/root/testdata/sf0.001/customer.parquet"
+    ).select(F.col("c_custkey").alias("custkey"), "c_name")
+    so = hash_sample(orders, "custkey", 0.4, salt="mix")
+    sc = hash_sample(customer, "custkey", 0.4, salt="mix")
+    joined_samples = sorted(
+        tuple(r) for r in so.join(sc, "custkey").collect()
+    )
+    sampled_join = sorted(
+        tuple(r)
+        for r in hash_sample(
+            orders.join(customer, "custkey"), "custkey", 0.4, salt="mix"
+        ).collect()
+    )
+    assert joined_samples == sampled_join
+    assert joined_samples  # non-vacuous: the sample actually kept rows
+
+
 def test_stratified_sample(spark):
     from dwca_parquet_spark.operators.sampling import (
         hash_sample,
