@@ -1,0 +1,93 @@
+"""End-to-end training-data pipeline composition: the operators are built
+to chain, and this test runs the realistic chain on the fixture corpus —
+
+    quality filter → stratified sample → fuzzy-dedup keep-best →
+    PII redaction → chunking → token accounting
+
+— asserting the structural invariants each stage guarantees to the next.
+No oracle here (each operator has its own differential gate); this pins
+COMPOSITION: schemas line up, determinism survives chaining, and the
+corpus only ever shrinks where it must.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from dwca_parquet_spark.operators.dedup import dedup_clusters
+from dwca_parquet_spark.operators.sampling import stratified_sample
+from dwca_parquet_spark.operators.text import (
+    chunk_documents,
+    quality_score,
+    redact_pii,
+    token_count,
+)
+from tests.conftest import SF_T2
+
+
+def test_pretraining_pipeline_composes(spark):
+    docs = spark.read.parquet(f"{SF_T2}/documents.parquet")
+    n_docs = docs.count()
+
+    # 1. quality gate: drop the low bucket
+    scored = docs.join(quality_score(docs, "doc_id", "text"), "doc_id")
+    kept = scored.filter(F.col("quality_bucket") != "low")
+    n_kept = kept.count()
+    assert 0 < n_kept <= n_docs
+
+    # 2. language-mix rebalance (deterministic)
+    langs = [r.lang for r in kept.select("lang").distinct().collect()]
+    mix = {lang: 1.0 if i % 2 == 0 else 0.5 for i, lang in enumerate(sorted(langs))}
+    sampled = stratified_sample(kept, "lang", "doc_id", mix)
+    n_sampled = sampled.count()
+    assert 0 < n_sampled <= n_kept
+    # rerun → identical selection (the whole point of hash sampling)
+    assert sampled.select("doc_id").collect() == stratified_sample(
+        kept, "lang", "doc_id", mix
+    ).select("doc_id").collect()
+
+    # 3. fuzzy dedup, keep the best-quality doc per near-dup cluster
+    clusters = dedup_clusters(sampled, "doc_id", "text")
+    manifest = (
+        sampled.join(clusters, "doc_id")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("cluster_id").orderBy(
+                    F.col("quality_score").desc(), F.col("doc_id").asc()
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    n_final = manifest.count()
+    n_clusters = clusters.select("cluster_id").distinct().count()
+    assert n_final == n_clusters  # exactly one doc per cluster
+    assert n_final <= n_sampled
+
+    # 4. PII scrub, then chunk the redacted text
+    clean = manifest.join(
+        redact_pii(manifest, "doc_id", "text"), "doc_id"
+    ).select("doc_id", F.col("redacted_text").alias("text"))
+    chunks = chunk_documents(clean, "doc_id", "text", chunk_tokens=64, overlap=8)
+
+    # every chunk obeys the size contract and belongs to a surviving doc
+    stats = chunks.agg(
+        F.max("n_chunk_tokens").alias("mx"),
+        F.min("n_chunk_tokens").alias("mn"),
+        F.countDistinct("doc_id").alias("docs_with_chunks"),
+        F.count(F.lit(1)).alias("n_chunks"),
+    ).collect()[0]
+    assert stats.mx <= 64 and stats.mn >= 1
+    assert stats.docs_with_chunks <= n_final
+    assert stats.n_chunks >= stats.docs_with_chunks
+
+    # 5. token accounting: chunked token mass ≥ raw (overlap duplicates),
+    #    bounded by raw + n_chunks·overlap
+    raw_tokens = clean.agg(
+        F.sum(token_count(F.col("text")).cast("long")).alias("t")
+    ).collect()[0].t
+    chunk_tokens = chunks.agg(F.sum("n_chunk_tokens").alias("t")).collect()[0].t
+    assert raw_tokens <= chunk_tokens <= raw_tokens + stats.n_chunks * 8
