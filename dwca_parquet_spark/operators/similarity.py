@@ -620,3 +620,38 @@ def ann_topk_multitable(
         .filter(F.col("rn") <= k)
         .drop("rn")
     )
+
+
+def embedding_dedup_clusters(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.9,
+    bucketed: bool = True,
+    num_planes: int = NUM_PLANES,
+    num_blocks: int = 8,
+) -> DataFrame:
+    """Near-dup cluster id per vector: (id, cluster_id) — the embedding
+    twin of dedup.dedup_clusters.
+
+    Pairs come from :func:`embedding_neardup_pairs` (bucketed sign-LSH by
+    default — the sub-quadratic path; exact block-matmul with
+    ``bucketed=False``), then connected components collapse the pair graph
+    to one label per vector; vectors with no near-dup keep their own id.
+    Same 100 TB contract as the text side: consumers get O(#clusters)
+    rows, never a quadratic duplicate-pair set.
+    """
+    from dwca_parquet_spark.operators.dedup import connected_components
+
+    pairs = embedding_neardup_pairs(
+        df, id_col, vec_col, threshold, bucketed, num_planes, num_blocks
+    )
+    comp = connected_components(pairs).withColumnRenamed("node", id_col)
+    return (
+        df.select(F.col(id_col))
+        .join(comp, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("label"), F.col(id_col)).alias("cluster_id"),
+        )
+    )
