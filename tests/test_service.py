@@ -96,3 +96,51 @@ def test_background_queue_runs(svc, spark):
     bad = q.enqueue(lambda: 1 / 0)
     bad.wait(30)
     assert bad.status == "failed" and "ZeroDivisionError" in bad.error
+
+
+def test_http_skin_end_to_end(svc, spark):
+    """The stdlib HTTP layer over the service: every reference route via a
+    real socket — list, get (which enqueues the conversion), both catalog
+    POSTs, plus 404s for unknown resources and routes."""
+    import json as _json
+    import urllib.error
+    import urllib.request
+
+    from dwca_parquet_spark.httpd import serve
+
+    httpd = serve(svc)
+    host, port = httpd.server_address
+    base = f"http://{host}:{port}/api/v1"
+    try:
+        def get(url):
+            with urllib.request.urlopen(url, timeout=30) as r:
+                return _json.loads(r.read())
+
+        def post(url):
+            req = urllib.request.Request(url, method="POST", data=b"")
+            with urllib.request.urlopen(req, timeout=30) as r:
+                return _json.loads(r.read())
+
+        listing = get(f"{base}/resources")["resources"]
+        assert [r["id"] for r in listing] == ["birds", "moths"]
+        assert listing[0]["url"].startswith("http://") and listing[0][
+            "url"
+        ].endswith("/api/v1/resources/birds")
+
+        resp = get(f"{base}/resources/birds")
+        assert resp["version"] == "1.7" and "job_id" in resp
+        job = svc.jobs.jobs[-1].wait(120)
+        assert job.status == "done", job.error
+
+        assert "job_id" in post(f"{base}/resources/csw")
+        assert "job_id" in post(f"{base}/resources/geoapi")
+        svc.jobs.join(180)
+
+        with pytest.raises(urllib.error.HTTPError) as e404:
+            get(f"{base}/resources/nosuch")
+        assert e404.value.code == 404
+        with pytest.raises(urllib.error.HTTPError) as e404b:
+            get(f"{base}/bogus")
+        assert e404b.value.code == 404
+    finally:
+        httpd.shutdown()
