@@ -166,6 +166,17 @@ def simhash32(token_hashes: Column) -> Column:
 # ---------------------------------------------------------------------------
 
 
+def normalize_text_py(s: str) -> str:
+    """Driver-side Python mirror of :func:`normalize_text` /
+    :func:`sql_normalize_text` — the THIRD definition of the same
+    normalization, kept here so all three live side-by-side and cannot
+    drift. Used only on bounded driver-side inputs (probe lists)."""
+    import re
+
+    s = re.sub(r"[^\x20-\x7e]", "", s.lower())
+    return re.sub(r"\s+", " ", s).strip()
+
+
 def sql_normalize_text(expr: str) -> str:
     return (
         f"trim(regexp_replace(regexp_replace(lower({expr}), '[^\\x20-\\x7e]', '', 'g'),"

@@ -124,9 +124,13 @@ def stratified_sample(
 
 
 def sql_hash_sample_pred(key_expr: str, fraction: float, salt: str = "") -> str:
-    """DuckDB predicate computing the identical sample membership."""
+    """DuckDB predicate computing the identical sample membership.
+
+    The salt is embedded as a SQL string literal, so quotes are doubled —
+    a salt containing ' must not silently diverge from the Spark side."""
     threshold = int(fraction * SAMPLE_MOD)
-    keyed = f"({key_expr} || '{salt}')" if salt else key_expr
+    esc = salt.replace("'", "''")
+    keyed = f"({key_expr} || '{esc}')" if salt else key_expr
     h = H.sql_poly_hash(keyed)
     return (
         f"((({h}) * {SAMPLE_A} + {SAMPLE_B}) % {H.HASH_MOD} % {SAMPLE_MOD})"

@@ -251,12 +251,13 @@ def repetition_ratio(
     )
 
 
-# URL pattern, engine-portable (no lookarounds): scheme://host/path. The
-# host must END alphanumeric so sentence punctuation ("...example.com.")
-# never rides along; the path stops at whitespace or closing punctuation
-# that commonly trails prose URLs.
+# URL pattern, engine-portable (no lookarounds): scheme://host[:port]/path.
+# The host must END alphanumeric so sentence punctuation ("...example.com.")
+# never rides along; an optional :port sits between host and path; the path
+# stops at whitespace or closing punctuation that commonly trails prose URLs.
 URL_PATTERN = (
     r"https?://[A-Za-z0-9](?:[A-Za-z0-9.-]*[A-Za-z0-9])?"
+    r"(?::\d+)?"
     r"(?:/[^\s)\]}>,\"']*)?"
 )
 _DOMAIN_FROM_URL = r"https?://([A-Za-z0-9.-]+)"
@@ -342,15 +343,14 @@ def find_contaminated_blocked(
     spark = df.sparkSession
     # Length gate on the NORMALIZED probe — shingling happens post-
     # normalization, so that is the length that decides whether a min
-    # shingle exists.
-    import re
-
-    def _norm_py(s: str) -> str:
-        s = re.sub(r"[^\x20-\x7e]", "", s.lower())
-        return re.sub(r"\s+", " ", s).strip()
-
-    long_pairs = [(i, p) for i, p in enumerate(probes) if len(_norm_py(p)) >= k]
-    short_pairs = [(i, p) for i, p in enumerate(probes) if len(_norm_py(p)) < k]
+    # shingle exists. normalize_text_py is the shared driver-side mirror
+    # of H.normalize_text (single source of truth; probes are bounded).
+    long_pairs = [
+        (i, p) for i, p in enumerate(probes) if len(H.normalize_text_py(p)) >= k
+    ]
+    short_pairs = [
+        (i, p) for i, p in enumerate(probes) if len(H.normalize_text_py(p)) < k
+    ]
     docs = df.select(
         F.col(id_col), H.normalize_text(F.col(text_col)).alias("_norm")
     )
@@ -429,11 +429,19 @@ def chunk_documents(
     n_chunks = F.when(n_tok <= 0, F.lit(0)).otherwise(
         F.floor((n_tok - 1) / stride) + 1
     )
-    staged = df.select(F.col(id_col), toks.alias("_t"), n_chunks.alias("_nc"))
+    staged = df.select(
+        F.col(id_col), toks.alias("_t"), n_chunks.cast("int").alias("_nc")
+    )
+    # Guard the sequence: F.sequence(1, 0) defaults step to -1 and yields
+    # the DESCENDING array [1, 0], which would fabricate two empty chunks
+    # for empty documents. Empty docs must produce zero rows.
+    idx = F.when(F.col("_nc") >= 1, F.sequence(F.lit(1), F.col("_nc"))).otherwise(
+        F.array().cast("array<int>")
+    )
     exploded = staged.select(
         F.col(id_col),
         F.col("_t"),
-        F.posexplode(F.sequence(F.lit(1), F.col("_nc"))).alias("chunk_idx", "_one"),
+        F.posexplode(idx).alias("chunk_idx", "_one"),
     )
     piece = F.slice(F.col("_t"), F.col("chunk_idx") * stride + 1, chunk_tokens)
     return exploded.select(

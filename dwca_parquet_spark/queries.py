@@ -40,6 +40,18 @@ from dwca_parquet_spark.operators import text as T
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
+# SEQUENCING CONTRACT: each registered query, when built, first releases the
+# tracked caches of the PREVIOUS query (see the `query` decorator).  Callers
+# must therefore MATERIALIZE each query's DataFrame before building the next
+# one (build q_a → collect q_a → build q_b …), which is exactly how the
+# correctness driver, bench.py, tools/driver_check.py and tools/plan_audit.py
+# all run.  A caller that interleaves builds (build q_a, build q_b, collect
+# q_a) would have q_b's build unpersist q_a's tracked shingle/bucket tables,
+# silently reinstating the pathological lazy recomputation cache.py documents
+# (~552 s at sf0.1 for q31).  Such a caller must set AUTO_RELEASE_CACHES =
+# False and call cache.release_caches() itself between materializations.
+AUTO_RELEASE_CACHES = True
+
 QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 
@@ -63,10 +75,11 @@ def query(name: str, oracle: str | None):
             # correctness driver runs 50 in one session) may never call
             # cache.release_caches() itself; releasing the PREVIOUS
             # queries' tracked persists here bounds cache accumulation to
-            # one query's intermediates. Safe: by the time the next query
-            # is built, the prior one has been materialized, and an
-            # unpersisted table would merely recompute if re-collected.
-            release_caches()
+            # one query's intermediates. Safe ONLY under the sequencing
+            # contract documented at AUTO_RELEASE_CACHES above
+            # (build-then-materialize); interleaving callers disable it.
+            if AUTO_RELEASE_CACHES:
+                release_caches()
             return fn(spark, sf_dir)
 
         wrapped.__name__ = fn.__name__

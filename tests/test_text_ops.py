@@ -176,6 +176,32 @@ def test_hash_sample_deterministic_and_duck_parity(spark, duck):
     assert salted != got
 
 
+def test_hash_sample_quoted_salt_parity(spark, duck):
+    """A salt containing a single quote must be escaped into the oracle SQL
+    literal (regression: unescaped interpolation produced invalid SQL)."""
+    from dwca_parquet_spark.operators.sampling import (
+        hash_sample,
+        sql_hash_sample_pred,
+    )
+
+    salt = "o'brien's"
+    docs = spark.read.parquet(f"{SF_T2}/documents.parquet")
+    got = sorted(
+        r["doc_id"]
+        for r in hash_sample(docs, "doc_id", 0.3, salt=salt)
+        .select("doc_id")
+        .collect()
+    )
+    pred = sql_hash_sample_pred("CAST(doc_id AS VARCHAR)", 0.3, salt=salt)
+    want = sorted(
+        r[0]
+        for r in duck.execute(
+            f"SELECT doc_id FROM documents WHERE {pred}"
+        ).fetchall()
+    )
+    assert got == want and len(got) > 0
+
+
 CHUNK, OVERLAP = 32, 8
 STRIDE = CHUNK - OVERLAP
 DUCK_CHUNK_SQL = f"""
@@ -231,11 +257,35 @@ def test_chunk_documents_parity(spark, duck):
     assert first[STRIDE:STRIDE + OVERLAP] == second[:OVERLAP]
 
 
+def test_chunk_documents_empty_docs(spark):
+    """Documents whose NORMALIZED text is empty must produce ZERO chunks
+    (regression: F.sequence(1, 0) yields the descending [1, 0], which
+    fabricated two phantom empty chunks before the guard)."""
+    from dwca_parquet_spark.operators.text import chunk_documents
+
+    df = spark.createDataFrame(
+        [
+            (1, ""),
+            (2, "   \t  "),          # whitespace-only → normalizes empty
+            (3, "é中文"),  # non-ASCII only → normalizes empty
+            (4, "one two three"),
+        ],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        tuple(r)
+        for r in chunk_documents(df, "doc_id", "text", chunk_tokens=4, overlap=1)
+        .collect()
+    )
+    assert got == [(4, 0, "one two three", 3)]
+
+
 URL_ROWS = [
     (1, "see https://example.org/a/b?x=1 and http://sub.Example.COM."),
     (2, "bare domain example.org is not a url; https://a.b/c, done"),
     (3, "no links at all"),
     (4, "(wrapped https://x.y/z) [also https://q.r]"),
+    (5, "ported http://h.x:9/ and http://host.example:8080/path end"),
 ]
 
 
@@ -268,6 +318,11 @@ def test_extract_urls_parity(spark, duck):
     assert by_id[1] == ["sub.example.com", "example.org"]
     assert 3 not in by_id
     assert by_id[4] == ["q.r", "x.y"]
+    # ports ride along on the URL but never pollute the domain
+    assert by_id[5] == ["h.x", "host.example"]
+    assert any(
+        url == "http://host.example:8080/path" for _, url, _d in got
+    )
     # sentence punctuation never rides along on the host
     assert all(not d.endswith(".") for doms in by_id.values() for d in doms)
 
