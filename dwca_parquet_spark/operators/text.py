@@ -400,6 +400,100 @@ def find_contaminated_blocked(
     return out
 
 
+def contamination_overlap(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    probes: list[str],
+    n: int = 8,
+    min_frac: float = 0.5,
+) -> DataFrame:
+    """N-gram-overlap decontamination: the fraction of each probe's distinct
+    character n-shingles that appear among a document's shingles.
+
+    Real benchmark-decontamination pipelines flag documents by SHARED-n-gram
+    fraction, not only exact substring containment (a paraphrased or
+    partially-quoted benchmark item still contaminates). This is the graded
+    companion to :func:`find_contaminated` /
+    :func:`find_contaminated_blocked`: overlap_frac == 1.0 for exact
+    containment, values in (0, 1) for partial overlap. Output one row per
+    (doc, probe) with overlap_frac >= min_frac:
+    (id, probe_idx, probe, n_probe_shingles, n_shared, overlap_frac).
+
+    Probes whose NORMALIZED text is shorter than n characters have no
+    shingles (the fraction is undefined) and are skipped — screen those few
+    with the exact operators.
+
+    Shuffle shape (the same intermediate the blocked decontamination and the
+    dedup family already compute): explode the documents' distinct shingle
+    hashes, equi-join against the broadcast probe shingle table (both sides
+    distinct, so matched rows COUNT the intersection), then one map-side-
+    combinable groupBy on (id, probe_idx). Candidate volume is bounded by
+    Σ_probe |shingles(probe)| × df(shingle) — never |docs| × |probes|. At
+    100 TB, share the persisted doc-shingle table across dedup and
+    decontamination passes.
+    """
+    spark = df.sparkSession
+    pairs = [
+        (i, p) for i, p in enumerate(probes) if len(H.normalize_text_py(p)) >= n
+    ]
+    out_schema = (
+        f"`{id_col}` long, probe_idx long, probe string, "
+        "n_probe_shingles long, n_shared long, overlap_frac double"
+    )
+    if not pairs:
+        return spark.createDataFrame([], out_schema)
+    probe_sh = (
+        spark.createDataFrame(pairs, "probe_idx long, probe string")
+        .select(
+            "probe_idx",
+            "probe",
+            H.shingle_hashes(
+                H.normalize_text(F.col("probe")), n
+            ).alias("_ph"),
+        )
+        .select(
+            "probe_idx",
+            "probe",
+            F.size("_ph").cast("long").alias("n_probe_shingles"),
+            F.explode("_ph").alias("_h"),
+        )
+    )
+    docs = df.select(
+        F.col(id_col), H.normalize_text(F.col(text_col)).alias("_norm")
+    )
+    doc_sh = docs.select(
+        F.col(id_col),
+        F.explode(
+            H.shingle_hashes_from_codes(H.char_codes(F.col("_norm")), n)
+        ).alias("_h"),
+    )
+    shared = (
+        doc_sh.join(F.broadcast(probe_sh), "_h")
+        .groupBy(id_col, "probe_idx", "probe", "n_probe_shingles")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+    return (
+        shared.withColumn(
+            "overlap_frac",
+            F.round(
+                F.col("n_shared").cast("double")
+                / F.col("n_probe_shingles").cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("overlap_frac") >= min_frac)
+        .select(
+            F.col(id_col),
+            "probe_idx",
+            "probe",
+            "n_probe_shingles",
+            "n_shared",
+            "overlap_frac",
+        )
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     id_col: str,

@@ -327,6 +327,133 @@ def test_extract_urls_parity(spark, duck):
     assert all(not d.endswith(".") for doms in by_id.values() for d in doms)
 
 
+def test_contamination_overlap_synthetic(spark, duck):
+    """Graded n-gram-overlap decontamination: exact containment scores 1.0,
+    a paraphrase scores in (0,1), unrelated text is absent; values match a
+    DuckDB list_intersect oracle on the same shingle hashes."""
+    from dwca_parquet_spark.functions import hashing as H
+    from dwca_parquet_spark.operators.text import contamination_overlap
+
+    docs = [
+        (1, "The quick brown fox jumps over the lazy dog near the river bank."),
+        (2, "A quick brown fox leaps over a sleepy dog by the river."),
+        (3, "Completely different text about Spark physical plans."),
+        (4, ""),
+    ]
+    probes = [
+        "quick brown fox jumps over the lazy dog",  # contained in doc 1
+        "zzz",  # shorter than n after normalization → skipped
+    ]
+    n, min_frac = 8, 0.05
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = sorted(
+        tuple(r)
+        for r in contamination_overlap(
+            df, "doc_id", "text", probes, n=n, min_frac=min_frac
+        ).collect()
+    )
+    duck.execute("CREATE OR REPLACE TABLE ov_docs (doc_id BIGINT, text VARCHAR)")
+    duck.executemany("INSERT INTO ov_docs VALUES (?, ?)", docs)
+    duck.execute(
+        "CREATE OR REPLACE TABLE ov_probes (probe_idx BIGINT, probe VARCHAR)"
+    )
+    duck.executemany(
+        "INSERT INTO ov_probes VALUES (?, ?)", list(enumerate(probes))
+    )
+    want = sorted(
+        tuple(r)
+        for r in duck.execute(
+            f"""
+            WITH p AS (
+                SELECT probe_idx, probe,
+                       {H.sql_shingle_hashes(H.sql_normalize_text('probe'), n)} AS ph
+                FROM ov_probes
+            ),
+            d AS (
+                SELECT doc_id,
+                       {H.sql_shingle_hashes(H.sql_normalize_text('text'), n)} AS dh
+                FROM ov_docs
+            )
+            SELECT doc_id, probe_idx, probe,
+                   CAST(len(ph) AS BIGINT) AS n_probe_shingles,
+                   CAST(len(list_intersect(dh, ph)) AS BIGINT) AS n_shared,
+                   round(len(list_intersect(dh, ph)) / len(ph), 6) AS overlap_frac
+            FROM d, p
+            WHERE len(ph) > 0
+              AND round(len(list_intersect(dh, ph)) / len(ph), 6) >= {min_frac}
+            """
+        ).fetchall()
+    )
+    assert got == want
+    by_doc = {r[0]: r[5] for r in got}
+    assert by_doc[1] == 1.0          # exact containment
+    assert 0.05 <= by_doc[2] < 1.0   # paraphrase: partial overlap
+    assert 3 not in by_doc and 4 not in by_doc
+    # the sub-n probe was skipped entirely
+    assert all(r[1] == 0 for r in got)
+
+
+def test_contamination_overlap_documents_parity(spark, duck):
+    """Parity on the real documents table with probes cut from document
+    texts (one verbatim window, one mutated) — mid-range fractions."""
+    from dwca_parquet_spark.functions import hashing as H
+    from dwca_parquet_spark.operators.text import contamination_overlap
+
+    texts = [
+        r[0]
+        for r in duck.execute(
+            "SELECT text FROM documents WHERE length(text) > 120 "
+            "ORDER BY doc_id LIMIT 2"
+        ).fetchall()
+    ]
+    probes = [
+        texts[0][20:90],
+        texts[1][10:80].replace("e", "x"),
+        "never anywhere in the corpus qqqqqq",
+    ]
+    n, min_frac = 8, 0.02
+    docs = spark.read.parquet(f"{SF_T2}/documents.parquet")
+    got = sorted(
+        tuple(r)
+        for r in contamination_overlap(
+            docs, "doc_id", "text", probes, n=n, min_frac=min_frac
+        ).collect()
+    )
+    duck.execute(
+        "CREATE OR REPLACE TABLE ov_probes2 (probe_idx BIGINT, probe VARCHAR)"
+    )
+    duck.executemany(
+        "INSERT INTO ov_probes2 VALUES (?, ?)", list(enumerate(probes))
+    )
+    want = sorted(
+        tuple(r)
+        for r in duck.execute(
+            f"""
+            WITH p AS (
+                SELECT probe_idx, probe,
+                       {H.sql_shingle_hashes(H.sql_normalize_text('probe'), n)} AS ph
+                FROM ov_probes2
+            ),
+            d AS (
+                SELECT doc_id,
+                       {H.sql_shingle_hashes(H.sql_normalize_text('text'), n)} AS dh
+                FROM documents
+            )
+            SELECT doc_id, probe_idx, probe,
+                   CAST(len(ph) AS BIGINT) AS n_probe_shingles,
+                   CAST(len(list_intersect(dh, ph)) AS BIGINT) AS n_shared,
+                   round(len(list_intersect(dh, ph)) / len(ph), 6) AS overlap_frac
+            FROM d, p
+            WHERE len(ph) > 0
+              AND round(len(list_intersect(dh, ph)) / len(ph), 6) >= {min_frac}
+            """
+        ).fetchall()
+    )
+    assert got == want and len(got) >= 2
+    # the verbatim window hits its source doc at 1.0
+    assert any(r[1] == 0 and r[5] == 1.0 for r in got)
+
+
 def test_find_contaminated(spark):
     from dwca_parquet_spark.operators.text import find_contaminated
 
