@@ -167,6 +167,37 @@ def interval_join(
     )
 
 
+def approx_percentiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    quantiles: dict[str, float],
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Approximate per-group percentiles — the 100 TB leg beside the exact
+    one (queries.py q50_percentiles).
+
+    Exact ``percentile`` buffers and sorts every group's values on one
+    reducer; at 100 TB a single hot group OOMs it. ``percentile_approx``
+    aggregates a bounded quantile sketch instead (KLL-style; memory is
+    O(accuracy·log n), independent of group size), combines partials
+    map-side, and guarantees rank error ≤ 1/accuracy — the right trade for
+    distribution profiling over petabyte facts. Returned values are drawn
+    from the data (no interpolation), so they differ from the continuous-
+    interpolated exact values within a tolerance the differential test
+    measures and documents (tests/test_text_ops.py).
+
+    ``quantiles`` maps output column name → q in [0, 1].
+    """
+    vals = F.col(value_col).cast("double")
+    return df.groupBy(group_col).agg(
+        *[
+            F.round(F.percentile_approx(vals, q, accuracy), 6).alias(name)
+            for name, q in quantiles.items()
+        ]
+    )
+
+
 def key_skew_profile(df: DataFrame, key_col: str, top_n: int = 10) -> DataFrame:
     """Top-N hottest keys with their share of all rows — the pre-flight
     check before any big join/agg on ``key_col`` (decides whether to salt,

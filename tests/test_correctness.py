@@ -96,3 +96,49 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) >= 0
     assert df.columns
+
+
+def test_approx_percentiles_tolerance_sf01(spark):
+    """Tolerance-gated (not hash-gated) differential for the approximate-
+    percentile leg beside q50's exact one: percentile_approx with
+    accuracy=10000 vs DuckDB's exact quantile_cont at sf0.1.
+
+    percentile_approx guarantees RANK error <= 1/accuracy and returns an
+    actual data value (no interpolation), so equality is the wrong gate;
+    instead assert relative value error per (group, quantile). Max observed
+    error at sf0.1 (lineitem ~600k rows, accuracy=10000): 2.8e-4 relative
+    (measured 2026-08-14); gate ~18x above at 5e-3 to stay robust to
+    fixture regeneration."""
+    import duckdb
+
+    from dwca_parquet_spark.operators.relational import approx_percentiles
+
+    sf_dir = "/root/testdata/sf0.1"
+    qs = {"p25": 0.25, "p50": 0.5, "p90": 0.9, "p99": 0.99}
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    got = {
+        r["l_returnflag"]: {k: r[k] for k in qs}
+        for r in approx_percentiles(
+            li, "l_returnflag", "l_extendedprice", qs
+        ).collect()
+    }
+    con = duckdb.connect()
+    exact = {
+        row[0]: dict(zip(qs, row[1:]))
+        for row in con.sql(
+            "SELECT l_returnflag, "
+            + ", ".join(
+                f"quantile_cont(CAST(l_extendedprice AS DOUBLE), {q})"
+                for q in qs.values()
+            )
+            + f" FROM read_parquet('{sf_dir}/lineitem.parquet')"
+            " GROUP BY l_returnflag"
+        ).fetchall()
+    }
+    assert set(got) == set(exact)
+    max_rel = 0.0
+    for g in got:
+        for k in qs:
+            rel = abs(got[g][k] - exact[g][k]) / abs(exact[g][k])
+            max_rel = max(max_rel, rel)
+    assert max_rel < 5e-3, f"max relative error {max_rel:.2e} exceeds gate"
