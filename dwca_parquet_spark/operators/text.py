@@ -263,24 +263,115 @@ URL_PATTERN = (
 _DOMAIN_FROM_URL = r"https?://([A-Za-z0-9.-]+)"
 
 
-def extract_urls(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """One row per URL occurrence: (id, url, domain).
+def extract_urls(
+    df: DataFrame, id_col: str, text_col: str, collapse_suffix: bool = False
+) -> DataFrame:
+    """One row per URL occurrence: (id, url, domain
+    [, registrable_domain]).
 
     The crawl-style provenance pass: explode every http(s) URL out of the
-    text with its registrable host (full hostname; public-suffix collapse
-    is a lookup-table join away and deliberately not hardcoded). Zero
-    shuffle — regexp_extract_all + explode run in the scan stage; the
-    usual downstream (per-domain counts for source mix, blocklist
-    anti-joins) adds one combinable shuffle each.
+    text with its hostname. ``collapse_suffix=True`` appends the PSL
+    registrable domain (:func:`registrable_domain`), so per-domain
+    source-mix aggregation groups publishers, not subdomains. Zero
+    shuffle either way — regexp_extract_all + explode run in the scan
+    stage and the suffix lookup is a broadcast hash join; the usual
+    downstream (per-domain counts for source mix, blocklist anti-joins)
+    adds one combinable shuffle each.
     """
     urls = F.regexp_extract_all(F.col(text_col), F.lit(URL_PATTERN), 0)
-    return (
+    out = (
         df.select(F.col(id_col), F.explode(urls).alias("url"))
         .withColumn(
             "domain",
             F.lower(F.regexp_extract(F.col("url"), _DOMAIN_FROM_URL, 1)),
         )
     )
+    if collapse_suffix:
+        out = registrable_domain(out, "domain")
+    return out
+
+
+# Curated snapshot of the public-suffix list (publicsuffix.org — the
+# browser-maintained registry of suffixes under which names are registered).
+# A real deployment swaps in the full ~9k-entry list file verbatim; the
+# operator below is list-driven (broadcast join), so ONLY this tuple changes
+# — never the plan. Longest-match-wins, per the PSL algorithm.
+PUBLIC_SUFFIX_SNAPSHOT: tuple[str, ...] = (
+    # generic
+    "com", "org", "net", "edu", "gov", "mil", "int", "info", "biz",
+    "io", "co", "ai", "app", "dev", "me", "tv", "cc", "xyz", "site",
+    # country-code
+    "us", "uk", "de", "fr", "es", "it", "nl", "no", "se", "dk", "fi",
+    "jp", "cn", "in", "br", "mx", "ar", "tr", "kr", "au", "nz", "za",
+    "ru", "pl", "ch", "at", "be", "ca",
+    # second-level registries
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au",
+    "co.jp", "or.jp", "ne.jp", "ac.jp", "go.jp",
+    "com.cn", "net.cn", "org.cn", "gov.cn", "edu.cn",
+    "com.br", "net.br", "org.br", "gov.br",
+    "co.in", "net.in", "org.in", "gen.in", "firm.in",
+    "co.nz", "net.nz", "org.nz", "govt.nz",
+    "com.mx", "org.mx", "gob.mx",
+    "com.ar", "com.tr", "co.kr", "or.kr", "co.za", "org.za", "web.za",
+    "com.sg", "com.hk", "com.tw", "co.th", "co.id", "com.my",
+    # third-level registries
+    "pvt.k12.ma.us", "act.edu.au", "nsw.edu.au", "vic.edu.au",
+)
+
+
+def registrable_domain(
+    df: DataFrame,
+    domain_col: str,
+    out_col: str = "registrable_domain",
+    suffixes: tuple[str, ...] = PUBLIC_SUFFIX_SNAPSHOT,
+) -> DataFrame:
+    """Collapse hostnames to their registrable domain (PSL "eTLD+1"):
+    one label left of the longest matching public suffix. sub.example.co.uk
+    → example.co.uk; a.b.example.com → example.com; unknown TLDs default to
+    last-two-labels (the PSL's implicit ``*`` rule); single-label hosts
+    (localhost) pass through.
+
+    Per-domain source-mix aggregation must group by THIS, not the raw
+    hostname — otherwise every subdomain of one publisher counts as a
+    distinct source.
+
+    Shape: the suffix list is data, not expression — three guarded
+    broadcast LEFT joins (suffix length k = 3, 2, 1 labels; longest match
+    wins by coalesce order). The probe side streams 1:1 through broadcast
+    hash joins: zero shuffle, no explode, no row multiplication (suffix
+    values are unique per k). Swapping in the full 9k-entry PSL changes
+    only broadcast size (~200 KB)."""
+    spark = df.sparkSession
+    by_k: dict[int, list[str]] = {}
+    for s in suffixes:
+        by_k.setdefault(s.count(".") + 1, []).append(s)
+    tmp = df.withColumn("_lbl", F.split(F.col(domain_col), r"\."))
+    nl = F.size("_lbl")
+    matched = []
+    for k in sorted(by_k, reverse=True):
+        sdf = spark.createDataFrame(
+            [(s,) for s in by_k[k]], f"_m{k} string"
+        )
+        # a suffix only matches if at least one extra label remains to
+        # form the registrable domain (nl > k)
+        key = F.when(
+            nl > k, F.array_join(F.slice(F.col("_lbl"), nl - k + 1, k), ".")
+        )
+        tmp = tmp.withColumn(f"_sfx{k}", key).join(
+            F.broadcast(sdf), F.col(f"_sfx{k}") == F.col(f"_m{k}"), "left"
+        )
+        matched.append((k, f"_m{k}"))
+    # longest matching suffix's k, else the implicit * rule (k = 1)
+    k_eff = F.lit(1)
+    for k, m in sorted(matched):  # ascending so the longest WHEN wins last
+        k_eff = F.when(F.col(m).isNotNull(), F.lit(k)).otherwise(k_eff)
+    reg = F.when(
+        nl > k_eff,
+        F.array_join(F.slice(F.col("_lbl"), nl - k_eff, k_eff + 1), "."),
+    ).otherwise(F.col(domain_col))
+    drop = ["_lbl"] + [c for _, c in matched] + [f"_sfx{k}" for k, _ in matched]
+    return tmp.withColumn(out_col, reg).drop(*drop)
 
 
 def find_contaminated(

@@ -327,6 +327,74 @@ def test_extract_urls_parity(spark, duck):
     assert all(not d.endswith(".") for doms in by_id.values() for d in doms)
 
 
+def _psl_registrable_py(domain: str, suffixes) -> str:
+    """Independent Python PSL implementation for the differential test:
+    longest matching suffix wins; implicit * rule; single label passes."""
+    labels = domain.split(".")
+    best = 1
+    for s in suffixes:
+        k = s.count(".") + 1
+        if len(labels) > k and ".".join(labels[-k:]) == s:
+            best = max(best, k)
+    if len(labels) > best:
+        return ".".join(labels[-(best + 1):])
+    return domain
+
+
+def test_registrable_domain_parity(spark):
+    from dwca_parquet_spark.operators.text import (
+        PUBLIC_SUFFIX_SNAPSHOT,
+        registrable_domain,
+    )
+
+    domains = [
+        "sub.example.co.uk",          # 2-label registry suffix
+        "deep.a.b.example.com",       # many subdomains
+        "example.org",                # already registrable
+        "localhost",                  # single label
+        "x.y.unknowntld",             # implicit * rule → y.unknowntld
+        "schools.pvt.k12.ma.us",      # 4-label registry suffix + 1 label
+        "x.schools.pvt.k12.ma.us",    # deeper: collapses one level
+        "www.nsw.edu.au",             # 3-label registry suffix
+        "co.uk",                      # bare suffix: no extra label → itself
+        "a.co",                       # co is a suffix → a.co
+    ]
+    df = spark.createDataFrame([(d,) for d in domains], "domain string")
+    got = {
+        r["domain"]: r["registrable_domain"]
+        for r in registrable_domain(df, "domain").collect()
+    }
+    for d in domains:
+        assert got[d] == _psl_registrable_py(d, PUBLIC_SUFFIX_SNAPSHOT), d
+    assert got["sub.example.co.uk"] == "example.co.uk"
+    assert got["deep.a.b.example.com"] == "example.com"
+    assert got["localhost"] == "localhost"
+    assert got["co.uk"] == "co.uk"
+    assert got["schools.pvt.k12.ma.us"] == "schools.pvt.k12.ma.us"
+    assert got["x.schools.pvt.k12.ma.us"] == "schools.pvt.k12.ma.us"
+
+
+def test_extract_urls_collapse_suffix(spark):
+    from dwca_parquet_spark.operators.text import extract_urls
+
+    df = spark.createDataFrame(
+        [
+            (1, "read https://news.bbc.co.uk/story and https://www.bbc.co.uk/x"),
+            (2, "https://a.blog.example.com/p https://example.com/q"),
+        ],
+        "id long, t string",
+    )
+    out = extract_urls(df, "id", "t", collapse_suffix=True)
+    rows = out.collect()
+    assert set(out.columns) == {"id", "url", "domain", "registrable_domain"}
+    reg = {r["domain"]: r["registrable_domain"] for r in rows}
+    # subdomains of one publisher collapse to a single source
+    assert reg["news.bbc.co.uk"] == reg["www.bbc.co.uk"] == "bbc.co.uk"
+    assert reg["a.blog.example.com"] == reg["example.com"] == "example.com"
+    # no row multiplication from the suffix joins
+    assert len(rows) == 4
+
+
 def test_contamination_overlap_synthetic(spark, duck):
     """Graded n-gram-overlap decontamination: exact containment scores 1.0,
     a paraphrase scores in (0,1), unrelated text is absent; values match a
