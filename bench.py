@@ -38,7 +38,7 @@ from dwca_parquet_spark.cache import release_caches
 from dwca_parquet_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
 ORACLE = os.environ.get("SPARK_GRAFT_BENCH_ORACLE", "1").lower() not in (
     "0", "false", "no", "",
 )
