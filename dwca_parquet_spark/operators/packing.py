@@ -1,0 +1,212 @@
+"""Training-shard packing and data-mixture operators.
+
+Two operations every pretraining data pipeline runs after filtering/dedup:
+
+- :func:`pack_documents` — assign each document to a fixed-token-budget
+  training shard, deterministically, so shard N always holds the same docs
+  on any engine/partitioning/day. The assignment is a global exclusive
+  prefix sum of per-doc token counts over a canonical document order,
+  divided by the budget.
+- :func:`mix_sources` — rebalance the corpus so the OUTPUT token mix per
+  source matches target weights (e.g. books .3 / web .6 / code .1), keeping
+  as much data as the binding source allows. Composes a bounded
+  per-source-totals aggregate with the deterministic
+  :func:`~dwca_parquet_spark.operators.sampling.stratified_sample`.
+
+The reference has no training-pipeline surface (its one query is
+``/root/reference/src/dwca_parquet/templates/query.sql:1-5``); these extend
+the SURVEY §2 LLM-pipeline family alongside dedup/sampling/decontamination.
+
+Scale design (100 TB):
+
+- A naive global prefix sum is a single-partition window — a non-starter.
+  :func:`pack_documents` uses the classic two-level scan: per-bucket
+  cumulative sums in parallel (one shuffle on ``n_buckets`` keys, each
+  bucket ~|rows|/n_buckets), plus a bucket-offset table of exactly
+  ``n_buckets`` rows whose own prefix sum and broadcast join are O(buckets),
+  not O(rows). Canonical order is (bucket, portable_hash, id) — hash order,
+  so shard fill is skew-free regardless of input order.
+- :func:`mix_plan` collects one row per SOURCE (corpora have tens of
+  sources, not millions — bounded by contract, like the IVF centroid
+  collect). The applied filter is a pure per-row projection via
+  ``stratified_sample`` — zero extra shuffle, commutes with pushdown.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from dwca_parquet_spark.functions import hashing as H
+from dwca_parquet_spark.operators import text as T
+from dwca_parquet_spark.operators.sampling import (
+    SAMPLE_MOD,
+    stratified_sample,
+)
+
+PACK_BUCKETS = 256
+
+
+def pack_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    budget_tokens: int,
+    n_buckets: int = PACK_BUCKETS,
+) -> DataFrame:
+    """Deterministic token-budget shard assignment.
+
+    Returns (id, doc_tokens, shard_id) where ``shard_id =
+    floor(exclusive_prefix_tokens / budget_tokens)`` over the canonical
+    order (hash-bucket, portable-hash, id). A document is placed in the
+    shard where its first token lands (documents are not split), so every
+    shard except the last carries ≥ budget and < budget + max_doc tokens.
+
+    Two-level prefix sum: stage 1 computes in-bucket inclusive cumsums
+    under a window partitioned by bucket (parallel across ``n_buckets``
+    reducers); stage 2 computes each bucket's starting offset from the
+    n_buckets-row per-bucket totals (a one-partition window over
+    ``n_buckets`` rows — O(buckets), deliberately tiny) and broadcast-joins
+    it back.
+    """
+    idc, b, h = F.col(id_col), F.col("_bucket"), F.col("_h")
+    base = df.select(
+        idc.alias(id_col),
+        T.token_count(F.col(text_col)).alias("doc_tokens"),
+        H.poly_hash(idc.cast("string")).alias("_h"),
+    ).withColumn("_bucket", F.pmod(h, F.lit(n_buckets)))
+
+    w_in = (
+        Window.partitionBy("_bucket")
+        .orderBy("_h", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = base.withColumn("_cum_in", F.sum("doc_tokens").over(w_in))
+
+    offsets = (
+        base.groupBy("_bucket")
+        .agg(F.sum("doc_tokens").alias("_btot"))
+        .withColumn(
+            "_offset",
+            F.coalesce(
+                F.sum("_btot").over(
+                    Window.orderBy("_bucket").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("_bucket", "_offset")
+    )
+
+    return (
+        cum.join(F.broadcast(offsets), "_bucket")
+        .select(
+            id_col,
+            "doc_tokens",
+            F.floor(
+                (F.col("_offset") + F.col("_cum_in") - F.col("doc_tokens"))
+                / F.lit(budget_tokens)
+            )
+            .cast("long")
+            .alias("shard_id"),
+        )
+    )
+
+
+def sql_pack_documents(
+    id_expr: str,
+    text_expr: str,
+    budget_tokens: int,
+    n_buckets: int = PACK_BUCKETS,
+    source: str = "documents",
+) -> str:
+    """DuckDB oracle computing the identical shard assignment.
+
+    Single global window — correct and simple at oracle scale; the Spark
+    side's two-level scan is proved equivalent against this by the
+    differential tests."""
+    norm = H.sql_normalize_text(text_expr)
+    tok = (
+        f"CASE WHEN length({norm}) = 0 THEN 0 "
+        f"ELSE len(string_split_regex({norm}, '\\s+')) END"
+    )
+    h = H.sql_poly_hash(f"CAST({id_expr} AS VARCHAR)")
+    return f"""
+    WITH t AS (
+        SELECT {id_expr} AS id, CAST({tok} AS BIGINT) AS doc_tokens,
+               {h} AS h
+        FROM {source}
+    )
+    SELECT id AS {id_expr}, doc_tokens,
+           CAST(floor(
+               coalesce(sum(doc_tokens) OVER (
+                   ORDER BY h % {n_buckets}, h, id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               / {budget_tokens}) AS BIGINT) AS shard_id
+    FROM t
+    """
+
+
+def mix_plan(
+    df: DataFrame,
+    source_col: str,
+    text_col: str,
+    weights: dict[str, float],
+) -> dict[str, float]:
+    """Per-source keep-fractions that hit the target token mix.
+
+    Given per-source token totals ``T_s`` and target weights ``w_s``
+    (need not sum to 1 — they are normalized), the largest achievable
+    output size is ``K = min_s T_s / w_s`` tokens; source *s* must then
+    contribute ``w_s · K`` tokens, i.e. keep fraction ``w_s · K / T_s``
+    (exactly 1.0 for the binding source). Fractions are floored to ppm —
+    the resolution of the sampling hash — so the Spark filter and any SQL
+    mirror built from this plan use identical integer thresholds.
+
+    One map-side-combinable aggregate; collects one row per source
+    (bounded by contract — a corpus has tens of sources).
+    """
+    wsum = sum(weights.values())
+    norm_w = {s: w / wsum for s, w in weights.items() if w > 0}
+    totals = {
+        r["s"]: r["toks"]
+        for r in df.groupBy(F.col(source_col).alias("s"))
+        .agg(F.sum(T.token_count(F.col(text_col))).alias("toks"))
+        .collect()
+        if r["s"] in norm_w
+    }
+    missing = set(norm_w) - set(totals)
+    if missing:
+        raise ValueError(f"weighted sources absent from data: {sorted(missing)}")
+    k = min(totals[s] / w for s, w in norm_w.items())
+    return {
+        s: math.floor(min(1.0, norm_w[s] * k / totals[s]) * SAMPLE_MOD)
+        / SAMPLE_MOD
+        for s in norm_w
+    }
+
+
+def mix_sources(
+    df: DataFrame,
+    source_col: str,
+    key_col: str,
+    text_col: str,
+    weights: dict[str, float],
+    salt: str = "",
+) -> DataFrame:
+    """Filter to a deterministic sample whose token mix per source matches
+    ``weights``. Sources with no weight are dropped. Sampling is by
+    document (the unit a training pipeline keeps or drops), so the
+    achieved token mix converges to the target as 1/√docs per source."""
+    return stratified_sample(
+        df,
+        source_col,
+        key_col,
+        mix_plan(df, source_col, text_col, weights),
+        default_fraction=0.0,
+        salt=salt,
+    )

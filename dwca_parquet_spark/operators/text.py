@@ -12,6 +12,8 @@ break last-ulp parity), so the quality score is a piecewise-linear composite.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -710,3 +712,117 @@ def tfidf_top_terms(
             F.col("rk").cast("long").alias("rk"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM quality scoring (perplexity proxy)
+# ---------------------------------------------------------------------------
+# Production pipelines score documents with a language-model perplexity and
+# drop the tails (CCNet-style; see PAPERS.md). The container has no LM, but
+# the scalable shape is model-agnostic: fit token statistics in one pass,
+# broadcast the (bounded) model, score every document as a pure projection.
+# A unigram LM is the honest no-dependency instance of that shape.
+
+
+def lm_fit_vocab(
+    df: DataFrame, text_col: str, vocab_size: int = 1024
+) -> tuple[list[tuple[str, int]], int]:
+    """One-pass unigram fit: top-``vocab_size`` tokens by corpus frequency
+    plus the total token count.
+
+    Two map-side-combinable shuffles (token counts, then a top-k limit on
+    the vocabulary table — orders of magnitude smaller than the corpus).
+    Collects ``vocab_size`` rows + one scalar: bounded by construction,
+    like the IVF centroid collect. Ties break (count desc, token asc) so
+    the fitted vocabulary is engine- and run-deterministic.
+    """
+    toks = df.select(F.explode(tokens(F.col(text_col))).alias("t"))
+    vocab = [
+        (r["t"], r["n"])
+        for r in toks.groupBy("t")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("t"))
+        .limit(vocab_size)
+        .collect()
+    ]
+    total = toks.count()
+    return vocab, total
+
+
+def _lm_logps(
+    vocab: list[tuple[str, int]], total: int
+) -> tuple[dict[str, float], float]:
+    """Rounded per-token log-probs. Rounding to 9 decimals makes the
+    literals byte-identical in the Spark plan and any SQL mirror, so both
+    engines merely SUM the same doubles left-to-right — the only float op
+    either engine performs (no in-engine log; libm would break parity)."""
+    logp = {t: round(math.log(n / total), 9) for t, n in vocab}
+    return logp, round(math.log(1.0 / total), 9)
+
+
+def lm_logprob_score(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    vocab: list[tuple[str, int]],
+    total_tokens: int,
+) -> DataFrame:
+    """Mean per-token unigram log-probability (higher = more typical text).
+
+    Out-of-vocabulary tokens get the 1/total floor. The fitted model
+    compiles into a literal map, so scoring is a zero-shuffle projection
+    that runs in the scan stage; the fold is explicitly left-to-right
+    (``F.aggregate``) for cross-engine determinism, mirroring text_stats.
+    Empty documents score NULL.
+    """
+    logp, oov = _lm_logps(vocab, total_tokens)
+    pairs: list[Column] = []
+    for t, lp in sorted(logp.items()):
+        pairs.extend([F.lit(t), F.lit(lp)])
+    lp_map = F.create_map(*pairs)
+    toks = tokens(F.col(text_col))
+    total = F.aggregate(
+        toks,
+        F.lit(0.0),
+        lambda acc, t: acc + F.coalesce(lp_map[t], F.lit(oov)),
+    )
+    n = F.size(toks)
+    return df.select(
+        F.col(id_col),
+        n.cast("long").alias("n_tokens"),
+        F.when(n > 0, F.round(total / n, 6)).alias("lm_logprob"),
+    )
+
+
+def sql_lm_logprob_score(
+    id_expr: str,
+    text_expr: str,
+    vocab: list[tuple[str, int]],
+    total_tokens: int,
+    source: str = "documents",
+) -> str:
+    """DuckDB oracle for :func:`lm_logprob_score` — identical rounded
+    literals, identical left-to-right fold, identical OOV floor."""
+    logp, oov = _lm_logps(vocab, total_tokens)
+    items = sorted(logp.items())
+    words = ", ".join("'" + t.replace("'", "''") + "'" for t, _ in items)
+    vals = ", ".join(f"CAST({lp!r} AS DOUBLE)" for _, lp in items)
+    norm = H.sql_normalize_text(text_expr)
+    toks = (
+        f"CASE WHEN length({norm}) = 0 THEN CAST([] AS VARCHAR[]) "
+        f"ELSE string_split_regex({norm}, '\\s+') END"
+    )
+    per_tok = (
+        f"coalesce([{vals}][list_position([{words}], t)], "
+        f"CAST({oov!r} AS DOUBLE))"
+    )
+    return f"""
+    WITH t AS (SELECT {id_expr} AS id, {toks} AS toks FROM {source})
+    SELECT id AS {id_expr}, CAST(len(toks) AS BIGINT) AS n_tokens,
+           CASE WHEN len(toks) > 0 THEN
+               round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                         [{per_tok} for t in toks]),
+                     (a, b) -> a + b) / len(toks), 6)
+           END AS lm_logprob
+    FROM t
+    """
