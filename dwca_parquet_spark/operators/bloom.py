@@ -1,0 +1,223 @@
+"""Bloom-filter incremental deduplication (SURVEY §2 round-4 extension).
+
+THE 100 TB ingestion pattern: a historical corpus of N documents sits in
+parquet and new batches arrive continuously. Deduplicating every batch with
+an anti-join rescans all of history per batch — O(N) work for an O(batch)
+question. Instead: build a Bloom filter over history ONCE (bounded size,
+fully distributed build — nothing is ever collected), keep it as a tiny
+(byte_idx, byte_val) bitmap table, and probe each new batch with k broadcast
+hash joins — zero shuffle on the batch side. Bloom misses are GUARANTEED new
+(no false negatives) and skip the verify entirely; only the
+fp-rate-bounded candidate set takes the exact anti-join against history.
+
+Reference parity: the reference engine has no incremental surface (its only
+query is /root/reference/src/dwca_parquet/templates/query.sql:1-5, run
+from-scratch per version with an exists() skip at libs/parquet.py:33); this
+operator family is a north-star extension (BASELINE.md dedup family), built
+on the same engine-portable hash arithmetic as the MinHash/SimHash stack
+(functions/hashing.py) so a DuckDB oracle can reproduce the bitmap
+byte-for-byte.
+
+Hash family: position_j(h) = ((A_j·h + B_j) mod P) mod m with P = 2^31 - 1
+and h < HASH_MOD < 2^30, so every intermediate is < 2^61 — safe under
+Spark 4's default ANSI overflow checking. Constants are seeded by j with
+multipliers DISTINCT from the MinHash family's so the two hash streams are
+independent when both run over the same corpus.
+
+Scale/shuffle shape:
+- build: one projection (k positions per key, exploded in the scan stage) +
+  one map-side-combinable groupBy on byte_idx → at most m/8 rows, whatever
+  the corpus size. The bitmap is a DataFrame; persist it or write it as a
+  tiny parquet — the filter for a billion-key history at fpp=1% is ~1.2 GB
+  of bytes = 150M bitmap rows, still a trivial table next to the corpus.
+- probe: k broadcast hash joins (bitmap side broadcast) — the batch streams
+  through unshuffled; misses exit immediately.
+- verify: anti-join on the candidate subset only (|batch| · fpp + true-dup
+  rows), keyed on the 8-byte hash — the full-history join the filter
+  avoided now touches only candidates.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from dwca_parquet_spark.functions import hashing as H
+
+BLOOM_P = 2_147_483_647  # 2**31 - 1, same Mersenne prime as MinHash
+
+
+def _bloom_ab(j: int) -> tuple[int, int]:
+    """Fixed per-hash multipliers, distinct from _minhash_ab's constants."""
+    a = (j * 1_779_033_703 + 104_729) % BLOOM_P
+    b = (j * 2_246_822_519 + 13) % BLOOM_P
+    if a == 0:
+        a = 1
+    return a, b
+
+
+def bloom_params(expected_items: int, fpp: float = 0.01) -> tuple[int, int]:
+    """Standard sizing: m = -n·ln(p)/ln(2)^2 bits, k = (m/n)·ln(2) hashes.
+
+    m is rounded up to a multiple of 8 (whole bytes); k clamped to [1, 16].
+    """
+    n = max(1, expected_items)
+    m = int(math.ceil(-n * math.log(fpp) / (math.log(2) ** 2)))
+    m = ((m + 7) // 8) * 8
+    k = max(1, min(16, round((m / n) * math.log(2))))
+    return m, k
+
+
+def _positions(h: Column, m: int, k: int) -> list[Column]:
+    out = []
+    for j in range(k):
+        a, b = _bloom_ab(j)
+        out.append(((h * a + b) % BLOOM_P) % m)
+    return out
+
+
+def bloom_build(df: DataFrame, hash_col: str, m: int, k: int) -> DataFrame:
+    """Distributed Bloom bitmap over a BIGINT hash column.
+
+    Returns (byte_idx BIGINT, byte_val BIGINT) with byte_val in 0..255 and
+    only non-zero bytes present — at most m/8 rows regardless of |df|.
+    Nothing is collected; the build is one explode (scan stage) + one
+    map-side-combinable bit_or groupBy.
+    """
+    h = F.col(hash_col)
+    pos = F.explode(F.array(*_positions(h, m, k))).alias("_pos")
+    return (
+        df.select(pos)
+        .select(
+            F.expr("_pos div 8").alias("byte_idx"),
+            # SQL shiftleft (expr form) accepts a column shift amount;
+            # the Python F.shiftleft only takes an int literal
+            F.expr("shiftleft(1, cast(_pos % 8 as int))").alias("_bit"),
+        )
+        .groupBy("byte_idx")
+        .agg(F.bit_or("_bit").alias("byte_val"))
+    )
+
+
+def bloom_to_bytes(bitmap: DataFrame, m: int) -> bytes:
+    """Serialize a bitmap table to m/8 bytes (driver-side; bounded by m,
+    never by the corpus — use only when exporting the filter, the probe
+    path joins the table directly)."""
+    buf = bytearray(m // 8)
+    for row in bitmap.collect():
+        buf[row["byte_idx"]] = row["byte_val"]
+    return bytes(buf)
+
+
+def bloom_probe(
+    df: DataFrame,
+    hash_col: str,
+    bitmap: DataFrame,
+    m: int,
+    k: int,
+    out_col: str = "might_contain",
+) -> DataFrame:
+    """Membership test: append ``out_col`` (true ⇒ possibly in the built
+    set, false ⇒ DEFINITELY not). k broadcast hash joins against the
+    bitmap table; the probe side streams through with zero shuffle. A
+    byte_idx absent from the bitmap is an all-zero byte → miss.
+    """
+    h = F.col(hash_col)
+    out = df
+    hits = []
+    for j, pos in enumerate(_positions(h, m, k)):
+        bidx, bbit = f"_bidx{j}", f"_bbit{j}"
+        side = bitmap.select(
+            F.col("byte_idx").alias(bidx), F.col("byte_val").alias(f"_bval{j}")
+        )
+        out = (
+            out.withColumn("_pos", pos)
+            .withColumn(bidx, F.expr("_pos div 8"))
+            .withColumn(bbit, F.expr("cast(_pos % 8 as int)"))
+            .drop("_pos")
+            .join(F.broadcast(side), bidx, "left")
+        )
+        hits.append(
+            F.expr(f"coalesce(_bval{j}, 0) & shiftleft(1, {bbit})") != 0
+        )
+    flag = hits[0]
+    for hcol in hits[1:]:
+        flag = flag & hcol
+    drop = [c for j in range(k) for c in (f"_bidx{j}", f"_bbit{j}", f"_bval{j}")]
+    return out.withColumn(out_col, flag).drop(*drop)
+
+
+def dedup_incremental(
+    new_df: DataFrame,
+    history_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    expected_items: int | None = None,
+    fpp: float = 0.01,
+) -> DataFrame:
+    """Rows of ``new_df`` whose normalized text does NOT appear in
+    ``history_df`` — exactly ``new anti-join history`` on the content hash,
+    computed the incremental way:
+
+    1. hash both sides with the portable content hash (dedup.text_key's
+       normalize → poly_hash),
+    2. Bloom-build over history (one bounded groupBy, never collected),
+    3. Bloom-probe the batch (broadcast joins, zero shuffle) — misses are
+       provably new and BYPASS history entirely,
+    4. exact anti-join for the candidate sliver only.
+
+    Output: the new-batch rows (original columns) that are genuinely new.
+    Exactness is join-free for the (1 - dup_rate - fpp) majority; the
+    pytest gate proves output equality with the plain anti-join.
+
+    ``expected_items`` sizes the filter; when None a count() of history
+    runs first (one cheap scan — at 100 TB pass the known corpus size or a
+    table-stats estimate instead).
+    """
+    if expected_items is None:
+        expected_items = history_df.count()
+    m, k = bloom_params(expected_items, fpp)
+
+    hist_keys = _content_hash(history_df, text_col).select("_chash")
+    bitmap = bloom_build(hist_keys, "_chash", m, k)
+
+    batch = _content_hash(new_df, text_col)
+    probed = bloom_probe(batch, "_chash", bitmap, m, k)
+
+    definite_new = probed.filter(~F.col("might_contain"))
+    candidates = probed.filter(F.col("might_contain"))
+    verified_new = candidates.join(
+        hist_keys.distinct(), "_chash", "left_anti"
+    )
+    keep = [c for c in new_df.columns]
+    return definite_new.select(*keep).unionByName(verified_new.select(*keep))
+
+
+def _content_hash(df: DataFrame, text_col: str) -> DataFrame:
+    """All original columns + ``_chash``: poly_hash(normalize(text)) —
+    staged projections so the regex normalization runs once per row (the
+    q29 lesson, dedup.text_key)."""
+    cols = [F.col(c) for c in df.columns]
+    return df.select(
+        *cols, H.normalize_text(F.col(text_col)).alias("_norm")
+    ).select(*cols, H.poly_hash(F.col("_norm")).alias("_chash"))
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle builders (same constants, same arithmetic)
+# ---------------------------------------------------------------------------
+
+
+def sql_bloom_bitmap(hash_expr: str, source: str, m: int, k: int) -> str:
+    """DuckDB SQL producing the identical (byte_idx, byte_val) bitmap."""
+    pos_exprs = []
+    for j in range(k):
+        a, b = _bloom_ab(j)
+        pos_exprs.append(f"((({hash_expr}) * {a} + {b}) % {BLOOM_P}) % {m}")
+    arr = "[" + ", ".join(pos_exprs) + "]"
+    return (
+        f"SELECT pos // 8 AS byte_idx, bit_or(1 << CAST(pos % 8 AS INTEGER)) AS byte_val "
+        f"FROM (SELECT unnest({arr}) AS pos FROM {source}) GROUP BY 1"
+    )

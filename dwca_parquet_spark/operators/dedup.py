@@ -413,3 +413,147 @@ def ngram_jaccard_topk(
         .filter(F.col("rn") <= topk)
         .drop("rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# Duplicated-span detection (substring dedup at token-window granularity)
+# ---------------------------------------------------------------------------
+# Exact-substring dedup (Lee et al. 2022, "Deduplicating Training Data Makes
+# Language Models Better"; PAPERS.md) removes repeated ≥N-token spans, which
+# whole-document dedup misses (boilerplate headers, licence blocks, quoted
+# passages). The suffix-array construction is single-node; the distributed
+# shape is rolling-hash token windows: every w-token window hashes to 8
+# bytes, a window repeated ANYWHERE in the corpus has a repeated hash, and
+# the question "which spans repeat" becomes one groupBy on the window hash.
+
+
+def token_hash_table(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, array<token poly-hash>) in document order (NOT distinct — spans
+    need positions). Staged projections: normalize → tokens → hashes, so
+    the regexes run once per row and each token is hashed once."""
+    norm = H.normalize_text(F.col(text_col))
+    toks = F.when(F.length(F.col("_norm")) == 0, F.array().cast("array<string>")
+                  ).otherwise(F.split(F.col("_norm"), r"\s+"))
+    thash = F.transform(
+        F.col("_toks"),
+        lambda t: F.aggregate(
+            H.char_codes(t),
+            F.lit(0).cast("long"),
+            lambda acc, x: (acc * H.HASH_BASE + x) % H.HASH_MOD,
+        ),
+    )
+    return (
+        df.select(F.col(id_col), norm.alias("_norm"))
+        .select(F.col(id_col), toks.alias("_toks"))
+        .select(F.col(id_col), thash.alias("token_hashes"))
+    )
+
+
+def span_hash_table(
+    df: DataFrame, id_col: str, text_col: str, w: int = 8
+) -> DataFrame:
+    """One row per w-token window: (id, span_idx, span_hash). span_hash is
+    the rolling fold of the window's token hashes — identical value for
+    identical (normalized) token runs, wherever they occur. Documents with
+    fewer than w tokens emit nothing. Pure projection + explode: runs in
+    the scan stage, shuffles nothing."""
+
+    def span_at(th: Column, i: Column) -> Column:
+        expr = F.lit(0).cast("long")
+        for j in range(w):
+            expr = (expr * H.HASH_BASE + F.element_at(th, i + j)) % H.HASH_MOD
+        return expr
+
+    th = F.col("token_hashes")
+    n = F.size(th)
+    spans = F.when(n < w, F.array().cast("array<long>")).otherwise(
+        F.transform(F.sequence(F.lit(1), n - (w - 1)), lambda i: span_at(th, i))
+    )
+    return (
+        token_hash_table(df, id_col, text_col)
+        .select(F.col(id_col), F.posexplode(spans).alias("span_idx", "span_hash"))
+    )
+
+
+def duplicated_spans(
+    df: DataFrame, id_col: str, text_col: str, w: int = 8
+) -> DataFrame:
+    """Per-document duplicated-span profile: of the document's w-token
+    windows, how many also occur elsewhere in the corpus (same hash at any
+    OTHER position, same or different document)?
+
+    Output: (id, n_spans, n_dup_spans, dup_span_fraction) for every input
+    document (short docs → 0 / 0 / 0.0). Downstream policy decides the
+    cut (drop doc, trim span, weight down) — this operator is the measure.
+
+    Shuffle shape at 100 TB: explode is scan-stage; ONE shuffle keyed on
+    span_hash (the global repeat count — map-side combinable groupBy,
+    NOT a window over the raw span stream), the count joined back to the
+    span stream on the same key (AQE reuses the partitioning), then one
+    map-side-combinable groupBy on id. Hot spans (empty-ish boilerplate)
+    are data skew on span_hash; the groupBy pre-aggregates them map-side,
+    and the join-back fans a single counted row out, never pairs.
+    """
+    spans = span_hash_table(df, id_col, text_col, w)
+    counts = spans.groupBy("span_hash").agg(
+        F.count(F.lit(1)).alias("_global_n")
+    )
+    per_doc = (
+        spans.join(counts, "span_hash")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(
+                F.when(F.col("_global_n") > 1, F.lit(1)).otherwise(F.lit(0))
+            ).alias("n_dup_spans"),
+        )
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_spans"), F.lit(0)).cast("long").alias("n_spans"),
+            F.coalesce(F.col("n_dup_spans"), F.lit(0))
+            .cast("long")
+            .alias("n_dup_spans"),
+            F.round(
+                F.coalesce(F.col("n_dup_spans"), F.lit(0)).cast("double")
+                / F.greatest(F.coalesce(F.col("n_spans"), F.lit(0)), F.lit(1)).cast(
+                    "double"
+                ),
+                6,
+            ).alias("dup_span_fraction"),
+        )
+    )
+
+
+def sql_duplicated_spans(
+    source: str, id_expr: str, text_expr: str, w: int = 8
+) -> str:
+    """DuckDB oracle for :func:`duplicated_spans` — same constants, same
+    rolling-fold arithmetic, same rounding."""
+    ph_t = H.sql_poly_hash("t")
+    fold = "0"
+    for j in range(w):
+        fold = f"(({fold}) * {H.HASH_BASE} + th[i + {j}]) % {H.HASH_MOD}"
+    norm = H.sql_normalize_text(text_expr)
+    return f"""
+WITH _n AS (SELECT {id_expr} AS id, {norm} AS norm FROM {source}),
+_t AS (SELECT id, CASE WHEN length(norm) = 0 THEN CAST([] AS BIGINT[])
+         ELSE [{ph_t} for t in regexp_split_to_array(norm, '\\s+')] END AS th
+       FROM _n),
+_s AS (SELECT id, unnest(CASE WHEN len(th) < {w} THEN CAST([] AS BIGINT[])
+         ELSE [{fold} for i in range(1, len(th) - {w} + 2)] END) AS span_hash
+       FROM _t),
+_c AS (SELECT _s.id, count(*) OVER (PARTITION BY span_hash) AS gn FROM _s),
+_a AS (SELECT id, CAST(count(*) AS BIGINT) AS n_spans,
+         CAST(sum(CASE WHEN gn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans
+       FROM _c GROUP BY id)
+SELECT _n.id AS {id_expr},
+       coalesce(n_spans, 0) AS n_spans,
+       coalesce(n_dup_spans, 0) AS n_dup_spans,
+       round(CAST(coalesce(n_dup_spans, 0) AS DOUBLE)
+             / greatest(coalesce(n_spans, 0), 1), 6) AS dup_span_fraction
+FROM _n LEFT JOIN _a USING (id)
+"""
