@@ -826,3 +826,146 @@ def sql_lm_logprob_score(
            END AS lm_logprob
     FROM t
     """
+
+
+# ---------------------------------------------------------------------------
+# Supervised quality classifier (Naive Bayes over tokens)
+# ---------------------------------------------------------------------------
+# The production pattern behind "quality filtering with a fastText
+# classifier" (GPT-3/CCNet-style: label a reference corpus positive, raw
+# crawl negative, keep documents the classifier likes): a linear model over
+# token features. Naive Bayes is the no-dependency, engine-deterministic
+# instance — fitting is two integer aggregations, the model is per-token
+# log-odds computed DRIVER-side (rounded, so engines only sum identical
+# doubles), scoring is the same zero-shuffle literal-map fold as
+# lm_logprob_score.
+
+
+def nb_fit(
+    df: DataFrame,
+    text_col: str,
+    label_col: str,
+    vocab_size: int = 1024,
+    alpha: float = 1.0,
+) -> dict:
+    """Fit per-token log-odds from binary labels (1 = keep-class).
+
+    One explode + one map-side-combinable groupBy on token (conditional
+    sums per class), top-``vocab_size`` by total count (ties: count desc,
+    token asc — deterministic); plus one tiny per-class doc/token-total
+    aggregate. Collects vocab_size rows + 4 scalars — bounded like
+    lm_fit_vocab. Returns a plain-dict model: token → (c1, c0) counts,
+    class token totals, class doc counts, alpha.
+    """
+    lab = F.col(label_col).cast("int")
+    toks = df.select(
+        F.explode(tokens(F.col(text_col))).alias("t"), lab.alias("y")
+    )
+    vocab_rows = (
+        toks.groupBy("t")
+        .agg(
+            F.sum(F.when(F.col("y") == 1, 1).otherwise(0)).alias("c1"),
+            F.sum(F.when(F.col("y") == 0, 1).otherwise(0)).alias("c0"),
+        )
+        .withColumn("n", F.col("c1") + F.col("c0"))
+        .orderBy(F.desc("n"), F.asc("t"))
+        .limit(vocab_size)
+        .collect()
+    )
+    totals = toks.groupBy().agg(
+        F.sum(F.when(F.col("y") == 1, 1).otherwise(0)).alias("t1"),
+        F.sum(F.when(F.col("y") == 0, 1).otherwise(0)).alias("t0"),
+    ).first()
+    docs = df.groupBy().agg(
+        F.sum(F.when(lab == 1, 1).otherwise(0)).alias("d1"),
+        F.sum(F.when(lab == 0, 1).otherwise(0)).alias("d0"),
+    ).first()
+    return {
+        "counts": {r["t"]: (r["c1"], r["c0"]) for r in vocab_rows},
+        "t1": totals["t1"],
+        "t0": totals["t0"],
+        "d1": docs["d1"],
+        "d0": docs["d0"],
+        "alpha": alpha,
+        "vocab_size": vocab_size,
+    }
+
+
+def _nb_weights(model: dict) -> tuple[dict[str, float], float, float]:
+    """Driver-side rounded log-odds (the only place log runs — engines
+    just sum literals). V+1 smoothing buckets (vocab + OOV)."""
+    a = model["alpha"]
+    v = model["vocab_size"] + 1
+    t1, t0 = model["t1"], model["t0"]
+    w = {
+        t: round(
+            math.log((c1 + a) / (t1 + a * v)) - math.log((c0 + a) / (t0 + a * v)),
+            9,
+        )
+        for t, (c1, c0) in model["counts"].items()
+    }
+    oov = round(
+        math.log(a / (t1 + a * v)) - math.log(a / (t0 + a * v)), 9
+    )
+    prior = round(math.log(max(model["d1"], 1) / max(model["d0"], 1)), 9)
+    return w, oov, prior
+
+
+def nb_score(
+    df: DataFrame, id_col: str, text_col: str, model: dict
+) -> DataFrame:
+    """Per-document Naive-Bayes log-odds: prior + Σ_token w(token), plus
+    the length-normalized mean (the usual filtering threshold — raw sums
+    scale with document length). Zero-shuffle literal-map projection;
+    empty documents get the bare prior and a NULL mean."""
+    w, oov, prior = _nb_weights(model)
+    pairs: list[Column] = []
+    for t, lw in sorted(w.items()):
+        pairs.extend([F.lit(t), F.lit(lw)])
+    w_map = F.create_map(*pairs)
+    toks = tokens(F.col(text_col))
+    total = F.aggregate(
+        toks,
+        F.lit(0.0),
+        lambda acc, t: acc + F.coalesce(w_map[t], F.lit(oov)),
+    )
+    n = F.size(toks)
+    return df.select(
+        F.col(id_col),
+        n.cast("long").alias("n_tokens"),
+        F.round(F.lit(prior) + total, 6).alias("nb_logodds"),
+        F.when(n > 0, F.round(total / n, 6)).alias("nb_logodds_per_token"),
+    )
+
+
+def sql_nb_score(
+    id_expr: str, text_expr: str, model: dict, source: str = "documents"
+) -> str:
+    """DuckDB oracle for :func:`nb_score` — identical rounded literals,
+    identical left-to-right fold, identical OOV weight and prior."""
+    w, oov, prior = _nb_weights(model)
+    items = sorted(w.items())
+    words = ", ".join("'" + t.replace("'", "''") + "'" for t, _ in items)
+    vals = ", ".join(f"CAST({lw!r} AS DOUBLE)" for _, lw in items)
+    norm = H.sql_normalize_text(text_expr)
+    toks = (
+        f"CASE WHEN length({norm}) = 0 THEN CAST([] AS VARCHAR[]) "
+        f"ELSE string_split_regex({norm}, '\\s+') END"
+    )
+    per_tok = (
+        f"coalesce([{vals}][list_position([{words}], t)], "
+        f"CAST({oov!r} AS DOUBLE))"
+    )
+    return f"""
+    WITH t AS (SELECT {id_expr} AS id, {toks} AS toks FROM {source})
+    SELECT id AS {id_expr}, CAST(len(toks) AS BIGINT) AS n_tokens,
+           round(CAST({prior!r} AS DOUBLE) + list_reduce(
+               list_prepend(CAST(0 AS DOUBLE), [{per_tok} for t in toks]),
+               (a, b) -> a + b), 6) AS nb_logodds,
+           CASE WHEN len(toks) > 0 THEN
+               round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                         [{per_tok} for t in toks]),
+                     (a, b) -> a + b) / len(toks), 6)
+           END AS nb_logodds_per_token
+    FROM t
+    """
