@@ -66,6 +66,10 @@ class FS:
     def is_file(self, p: str | Path) -> bool:
         return bool(self._fs.getFileStatus(self._jpath(p)).isFile())
 
+    def size(self, p: str | Path) -> int:
+        """Byte length of a file (FS metadata, no data read)."""
+        return int(self._fs.getFileStatus(self._jpath(p)).getLen())
+
     def delete(self, p: str | Path, recursive: bool = True) -> bool:
         return bool(self._fs.delete(self._jpath(p), recursive))
 
