@@ -226,3 +226,99 @@ def pq_topk_adc(
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= topk)
     )
+
+
+def ivf_pq_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_ids_below: int,
+    codebook: list[list[list[int]]],
+    k: int = 10,
+    k_cells: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF-PQ: the standard composition for billion-scale ANN — a coarse
+    inverted index bounds WHICH candidates are scored (Σ_probed |cell|,
+    never n), PQ codes bound what scoring COSTS (m byte-lookups per
+    candidate, the stored vectors are never read).
+
+    Index side (built once): cell id from the deterministic coarse
+    quantizer (similarity.ivf_topk's — the k_cells lowest-id vectors, so
+    the whole index is re-derivable), joined 1:1 with the PQ code table.
+    Query side (bounded by contract): probed cells and integer LUTs are
+    computed driver-side per query, exploded to (query, cell) rows, and
+    broadcast onto the inverted lists — an equi-join on cell, an m-term
+    fold, a top-k window. Recall tunes via nprobe and the codebook size
+    without changing the plan. Output: (query_id, cand_id, adc_dist2, rk).
+    """
+    import numpy as np
+
+    m = len(codebook)
+    d_sub = len(codebook[0][0])
+    prepped = df.select(
+        F.col(id_col).alias("_pid"), scaled_vec(F.col(vec_col)).alias("_svec")
+    )
+    cents = (
+        prepped.orderBy("_pid").limit(k_cells).select("_pid", "_svec").collect()
+    )
+    cent_ids = np.array([r["_pid"] for r in cents], dtype=np.int64)
+    cent_mat = np.stack([np.asarray(r["_svec"], dtype=np.int64) for r in cents])
+
+    from dwca_parquet_spark.operators.similarity import _cells_udf
+
+    assign = _cells_udf(cent_ids, cent_mat, 1)
+    inv = prepped.select(
+        F.col("_pid").alias("cand_id"),
+        assign(F.col("_svec")).getItem(0).alias("cell"),
+    ).join(
+        pq_encode(df, id_col, vec_col, codebook).withColumnRenamed(
+            id_col, "cand_id"
+        ),
+        "cand_id",
+    )
+
+    q_rows = (
+        prepped.filter(F.col("_pid") < query_ids_below)
+        .select("_pid", "_svec")
+        .collect()
+    )
+    c2 = np.einsum("ij,ij->i", cent_mat, cent_mat)
+    lut_rows = []
+    for r in q_rows:
+        v = np.asarray(r["_svec"], dtype=np.int64)
+        d2 = (v @ v) + c2 - 2 * (cent_mat @ v)
+        probed = cent_ids[np.argsort(d2, kind="stable")[:nprobe]]
+        lut = [
+            [
+                int(((v[s * d_sub : (s + 1) * d_sub] - np.asarray(c)) ** 2).sum())
+                for c in codebook[s]
+            ]
+            for s in range(m)
+        ]
+        for cell in probed:
+            lut_rows.append((int(r["_pid"]), int(cell), lut))
+    lut_df = df.sparkSession.createDataFrame(
+        lut_rows, "query_id long, cell long, lut array<array<bigint>>"
+    )
+    pairs = F.broadcast(lut_df).join(inv, "cell").filter(
+        F.col("query_id") != F.col("cand_id")
+    )
+    adc = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0).cast("long"),
+        lambda acc, s: acc
+        + F.element_at(
+            F.element_at(F.col("lut"), s + 1),
+            F.element_at(F.col("codes"), s + 1) + 1,
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_dist2"), F.asc("cand_id")
+    )
+    return (
+        pairs.withColumn("adc_dist2", adc)
+        .select("query_id", "cand_id", "adc_dist2")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+    )

@@ -114,3 +114,37 @@ def test_pq_plans_are_jvm_only(spark, emb):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BatchEvalPython" not in adc_plan
+
+
+def test_ivf_pq_bounds_candidates_and_recalls(spark, emb):
+    from dwca_parquet_spark.operators.pq import ivf_pq_topk
+
+    cb = pq_fit(emb, "vec_id", "embedding", DIM, M, K, iters=3)
+    got = ivf_pq_topk(
+        emb, "vec_id", "embedding", 20, cb, k=10, k_cells=16, nprobe=6
+    )
+    rows = got.collect()
+    by_q: dict[int, set] = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], set()).add(r["cand_id"])
+    assert set(by_q) == set(range(20))
+    assert all(len(v) == 10 for v in by_q.values())
+
+    # recall vs exact L2 (self excluded): must beat random (0.02) clearly;
+    # IVF probing 6/16 cells costs recall vs full ADC, so the gate is low
+    ids, mat = _np_vectors(emb)
+    order = np.argsort(ids)
+    ids, mat = ids[order], mat[order]
+    recalls = []
+    for q in range(20):
+        d = ((mat - mat[q][None, :]) ** 2).sum(axis=1)
+        d[q] = np.iinfo(np.int64).max  # exclude self like the operator
+        exact10 = set(ids[np.lexsort((ids, d))[:10]].tolist())
+        recalls.append(len(by_q[q] & exact10) / 10)
+    assert float(np.mean(recalls)) >= 0.15, float(np.mean(recalls))
+
+    # determinism: integer ADC + explicit tie order
+    again = ivf_pq_topk(
+        emb, "vec_id", "embedding", 20, cb, k=10, k_cells=16, nprobe=6
+    ).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
