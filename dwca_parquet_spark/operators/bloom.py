@@ -5,7 +5,7 @@ parquet and new batches arrive continuously. Deduplicating every batch with
 an anti-join rescans all of history per batch — O(N) work for an O(batch)
 question. Instead: build a Bloom filter over history ONCE (bounded size,
 fully distributed build — nothing is ever collected), keep it as a tiny
-(byte_idx, byte_val) bitmap table, and probe each new batch with k broadcast
+(word_idx, word_val) bitmap table, and probe each new batch with k broadcast
 hash joins — zero shuffle on the batch side. Bloom misses are GUARANTEED new
 (no false negatives) and skip the verify entirely; only the
 fp-rate-bounded candidate set takes the exact anti-join against history.
@@ -26,10 +26,13 @@ independent when both run over the same corpus.
 
 Scale/shuffle shape:
 - build: one projection (k positions per key, exploded in the scan stage) +
-  one map-side-combinable groupBy on byte_idx → at most m/8 rows, whatever
-  the corpus size. The bitmap is a DataFrame; persist it or write it as a
-  tiny parquet — the filter for a billion-key history at fpp=1% is ~1.2 GB
-  of bytes = 150M bitmap rows, still a trivial table next to the corpus.
+  one map-side-combinable groupBy on word_idx → at most m/32 rows, whatever
+  the corpus size. Words are 32-bit (in a BIGINT): the widest shift either
+  engine performs is 31, inside both Spark's and DuckDB's defined range,
+  and the bitmap broadcast is 4× smaller than a byte table. The bitmap is
+  a DataFrame; persist it or write it as a tiny parquet — the filter for a
+  billion-key history at fpp=1% is ~1.2 GB = ~300M word rows, still a
+  trivial table next to the corpus.
 - probe: k broadcast hash joins (bitmap side broadcast) — the batch streams
   through unshuffled; misses exit immediately.
 - verify: anti-join on the candidate subset only (|batch| · fpp + true-dup
@@ -44,6 +47,7 @@ import math
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from dwca_parquet_spark.cache import persist_tracked
 from dwca_parquet_spark.functions import hashing as H
 
 BLOOM_P = 2_147_483_647  # 2**31 - 1, same Mersenne prime as MinHash
@@ -61,11 +65,11 @@ def _bloom_ab(j: int) -> tuple[int, int]:
 def bloom_params(expected_items: int, fpp: float = 0.01) -> tuple[int, int]:
     """Standard sizing: m = -n·ln(p)/ln(2)^2 bits, k = (m/n)·ln(2) hashes.
 
-    m is rounded up to a multiple of 8 (whole bytes); k clamped to [1, 16].
+    m is rounded up to a multiple of 32 (whole words); k clamped to [1, 16].
     """
     n = max(1, expected_items)
     m = int(math.ceil(-n * math.log(fpp) / (math.log(2) ** 2)))
-    m = ((m + 7) // 8) * 8
+    m = ((m + 31) // 32) * 32
     k = max(1, min(16, round((m / n) * math.log(2))))
     return m, k
 
@@ -81,8 +85,8 @@ def _positions(h: Column, m: int, k: int) -> list[Column]:
 def bloom_build(df: DataFrame, hash_col: str, m: int, k: int) -> DataFrame:
     """Distributed Bloom bitmap over a BIGINT hash column.
 
-    Returns (byte_idx BIGINT, byte_val BIGINT) with byte_val in 0..255 and
-    only non-zero bytes present — at most m/8 rows regardless of |df|.
+    Returns (word_idx BIGINT, word_val BIGINT): 32 filter bits per word,
+    only non-zero words present — at most m/32 rows regardless of |df|.
     Nothing is collected; the build is one explode (scan stage) + one
     map-side-combinable bit_or groupBy.
     """
@@ -91,23 +95,28 @@ def bloom_build(df: DataFrame, hash_col: str, m: int, k: int) -> DataFrame:
     return (
         df.select(pos)
         .select(
-            F.expr("_pos div 8").alias("byte_idx"),
+            F.expr("_pos div 32").alias("word_idx"),
             # SQL shiftleft (expr form) accepts a column shift amount;
-            # the Python F.shiftleft only takes an int literal
-            F.expr("shiftleft(1, cast(_pos % 8 as int))").alias("_bit"),
+            # the Python F.shiftleft only takes an int literal. Shift ≤ 31
+            # on a BIGINT: defined in Spark AND DuckDB (63 would raise in
+            # the oracle).
+            F.expr("shiftleft(cast(1 as bigint), cast(_pos % 32 as int))").alias(
+                "_bit"
+            ),
         )
-        .groupBy("byte_idx")
-        .agg(F.bit_or("_bit").alias("byte_val"))
+        .groupBy("word_idx")
+        .agg(F.bit_or("_bit").alias("word_val"))
     )
 
 
 def bloom_to_bytes(bitmap: DataFrame, m: int) -> bytes:
-    """Serialize a bitmap table to m/8 bytes (driver-side; bounded by m,
-    never by the corpus — use only when exporting the filter, the probe
-    path joins the table directly)."""
+    """Serialize a bitmap table to m/8 bytes, little-endian within each
+    32-bit word (driver-side; bounded by m, never by the corpus — use only
+    when exporting the filter, the probe path joins the table directly)."""
     buf = bytearray(m // 8)
     for row in bitmap.collect():
-        buf[row["byte_idx"]] = row["byte_val"]
+        w = row["word_idx"]
+        buf[w * 4 : (w + 1) * 4] = int(row["word_val"]).to_bytes(4, "little")
     return bytes(buf)
 
 
@@ -121,8 +130,10 @@ def bloom_probe(
 ) -> DataFrame:
     """Membership test: append ``out_col`` (true ⇒ possibly in the built
     set, false ⇒ DEFINITELY not). k broadcast hash joins against the
-    bitmap table; the probe side streams through with zero shuffle. A
-    byte_idx absent from the bitmap is an all-zero byte → miss.
+    bitmap table; the probe side streams through with zero shuffle, and
+    the k broadcasts canonicalize to ONE exchange of the same bitmap
+    (ReuseExchange). A word_idx absent from the bitmap is an all-zero
+    word → miss.
     """
     h = F.col(hash_col)
     out = df
@@ -130,17 +141,21 @@ def bloom_probe(
     for j, pos in enumerate(_positions(h, m, k)):
         bidx, bbit = f"_bidx{j}", f"_bbit{j}"
         side = bitmap.select(
-            F.col("byte_idx").alias(bidx), F.col("byte_val").alias(f"_bval{j}")
+            F.col("word_idx").alias(bidx), F.col("word_val").alias(f"_bval{j}")
         )
         out = (
             out.withColumn("_pos", pos)
-            .withColumn(bidx, F.expr("_pos div 8"))
-            .withColumn(bbit, F.expr("cast(_pos % 8 as int)"))
+            .withColumn(bidx, F.expr("_pos div 32"))
+            .withColumn(bbit, F.expr("cast(_pos % 32 as int)"))
             .drop("_pos")
             .join(F.broadcast(side), bidx, "left")
         )
         hits.append(
-            F.expr(f"coalesce(_bval{j}, 0) & shiftleft(1, {bbit})") != 0
+            F.expr(
+                f"coalesce(_bval{j}, 0) & "
+                f"shiftleft(cast(1 as bigint), {bbit})"
+            )
+            != 0
         )
     flag = hits[0]
     for hcol in hits[1:]:
@@ -184,13 +199,27 @@ def dedup_incremental(
     bitmap = bloom_build(hist_keys, "_chash", m, k)
 
     batch = _content_hash(new_df, text_col)
-    probed = bloom_probe(batch, "_chash", bitmap, m, k)
+    # the probed batch feeds THREE consumers (definite-new, candidates,
+    # and the candidate hash set) — persist it or the content hashing and
+    # the k bitmap joins re-run per consumer (tracked: the session owner
+    # releases via cache.release_caches, same lifecycle as the LSH
+    # shingle tables)
+    probed = persist_tracked(bloom_probe(batch, "_chash", bitmap, m, k))
 
     definite_new = probed.filter(~F.col("might_contain"))
     candidates = probed.filter(F.col("might_contain"))
-    verified_new = candidates.join(
-        hist_keys.distinct(), "_chash", "left_anti"
-    )
+    # Verify WITHOUT ever shuffling history. A direct candidates-anti-
+    # history join would shuffle the corpus (left-anti can only broadcast
+    # its right side, and history never fits). Instead: (1) semi-join
+    # history against the BROADCAST candidate hash set — history streams,
+    # emitting only the hashes that really exist (≤ |candidates|); (2)
+    # anti-join candidates against that small hit set, also broadcast.
+    # Candidate volume is bounded by dup_rate·|batch| + fpp·|batch|.
+    cand_hashes = candidates.select("_chash").distinct()
+    hits = hist_keys.join(
+        F.broadcast(cand_hashes), "_chash", "left_semi"
+    ).distinct()
+    verified_new = candidates.join(F.broadcast(hits), "_chash", "left_anti")
     keep = [c for c in new_df.columns]
     return definite_new.select(*keep).unionByName(verified_new.select(*keep))
 
@@ -211,13 +240,14 @@ def _content_hash(df: DataFrame, text_col: str) -> DataFrame:
 
 
 def sql_bloom_bitmap(hash_expr: str, source: str, m: int, k: int) -> str:
-    """DuckDB SQL producing the identical (byte_idx, byte_val) bitmap."""
+    """DuckDB SQL producing the identical (word_idx, word_val) bitmap."""
     pos_exprs = []
     for j in range(k):
         a, b = _bloom_ab(j)
         pos_exprs.append(f"((({hash_expr}) * {a} + {b}) % {BLOOM_P}) % {m}")
     arr = "[" + ", ".join(pos_exprs) + "]"
     return (
-        f"SELECT pos // 8 AS byte_idx, bit_or(1 << CAST(pos % 8 AS INTEGER)) AS byte_val "
+        f"SELECT pos // 32 AS word_idx, "
+        f"bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INTEGER)) AS word_val "
         f"FROM (SELECT unnest({arr}) AS pos FROM {source}) GROUP BY 1"
     )

@@ -32,7 +32,7 @@ def test_bitmap_parity_duckdb(spark, duck):
         H.normalize_text(F.col("text")).alias("_n")
     ).select(H.poly_hash(F.col("_n")).alias("_chash"))
     got = {
-        r["byte_idx"]: r["byte_val"]
+        r["word_idx"]: r["word_val"]
         for r in bloom_build(keys, "_chash", m, k).collect()
     }
     want = dict(
@@ -45,7 +45,7 @@ def test_bitmap_parity_duckdb(spark, duck):
     buf = bloom_to_bytes(bloom_build(keys, "_chash", m, k), m)
     assert len(buf) == m // 8
     for idx, val in want.items():
-        assert buf[idx] == val
+        assert buf[idx * 4 : (idx + 1) * 4] == int(val).to_bytes(4, "little")
 
 
 def test_probe_no_false_negatives(spark):
