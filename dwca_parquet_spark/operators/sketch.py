@@ -1,0 +1,131 @@
+"""Count-min sketch: mergeable frequency summaries (SURVEY §2 round-4).
+
+At 100 TB "how often does each token/n-gram/URL occur" cannot afford an
+exact groupBy when the answer feeds a filter threshold — and per-shard
+results must MERGE (across partitions, days, corpora) without re-scanning
+anything. The count-min sketch (Cormode & Muthukrishnan 2005; PAPERS.md)
+is the standard answer: a depth×width integer table; point estimates are
+one-sided (never under-count, over-count ≤ ε·N with probability 1-δ);
+two sketches merge by element-wise addition.
+
+Same engine-portable discipline as the Bloom/MinHash stack: positions
+come from the repo's own universal-hash family (constants distinct from
+both), so a DuckDB oracle reproduces the sketch cell-for-cell, and the
+sketch is a DATAFRAME (row, col, cnt — only non-zero cells), never a
+driver-side array.
+
+Scale/shuffle shape:
+- build: one projection (depth positions per item, exploded in the scan
+  stage) + ONE map-side-combinable groupBy to ≤ depth·width cells —
+  bounded output whatever the corpus size. Compare the exact groupBy it
+  replaces: a shuffle with cardinality = |vocabulary|, unbounded.
+- merge: union + the same bounded groupBy. Associative and commutative —
+  shard-parallel, day-over-day, corpus-over-corpus.
+- estimate: the query items (bounded list by contract) join the sketch
+  on (row, col) — broadcast of whichever side is smaller; min over
+  depth rows per item.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from dwca_parquet_spark.functions import hashing as H
+
+CMS_P = 2_147_483_647
+
+
+def _cms_ab(j: int) -> tuple[int, int]:
+    """Per-row multipliers, distinct from the MinHash and Bloom families."""
+    a = (j * 3_266_489_917 + 374_761_393) % CMS_P
+    b = (j * 668_265_263 + 1_013_904_223) % CMS_P
+    if a == 0:
+        a = 1
+    return a, b
+
+
+def _positions(h: Column, width: int, depth: int) -> list[Column]:
+    out = []
+    for j in range(depth):
+        a, b = _cms_ab(j)
+        out.append(((h * a + b) % CMS_P) % width)
+    return out
+
+
+def cms_build(
+    df: DataFrame, item_col: str, width: int = 8192, depth: int = 4
+) -> DataFrame:
+    """Sketch a string column's frequencies: returns (row, col, cnt) with
+    ≤ depth·width non-zero cells. Items hash through poly_hash so the
+    oracle can replay them."""
+    h = H.poly_hash(F.col("_item"))
+    cells = F.array(
+        *[
+            F.struct(F.lit(j).alias("row"), pos.alias("col"))
+            for j, pos in enumerate(_positions(F.col("_h"), width, depth))
+        ]
+    )
+    return (
+        df.select(F.col(item_col).alias("_item"))
+        .select(h.alias("_h"))
+        .select(F.explode(cells).alias("_c"))
+        .groupBy(F.col("_c.row").alias("row"), F.col("_c.col").alias("col"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Element-wise sum of two sketches built with the same (width, depth).
+    Bounded output; associative — fold any number of shard sketches."""
+    return (
+        a.unionByName(b)
+        .groupBy("row", "col")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    spark,
+    sketch: DataFrame,
+    items: list[str],
+    width: int = 8192,
+    depth: int = 4,
+) -> DataFrame:
+    """Point estimates for a bounded item list: (item, est). est ≥ true
+    count always; missing cells are zero (an item hashing only to absent
+    cells has estimate 0 — i.e. it never occurred)."""
+    rows = []
+    for it in items:
+        hv = 0
+        for ch in it:
+            hv = (hv * H.HASH_BASE + ord(ch)) % H.HASH_MOD
+        for j in range(depth):
+            a, b = _cms_ab(j)
+            rows.append((it, j, ((hv * a + b) % CMS_P) % width))
+    probe = spark.createDataFrame(rows, "item string, row int, col long")
+    return (
+        F.broadcast(probe)
+        .join(sketch, ["row", "col"], "left")
+        .groupBy("item")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
+    )
+
+
+def sql_cms_build(
+    item_expr: str, source: str, width: int = 8192, depth: int = 4
+) -> str:
+    """DuckDB oracle producing the identical (row, col, cnt) sketch."""
+    ph = H.sql_poly_hash(item_expr)
+    unions = []
+    for j in range(depth):
+        a, b = _cms_ab(j)
+        unions.append(
+            f"SELECT {j} AS row, ((h * {a} + {b}) % {CMS_P}) % {width} AS col "
+            f"FROM (SELECT {ph} AS h FROM {source})"
+        )
+    return (
+        "SELECT row, col, CAST(count(*) AS BIGINT) AS cnt FROM ("
+        + " UNION ALL ".join(unions)
+        + ") GROUP BY row, col"
+    )
