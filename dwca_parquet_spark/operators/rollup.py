@@ -1,0 +1,139 @@
+"""Incremental aggregate maintenance — mergeable rollup state (SURVEY §2
+round-4 extension).
+
+The reporting layer over a 100 TB corpus (per-source token counts,
+per-domain doc counts, per-day quality means) cannot re-aggregate the
+corpus per batch. The standard answer is a stored STATE table of
+mergeable partial aggregates, advanced per batch:
+
+    state' = merge(state, partial(batch))
+
+with merge defined per aggregate kind so that folding batches in any
+grouping reproduces the from-scratch aggregate exactly (the same algebra
+Spark itself uses for map-side partials, lifted to table level):
+  count → sum;  sum → sum;  min → min;  max → max;
+  mean  → (sum, count) carried, surfaced as sum/count at read time.
+
+Sums of floating columns are carried as DECIMAL(38,2) — an exact,
+order-insensitive representation. A double-summed state would drift by
+fold order (measured: the same lineitem sum differs in the 9th digit
+between two groupings), which breaks the defining property of mergeable
+state; decimal sums make every fold order bit-identical, and the mean
+derives from the same decimal on every engine.
+
+Pairs with operators/cdc.py (facts merge) the way partial aggregation
+pairs with shuffle: CDC advances the FACTS, rollup advances the
+SUMMARIES, neither rescans history. With state and batch partials
+bucketed on the group key the merge is Exchange-free on the state side —
+same lever as the CDC plan pin.
+
+Shuffle shape per batch: ONE map-side-combinable groupBy over the batch
+(batch-sized, bounded by |batch| keys), then a groupBy over
+state ∪ partial — cardinality = |touched keys|, never corpus rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# aggregate kinds: name -> (partial builder, merge fn)
+_MERGES = {
+    "cnt": F.sum,
+    "sum": F.sum,
+    "min": F.min,
+    "max": F.max,
+}
+
+
+def _state_cols(value_cols: list[str]) -> list[str]:
+    out = ["cnt"]
+    for v in value_cols:
+        out += [f"sum_{v}", f"min_{v}", f"max_{v}"]
+    return out
+
+
+def rollup_partial(
+    batch: DataFrame, key_cols: list[str], value_cols: list[str]
+) -> DataFrame:
+    """Per-key partial aggregate of one batch — the mergeable unit."""
+    aggs: list[Column] = [F.count(F.lit(1)).alias("cnt")]
+    for v in value_cols:
+        aggs += [
+            F.sum(F.col(v).cast("decimal(18,2)"))
+            .cast("decimal(38,2)")
+            .alias(f"sum_{v}"),
+            F.min(v).alias(f"min_{v}"),
+            F.max(v).alias(f"max_{v}"),
+        ]
+    return batch.groupBy(*key_cols).agg(*aggs)
+
+
+def rollup_merge(
+    state: DataFrame, partial: DataFrame, key_cols: list[str], value_cols: list[str]
+) -> DataFrame:
+    """state ⊕ partial: exact, associative, commutative.
+
+    Shape: a FULL OUTER equi-join on the keys + a combining projection —
+    not union+groupBy. Union erases the children's output partitioning in
+    Catalyst, so a union-based merge re-shuffles even co-bucketed inputs;
+    the join form keeps both bucketed sides Exchange-free (plan-pinned in
+    test_rollup.py). least/greatest skip nulls, and absent-side counts
+    and sums coalesce to zero."""
+    rename = {c: f"_p_{c}" for c in _state_cols(value_cols)}
+    p = partial
+    for old, new in rename.items():
+        p = p.withColumnRenamed(old, new)
+    joined = state.join(p, key_cols, "full_outer")
+    cols: list[Column] = [F.col(k) for k in key_cols]
+    cols.append(
+        (F.coalesce(F.col("cnt"), F.lit(0)) + F.coalesce(F.col("_p_cnt"), F.lit(0)))
+        .alias("cnt")
+    )
+    zero = F.lit(0).cast("decimal(38,2)")
+    for v in value_cols:
+        cols += [
+            (
+                F.coalesce(F.col(f"sum_{v}"), zero)
+                + F.coalesce(F.col(f"_p_sum_{v}"), zero)
+            )
+            .cast("decimal(38,2)")
+            .alias(f"sum_{v}"),
+            F.least(F.col(f"min_{v}"), F.col(f"_p_min_{v}")).alias(f"min_{v}"),
+            F.greatest(F.col(f"max_{v}"), F.col(f"_p_max_{v}")).alias(f"max_{v}"),
+        ]
+    return joined.select(*cols)
+
+
+def rollup_read(
+    state: DataFrame, value_cols: list[str], mean_decimals: int = 6
+) -> DataFrame:
+    """Surface derived statistics (means) from the carried partials."""
+    out = state
+    for v in value_cols:
+        out = out.withColumn(
+            f"mean_{v}",
+            F.round(
+                F.col(f"sum_{v}").cast("double") / F.col("cnt").cast("double"),
+                mean_decimals,
+            ),
+        )
+    return out
+
+
+def sql_rollup_from_scratch(
+    source: str, key_cols: list[str], value_cols: list[str]
+) -> str:
+    """DuckDB oracle: the from-scratch aggregate any merge sequence must
+    equal (same column names as the state table + read-time means)."""
+    keys = ", ".join(key_cols)
+    parts = [f"CAST(count(*) AS BIGINT) AS cnt"]
+    for v in value_cols:
+        dsum = f"sum(CAST({v} AS DECIMAL(18,2)))"
+        parts += [
+            f"CAST({dsum} AS DECIMAL(38,2)) AS sum_{v}",
+            f"min({v}) AS min_{v}",
+            f"max({v}) AS max_{v}",
+            f"round(CAST({dsum} AS DOUBLE) / count(*), 6) AS mean_{v}",
+        ]
+    return f"SELECT {keys}, {', '.join(parts)} FROM {source} GROUP BY {keys}"

@@ -1,0 +1,97 @@
+"""Incremental rollup state (SURVEY §2 round-4): any batch folding order
+reproduces the from-scratch DuckDB aggregate exactly, and the
+state-side merge is Exchange-free when state and partials are bucketed
+on the group key (the CDC plan-pin, applied to summaries)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dwca_parquet_spark.operators.rollup import (
+    rollup_merge,
+    rollup_partial,
+    rollup_read,
+    sql_rollup_from_scratch,
+)
+from tests.conftest import SF_T2
+
+KEYS = ["l_returnflag", "l_linestatus"]
+VALS = ["l_quantity", "l_extendedprice"]
+
+
+def _final(state):
+    rows = rollup_read(state, VALS).collect()
+    return {
+        (r["l_returnflag"], r["l_linestatus"]): tuple(
+            r[c]
+            for c in ["cnt"]
+            + [f"{s}_{v}" for v in VALS for s in ("sum", "min", "max", "mean")]
+        )
+        for r in rows
+    }
+
+
+def test_batched_folds_equal_from_scratch(spark, duck):
+    li = spark.read.parquet(f"{SF_T2}/lineitem.parquet")
+    # three uneven batches, folded left-to-right
+    b0 = li.filter(F.col("l_orderkey") % 4 == 0)
+    b1 = li.filter(F.col("l_orderkey") % 4 == 1)
+    b23 = li.filter(F.col("l_orderkey") % 4 >= 2)
+    state = rollup_partial(b0, KEYS, VALS)
+    state = rollup_merge(state, rollup_partial(b1, KEYS, VALS), KEYS, VALS)
+    state = rollup_merge(state, rollup_partial(b23, KEYS, VALS), KEYS, VALS)
+    got = _final(state)
+
+    cur = duck.execute(sql_rollup_from_scratch("lineitem", KEYS, VALS))
+    cols = [d[0] for d in cur.description]
+    want = {}
+    for row in cur.fetchall():
+        d = dict(zip(cols, row))
+        want[(d["l_returnflag"], d["l_linestatus"])] = tuple(
+            d[c]
+            for c in ["cnt"]
+            + [f"{s}_{v}" for v in VALS for s in ("sum", "min", "max", "mean")]
+        )
+    assert got == want
+
+    # and a different fold order gives the identical state (associativity)
+    alt = rollup_merge(
+        rollup_partial(b23, KEYS, VALS),
+        rollup_merge(
+            rollup_partial(b1, KEYS, VALS),
+            rollup_partial(b0, KEYS, VALS),
+            KEYS,
+            VALS,
+        ),
+        KEYS,
+        VALS,
+    )
+    assert _final(alt) == got
+
+
+def test_bucketed_state_merge_is_exchange_free(spark, tmp_path):
+    from dwca_parquet_spark.sinks.parquet import write_bucketed
+
+    li = spark.read.parquet(f"{SF_T2}/lineitem.parquet")
+    state = rollup_partial(li.filter(F.col("l_orderkey") % 2 == 0), KEYS, VALS)
+    partial = rollup_partial(li.filter(F.col("l_orderkey") % 2 == 1), KEYS, VALS)
+    write_bucketed(state, "roll_state_b", KEYS, 4,
+                   path=str(tmp_path / "state"))
+    write_bucketed(partial, "roll_part_b", KEYS, 4,
+                   path=str(tmp_path / "part"))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        merged = rollup_merge(
+            spark.table("roll_state_b"), spark.table("roll_part_b"), KEYS, VALS
+        )
+        plan = merged._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        # still exact
+        got = _final(merged)
+        want = _final(rollup_partial(li, KEYS, VALS))
+        assert got == want
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS roll_state_b")
+        spark.sql("DROP TABLE IF EXISTS roll_part_b")
