@@ -129,3 +129,91 @@ def sql_cms_build(
         + " UNION ALL ".join(unions)
         + ") GROUP BY row, col"
     )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog registers as a mergeable table (distinct-count state)
+# ---------------------------------------------------------------------------
+# rollup.py carries exact mergeable count/sum/min/max; the distinct count
+# has no exact mergeable form smaller than the key set itself, so the
+# incremental answer is HLL registers AS DATA (Flajolet et al. 2007;
+# PAPERS.md): bucket = h mod 2^b, register[bucket] = max over items of
+# (leading zeros of the hash tail + 1). Max is associative — registers
+# merge by element-wise max, the same contract as cms_merge — and the
+# register table is ≤ 2^b rows whatever the corpus.
+#
+# Portable-arithmetic note: poly_hash yields < 2^30 ~ uniform bits; with
+# b bucket bits the geometric tail has 30-b bits, so the register caps at
+# 30-b+1 and estimates stay calibrated up to ~2^(30-b) distinct items per
+# bucket (b=12 → ~10^9 total — the fixture-to-cluster range; swap the
+# hash for a 64-bit family to extend, the table shape is unchanged). The
+# rho computation is a chain of integer comparisons — identical in Spark
+# and DuckDB, so registers match cell-for-cell; the ESTIMATE is computed
+# driver-side in Python from the bounded register table, outside both
+# engines, so there is no float-parity surface at all.
+
+HLL_B = 12  # 4096 registers; rsd ≈ 1.04/√4096 ≈ 1.6%
+
+
+def _rho_expr(tail: Column, tail_bits: int) -> Column:
+    expr = F.lit(1)
+    for t in range(tail_bits):
+        expr = expr + F.when(tail < F.lit(2**t), 1).otherwise(0)
+    return expr
+
+
+def hll_build(df: DataFrame, item_col: str, b: int = HLL_B) -> DataFrame:
+    """(bucket, register) over a string column — ≤ 2^b rows; one
+    combinable groupBy."""
+    tail_bits = 30 - b
+    return (
+        df.select(F.col(item_col).alias("_item"))
+        .select(H.poly_hash(F.col("_item")).alias("_h"))
+        .select(
+            (F.col("_h") % (2**b)).alias("bucket"),
+            F.expr(f"_h div {2**b}").alias("_tail"),
+        )
+        .groupBy("bucket")
+        .agg(F.max(_rho_expr(F.col("_tail"), tail_bits)).alias("register"))
+    )
+
+
+def hll_merge(a: DataFrame, b_df: DataFrame) -> DataFrame:
+    """Element-wise register max — associative, shard-parallel."""
+    return (
+        a.unionByName(b_df)
+        .groupBy("bucket")
+        .agg(F.max("register").alias("register"))
+    )
+
+
+def hll_estimate(registers: DataFrame, b: int = HLL_B) -> float:
+    """Distinct-count estimate from the register table (bounded collect;
+    standard HLL bias-corrected harmonic mean with the small-range
+    linear-counting correction)."""
+    import math
+
+    m = 2**b
+    regs = {r["bucket"]: r["register"] for r in registers.collect()}
+    zeros = m - len(regs)
+    s = zeros * 1.0 + sum(2.0 ** (-v) for v in regs.values())
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m / s
+    if est <= 2.5 * m and zeros > 0:
+        est = m * math.log(m / zeros)
+    return est
+
+
+def sql_hll_build(item_expr: str, source: str, b: int = HLL_B) -> str:
+    """DuckDB oracle producing the identical (bucket, register) table."""
+    ph = H.sql_poly_hash(item_expr)
+    tail_bits = 30 - b
+    rho = "1" + "".join(
+        f" + (CASE WHEN tail < {2**t} THEN 1 ELSE 0 END)"
+        for t in range(tail_bits)
+    )
+    return (
+        f"SELECT bucket, max({rho}) AS register FROM ("
+        f"SELECT h % {2**b} AS bucket, h // {2**b} AS tail "
+        f"FROM (SELECT {ph} AS h FROM {source})) GROUP BY bucket"
+    )

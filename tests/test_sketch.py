@@ -77,3 +77,33 @@ def test_merge_equals_whole(spark):
         for r in cms_build(toks, "tok", W, D).collect()
     }
     assert merged == whole
+
+
+def test_hll_register_parity_and_estimate(spark, duck):
+    from dwca_parquet_spark.operators.sketch import (
+        hll_build,
+        hll_estimate,
+        hll_merge,
+        sql_hll_build,
+    )
+
+    toks = _token_stream(spark)
+    regs = hll_build(toks, "tok")
+    got = {(r["bucket"], r["register"]) for r in regs.collect()}
+    norm = "trim(regexp_replace(regexp_replace(lower(text), '[^\\x20-\\x7e]', '', 'g'), '\\s+', ' ', 'g'))"
+    duck_toks = (
+        f"(SELECT unnest(string_split_regex({norm}, '\\s+')) AS tok "
+        f"FROM documents WHERE length({norm}) > 0)"
+    )
+    want = set(duck.execute(sql_hll_build("tok", duck_toks)).fetchall())
+    assert got == want
+
+    exact = toks.select("tok").distinct().count()
+    est = hll_estimate(regs)
+    assert abs(est - exact) / exact < 0.05, (est, exact)
+
+    # shard merge == whole build (registers identical, not just estimate)
+    a = hll_build(toks.filter(F.length("tok") % 2 == 0), "tok")
+    b = hll_build(toks.filter(F.length("tok") % 2 == 1), "tok")
+    merged = {(r["bucket"], r["register"]) for r in hll_merge(a, b).collect()}
+    assert merged == got
