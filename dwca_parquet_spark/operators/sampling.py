@@ -151,3 +151,45 @@ def sql_split_label(
         f"WHEN {b} < {hi} THEN '{name}'" for name, hi in splits[:-1]
     )
     return f"CASE {cases} ELSE '{splits[-1][0]}' END"
+
+
+def weighted_sample(
+    df: DataFrame, key_col: str, weight_col: str, salt: str = ""
+) -> DataFrame:
+    """Per-ROW inclusion probabilities — keep each row with probability
+    equal to its own ``weight_col`` value (clamped to [0, 1], ppm
+    resolution), deterministically.
+
+    The quality-proportional selection step of a curation pipeline
+    (keep docs with probability ∝ classifier score — CCNet/Gopher-style
+    soft filtering) without RNG: the same (key, salt) always decides the
+    same way, different salts draw independent selections, and the
+    comparison is INTEGER (hash bucket < round(weight·1e6)) so the
+    oracle reproduces membership exactly — no float threshold ever
+    crosses an engine boundary. Pure projection: zero shuffle, and the
+    nesting property holds per row (a higher weight never drops a row a
+    lower weight kept).
+    """
+    h = H.poly_hash(F.concat(F.col(key_col).cast("string"), F.lit(salt)))
+    bucket = F.pmod(
+        F.pmod(h * F.lit(SAMPLE_A) + F.lit(SAMPLE_B), F.lit(H.HASH_MOD)),
+        F.lit(SAMPLE_MOD),
+    )
+    w = F.least(F.greatest(F.col(weight_col), F.lit(0.0)), F.lit(1.0))
+    threshold = F.round(w * SAMPLE_MOD, 0).cast("long")
+    return df.filter(bucket < threshold)
+
+
+def sql_weighted_sample_pred(
+    key_expr: str, weight_expr: str, salt: str = ""
+) -> str:
+    """DuckDB predicate for :func:`weighted_sample` — identical hash
+    arithmetic, identical integer threshold."""
+    esc = salt.replace("'", "''")
+    keyed = f"({key_expr} || '{esc}')" if salt else key_expr
+    h = H.sql_poly_hash(keyed)
+    w = f"least(greatest({weight_expr}, 0.0), 1.0)"
+    return (
+        f"((({h}) * {SAMPLE_A} + {SAMPLE_B}) % {H.HASH_MOD} % {SAMPLE_MOD})"
+        f" < CAST(round({w} * {SAMPLE_MOD}, 0) AS BIGINT)"
+    )

@@ -654,3 +654,52 @@ def test_repetition_ratio_flags_boilerplate(spark):
     out = {r["id"]: r.asDict() for r in repetition_ratio(df, "id", "t").collect()}
     assert out[1]["rep_ratio"] > 0.9
     assert out[2]["rep_ratio"] <= 0.3
+
+
+def test_weighted_sample_parity_and_properties(spark, duck):
+    from dwca_parquet_spark.operators.sampling import (
+        weighted_sample,
+        sql_weighted_sample_pred,
+    )
+
+    docs = spark.read.parquet(f"{SF_T2}/documents.parquet").withColumn(
+        "w", (F.col("doc_id") % 100) / 100.0
+    )
+    got = sorted(
+        r["doc_id"]
+        for r in weighted_sample(docs, "doc_id", "w", salt="s1").collect()
+    )
+    pred = sql_weighted_sample_pred("CAST(doc_id AS VARCHAR)", "(doc_id % 100) / 100.0", "s1")
+    want = sorted(
+        r[0]
+        for r in duck.execute(
+            f"SELECT doc_id FROM documents WHERE {pred}"
+        ).fetchall()
+    )
+    assert got == want
+    assert 0 < len(got) < docs.count()
+
+    # determinism + independence across salts
+    again = sorted(
+        r["doc_id"]
+        for r in weighted_sample(docs, "doc_id", "w", salt="s1").collect()
+    )
+    assert again == got
+    other = sorted(
+        r["doc_id"]
+        for r in weighted_sample(docs, "doc_id", "w", salt="s2").collect()
+    )
+    assert other != got
+
+    # nesting: doubling every weight only ever ADDS rows
+    more = weighted_sample(
+        docs.withColumn("w", F.least(F.col("w") * 2, F.lit(1.0))),
+        "doc_id", "w", salt="s1",
+    )
+    assert set(got) <= {r["doc_id"] for r in more.collect()}
+
+    # weight extremes: 0 never kept, 1 always kept
+    z = weighted_sample(docs.withColumn("w", F.lit(0.0)), "doc_id", "w")
+    assert z.count() == 0
+    o = weighted_sample(docs.withColumn("w", F.lit(1.0)), "doc_id", "w")
+    assert o.count() == docs.count()
