@@ -1,0 +1,76 @@
+"""Streaming incremental ingestion: the round-4 batch family
+(Bloom dedup → CDC-style append) lifted onto Structured Streaming via
+``foreachBatch`` (SURVEY §2 round-4 extension).
+
+Continuous corpus ingestion is a stream of document batches, but the
+per-batch work is RELATIONAL (dedup against stored history, merge into
+the store) — exactly what foreachBatch exists for: the streaming engine
+handles source progress tracking, batch ids, and restart/exactly-once
+bookkeeping; each micro-batch body reuses the SAME operators the batch
+pipeline runs, so streaming-vs-batch parity is by construction, not by a
+re-implementation (the repo-wide streaming discipline — see
+streaming/events.py).
+
+Idempotency on restart: foreachBatch may REPLAY a batch after a crash.
+The body is a content-keyed dedup against the store — a replayed batch
+finds all its rows already in history and appends nothing — so the sink
+stays exactly-once without transactional writes (the same
+dedup-as-idempotency argument as service.py's job idempotency).
+
+Scale: identical to the batch path (that is the point): Bloom probe is
+zero-shuffle over the micro-batch, the verify streams history only under
+a broadcast candidate set, and the append writes only fresh rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dwca_parquet_spark.cache import release_caches
+from dwca_parquet_spark.operators.bloom import dedup_incremental
+
+
+def stream_ingest_dedup(
+    stream: DataFrame,
+    store_path: str,
+    id_col: str,
+    text_col: str,
+    checkpoint: str,
+    fpp: float = 0.01,
+):
+    """Start a streaming query appending only content-new rows to the
+    parquet store at ``store_path`` (which must exist — seed it with an
+    empty or initial corpus write). Returns the StreamingQuery."""
+    spark = stream.sparkSession
+
+    def body(batch: DataFrame, batch_id: int) -> None:
+        history = spark.read.parquet(store_path)
+        fresh = dedup_incremental(batch, history, id_col, text_col, fpp=fpp)
+        # also dedup WITHIN the micro-batch (first id wins) — a stream
+        # can carry the same document twice in one trigger interval
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("_chash_b").orderBy(F.col(id_col).asc())
+        from dwca_parquet_spark.functions import hashing as H
+
+        fresh = (
+            fresh.withColumn(
+                "_chash_b",
+                H.poly_hash(H.normalize_text(F.col(text_col))),
+            )
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_chash_b", "_rn")
+        )
+        fresh.write.mode("append").option("compression", "zstd").parquet(
+            store_path
+        )
+        release_caches()  # the probe's tracked persist, per batch
+
+    return (
+        stream.writeStream.foreachBatch(body)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1,0 +1,73 @@
+"""Streaming incremental ingestion (SURVEY §2 round-4): the foreachBatch
+lift produces exactly the batch pipeline's store — content-new rows only
+— and replaying the same source is a no-op (idempotency on restart)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dwca_parquet_spark.functions import hashing as H
+from dwca_parquet_spark.streaming.ingest import stream_ingest_dedup
+from tests.conftest import SF_T2
+
+
+def test_stream_ingest_dedups_and_is_idempotent(spark, tmp_path):
+    docs = spark.read.parquet(f"{SF_T2}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    seed = docs.filter(F.col("doc_id") % 3 == 0)
+    incoming = docs.filter(F.col("doc_id") % 3 != 0)
+    # the stream also re-sends a third of the seed docs under new ids
+    resent = seed.filter(F.col("doc_id") % 2 == 0).select(
+        (F.col("doc_id") + 5_000_000).alias("doc_id"), "text"
+    )
+
+    store = str(tmp_path / "store")
+    seed.write.option("compression", "zstd").parquet(store)
+
+    src = str(tmp_path / "src")
+    incoming.unionByName(resent).coalesce(2).write.parquet(src)
+
+    q = stream_ingest_dedup(
+        spark.readStream.schema(docs.schema).format("parquet").load(src),
+        store,
+        "doc_id",
+        "text",
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(180)
+
+    final = spark.read.parquet(store)
+    # every content-distinct doc present exactly once per content
+    def hashes(df):
+        return (
+            df.select(H.poly_hash(H.normalize_text(F.col("text"))).alias("h"))
+            .groupBy("h")
+            .count()
+        )
+
+    want_hashes = {
+        r["h"] for r in hashes(docs).select("h").distinct().collect()
+    }
+    got = {r["h"]: r["count"] for r in hashes(final).collect()}
+    assert set(got) == want_hashes
+    # nothing re-sent survived twice UNLESS the source corpus itself
+    # carries that content twice (planted exact dups stay as-is: within
+    # one batch both copies arrive together → one survives; across
+    # batches the second drops — either way ≤ the source multiplicity)
+    src_mult = {r["h"]: r["count"] for r in hashes(docs).collect()}
+    assert all(got[h] <= src_mult[h] for h in got)
+    assert not any(r["doc_id"] >= 5_000_000 for r in final.collect())
+
+    # replay: a fresh stream over the SAME source (new checkpoint, as
+    # after a checkpoint loss — the worst case) appends NOTHING
+    n_before = final.count()
+    q2 = stream_ingest_dedup(
+        spark.readStream.schema(docs.schema).format("parquet").load(src),
+        store,
+        "doc_id",
+        "text",
+        checkpoint=str(tmp_path / "ckpt2"),
+    )
+    q2.awaitTermination(180)
+    assert spark.read.parquet(store).count() == n_before
