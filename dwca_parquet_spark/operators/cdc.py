@@ -90,3 +90,65 @@ WHERE NOT EXISTS (SELECT 1 FROM _win w WHERE {' AND '.join(f'w.{k} = t.{k}' for 
 UNION ALL
 SELECT {cols} FROM _win WHERE {op_col} <> 'D'
 """
+
+
+def diff_snapshots(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    seq: int = 1,
+    op_col: str = "op",
+    seq_col: str = "seq",
+) -> DataFrame:
+    """The inverse of :func:`apply_cdc`: derive the change feed between
+    two table versions — rows only in ``new`` → I, keys in both with any
+    non-key column changed → U, keys only in ``old`` → D (payload = the
+    old row, matching the reference's versioned-snapshot model at
+    /root/reference/src/dwca_parquet/libs/parquet.py:24-29 where versions
+    are whole tables and the delta is implicit).
+
+    Round trip: ``apply_cdc(old, diff_snapshots(old, new, keys), keys)``
+    equals ``new`` — pinned in test_cdc.py. Unchanged rows emit nothing,
+    so the feed is |changes|-sized, not table-sized.
+
+    Shape: ONE full-outer equi-join on the keys (both sides shuffle once
+    on the key — or zero Exchange when both snapshots are bucketed, the
+    write_bucketed lever), change detection via null-safe equality on the
+    non-key columns (<=> — engine-deterministic, null == null holds).
+    """
+    val_cols = [c for c in old.columns if c not in key_cols]
+    o = old
+    for c in old.columns:
+        o = o.withColumnRenamed(c, f"_o_{c}")
+    n = new
+    for c in new.columns:
+        n = n.withColumnRenamed(c, f"_n_{c}")
+    # plain key equality (not eqNullSafe): merge keys are non-null by
+    # contract, and null-safe key pairing would wrongly match null keys
+    joined = o.join(
+        n,
+        [F.col(f"_o_{k}") == F.col(f"_n_{k}") for k in key_cols],
+        "full_outer",
+    )
+    in_old = F.col(f"_o_{key_cols[0]}").isNotNull()
+    in_new = F.col(f"_n_{key_cols[0]}").isNotNull()
+    changed = F.lit(False)
+    for c in val_cols:
+        changed = changed | ~F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}"))
+    out_cols = [
+        F.coalesce(F.col(f"_n_{k}"), F.col(f"_o_{k}")).alias(k)
+        for k in key_cols
+    ] + [
+        F.coalesce(F.col(f"_n_{c}"), F.col(f"_o_{c}")).alias(c)
+        for c in val_cols
+    ]
+    op = (
+        F.when(in_old & in_new & changed, F.lit("U"))
+        .when(~in_old & in_new, F.lit("I"))
+        .when(in_old & ~in_new, F.lit("D"))
+    )
+    return (
+        joined.withColumn(op_col, op)
+        .filter(F.col(op_col).isNotNull())
+        .select(*out_cols, F.lit(seq).alias(seq_col), F.col(op_col))
+    )

@@ -107,3 +107,32 @@ def test_bucketed_merge_is_exchange_free(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS cdc_target_b")
         spark.sql("DROP TABLE IF EXISTS cdc_feed_b")
+
+
+def test_diff_snapshots_round_trip(spark, duck=None):
+    """diff then apply reproduces the new snapshot exactly; the feed only
+    carries changed keys; ops classify correctly (incl. null transitions)."""
+    from dwca_parquet_spark.operators.cdc import diff_snapshots
+
+    old = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (3, "c", None), (4, "d", 4.0)],
+        T_SCHEMA,
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 1.0),        # unchanged → no feed row
+         (2, "b2", 2.0),       # changed value → U
+         (3, "c", 3.0),        # null → value transition → U
+         (5, "e", 5.0)],       # new key → I; key 4 gone → D
+        T_SCHEMA,
+    )
+    feed = diff_snapshots(old, new, ["k"])
+    ops = {r["k"]: r["op"] for r in feed.collect()}
+    assert ops == {2: "U", 3: "U", 4: "D", 5: "I"}
+
+    applied = apply_cdc(old, feed, ["k"])
+    got = sorted(map(tuple, applied.collect()))
+    want = sorted(map(tuple, new.collect()))
+    assert got == want
+
+    # self-diff is empty
+    assert diff_snapshots(new, new, ["k"]).count() == 0
