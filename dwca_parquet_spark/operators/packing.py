@@ -210,3 +210,81 @@ def mix_sources(
         default_fraction=0.0,
         salt=salt,
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    seq_len: int,
+    overlap: int = 0,
+    n_buckets: int = PACK_BUCKETS,
+) -> DataFrame:
+    """Fixed-length training-SEQUENCE packing: chunk every document to
+    ≤ seq_len tokens (text.chunk_documents), then next-fit-pack chunks
+    into sequences that never exceed ``seq_len`` — the step that turns a
+    curated corpus into the (sequence, position) layout a trainer
+    consumes, with padding waste made measurable instead of implicit.
+
+    Unlike :func:`pack_documents` (shards may overflow by one document —
+    fine for files), a training sequence is a HARD budget: a chunk that
+    does not fit starts the next sequence. Next-fit is inherently
+    sequential, so the distributed shape is the two-level pattern run the
+    other way around: hash-bucket the chunks (parallel), run the exact
+    sequential next-fit INSIDE each bucket as one Arrow-batched
+    applyInPandas pass over the bucket's canonically-ordered chunks, and
+    namespace sequence ids by bucket — no global coordination, identical
+    output under any partitioning. Since every chunk ≤ seq_len, next-fit
+    wastes less than one chunk per sequence → utilization > 50% by
+    construction (in practice ~90%+; see test).
+
+    Output: (id, chunk_idx, n_chunk_tokens, seq_id, seq_pos) where
+    seq_pos is the chunk's token offset inside its sequence.
+    """
+    import pandas as pd
+
+    from dwca_parquet_spark.operators import text as T2
+
+    chunks = T2.chunk_documents(df, id_col, text_col, seq_len, overlap)
+    keyed = chunks.select(
+        F.col(id_col),
+        "chunk_idx",
+        "n_chunk_tokens",
+        H.poly_hash(F.col(id_col).cast("string")).alias("_h"),
+    ).withColumn("_bucket", F.pmod(F.col("_h"), F.lit(n_buckets)))
+
+    out_schema = (
+        f"{id_col} long, chunk_idx long, n_chunk_tokens long, "
+        "seq_id long, seq_pos long"
+    )
+
+    def pack_bucket(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        bucket = int(key[0])
+        pdf = pdf.sort_values(["_h", id_col, "chunk_idx"], kind="mergesort")
+        seq_local, fill, seq_ids, seq_pos = 0, 0, [], []
+        for n in pdf["n_chunk_tokens"]:
+            n = int(n)
+            if fill + n > seq_len:
+                seq_local += 1
+                fill = 0
+            seq_ids.append(bucket * (1 << 40) + seq_local)
+            seq_pos.append(fill)
+            fill += n
+        pdf = pdf.assign(seq_id=seq_ids, seq_pos=seq_pos)
+        return pdf[
+            [id_col, "chunk_idx", "n_chunk_tokens", "seq_id", "seq_pos"]
+        ]
+
+    return keyed.groupBy("_bucket").applyInPandas(pack_bucket, out_schema)
+
+
+def sequence_stats(packed: DataFrame, seq_len: int) -> DataFrame:
+    """Per-sequence fill statistics: (seq_id, n_chunks, n_tokens,
+    utilization) — the padding-waste audit."""
+    return packed.groupBy("seq_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("n_chunk_tokens").alias("n_tokens"),
+        F.round(
+            F.sum("n_chunk_tokens").cast("double") / F.lit(float(seq_len)), 6
+        ).alias("utilization"),
+    )

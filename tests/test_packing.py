@@ -193,3 +193,48 @@ def test_lm_logprob_oov_and_empty(spark, duck):
     assert got[1][2] > got[2][2]  # in-vocab text scores above pure OOV
     # rarity ordering: mixing one OOV token lowers the all-'the' score
     assert got[1][2] > got[4][2] > got[2][2]
+
+
+def test_pack_sequences_budget_and_determinism(spark):
+    from dwca_parquet_spark.operators.packing import (
+        pack_sequences,
+        sequence_stats,
+    )
+    from dwca_parquet_spark.operators.text import chunk_documents
+
+    docs = spark.read.parquet(f"{SF_T2}/documents.parquet")
+    SEQ = 64
+    packed = pack_sequences(docs, "doc_id", "text", SEQ)
+    stats = sequence_stats(packed, SEQ)
+
+    # hard budget: NO sequence exceeds seq_len
+    assert stats.filter(F.col("n_tokens") > SEQ).count() == 0
+
+    # every chunk appears exactly once
+    n_chunks = chunk_documents(docs, "doc_id", "text", SEQ, 0).count()
+    assert packed.count() == n_chunks
+    assert (
+        packed.select("doc_id", "chunk_idx").distinct().count() == n_chunks
+    )
+
+    # seq_pos is consistent: positions within a sequence tile without gaps
+    bad = (
+        packed.groupBy("seq_id")
+        .agg(
+            F.sum("n_chunk_tokens").alias("tot"),
+            F.max(F.col("seq_pos") + F.col("n_chunk_tokens")).alias("end"),
+        )
+        .filter(F.col("tot") != F.col("end"))
+        .count()
+    )
+    assert bad == 0
+
+    # next-fit guarantee: mean utilization comfortably above 1/2
+    util = stats.agg(F.avg("utilization")).first()[0]
+    assert util > 0.6, util
+
+    # identical output under repartitioning (the determinism claim)
+    again = pack_sequences(docs.repartition(17), "doc_id", "text", SEQ)
+    assert sorted(map(tuple, packed.collect())) == sorted(
+        map(tuple, again.collect())
+    )
