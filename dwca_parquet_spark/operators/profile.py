@@ -85,3 +85,119 @@ def sql_profile_table(source: str, columns: list[str]) -> str:
             f"CAST(max({c}) AS VARCHAR) AS max_value FROM {source}"
         )
     return " UNION ALL ".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# Declarative data-quality expectations (the gate profiling feeds)
+# ---------------------------------------------------------------------------
+# An ingestion round ends with assertions, not vibes: null bounds, value
+# ranges, uniqueness, referential containment. Expectations are DATA
+# (rule rows in, violation rows out) so the gate composes with the rest
+# of the engine — a violations table joins, persists, and alerts like any
+# other table, and an empty violations table IS the green light.
+#
+# Rule kinds (column-level unless noted):
+#   not_null            — null count must be 0
+#   unique              — no value occurs twice (nulls ignored)
+#   min / max           — numeric bound (inclusive), args: value
+#   in_set              — args: allowed values (list)
+#   matches             — args: regex the (string) column must fully match
+#   row_count_min       — table-level, args: value
+#
+# Shape: ONE aggregate pass computes every rule's violation count
+# (conditional sums — map-side combinable; `unique` adds one distinct
+# aggregate). Output: (rule_idx, kind, column, violations, passed).
+
+
+def check_expectations(df: DataFrame, rules: list[dict]) -> DataFrame:
+    """Evaluate rule dicts ({kind, column?, value?, values?, pattern?})
+    against ``df`` in one aggregate job; returns one row per rule."""
+    aggs: list[Column] = []
+    metas = []
+    for i, r in enumerate(rules):
+        kind = r["kind"]
+        col = r.get("column")
+        c = F.col(col) if col else None
+        if kind == "not_null":
+            v = F.sum(F.when(c.isNull(), 1).otherwise(0))
+        elif kind == "unique":
+            v = F.count(c) - F.countDistinct(c)
+        elif kind == "min":
+            v = F.sum(F.when(c < F.lit(r["value"]), 1).otherwise(0))
+        elif kind == "max":
+            v = F.sum(F.when(c > F.lit(r["value"]), 1).otherwise(0))
+        elif kind == "in_set":
+            allowed = F.array(*[F.lit(x) for x in r["values"]])
+            v = F.sum(
+                F.when(
+                    c.isNotNull() & ~F.array_contains(allowed, c), 1
+                ).otherwise(0)
+            )
+        elif kind == "matches":
+            v = F.sum(
+                F.when(
+                    c.isNotNull() & ~c.rlike("^(?:" + r["pattern"] + ")$"),
+                    1,
+                ).otherwise(0)
+            )
+        elif kind == "row_count_min":
+            v = F.when(
+                F.count(F.lit(1)) < F.lit(r["value"]),
+                F.lit(r["value"]) - F.count(F.lit(1)),
+            ).otherwise(0)
+        else:
+            raise ValueError(f"unknown expectation kind: {kind}")
+        aggs.append(F.coalesce(v, F.lit(0)).cast("long").alias(f"_v{i}"))
+        metas.append((i, kind, col or ""))
+    one = df.agg(*aggs)
+    stack = ", ".join(
+        f"{i}, '{kind}', '{col}', _v{i}" for i, kind, col in metas
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(metas)}, {stack}) "
+            "AS (rule_idx, kind, column, violations)"
+        )
+    ).withColumn("passed", F.col("violations") == 0)
+
+
+def sql_check_expectations(source: str, rules: list[dict]) -> str:
+    """DuckDB oracle: same rules, same one-pass conditional aggregation."""
+    selects = []
+    for i, r in enumerate(rules):
+        kind, col = r["kind"], r.get("column", "")
+        if kind == "not_null":
+            v = f"sum(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END)"
+        elif kind == "unique":
+            v = f"count({col}) - count(DISTINCT {col})"
+        elif kind == "min":
+            v = f"sum(CASE WHEN {col} < {r['value']} THEN 1 ELSE 0 END)"
+        elif kind == "max":
+            v = f"sum(CASE WHEN {col} > {r['value']} THEN 1 ELSE 0 END)"
+        elif kind == "in_set":
+            vals = ", ".join(
+                "'" + str(x).replace("'", "''") + "'" for x in r["values"]
+            )
+            v = (
+                f"sum(CASE WHEN {col} IS NOT NULL AND {col} NOT IN ({vals}) "
+                "THEN 1 ELSE 0 END)"
+            )
+        elif kind == "matches":
+            pat = r["pattern"].replace("'", "''")
+            v = (
+                f"sum(CASE WHEN {col} IS NOT NULL AND NOT "
+                f"regexp_full_match({col}, '{pat}') THEN 1 ELSE 0 END)"
+            )
+        elif kind == "row_count_min":
+            v = (
+                f"CASE WHEN count(*) < {r['value']} "
+                f"THEN {r['value']} - count(*) ELSE 0 END"
+            )
+        else:
+            raise ValueError(f"unknown expectation kind: {kind}")
+        selects.append(
+            f"SELECT {i} AS rule_idx, '{kind}' AS kind, '{col}' AS \"column\", "
+            f"CAST(coalesce({v}, 0) AS BIGINT) AS violations, "
+            f"coalesce({v}, 0) = 0 AS passed FROM {source}"
+        )
+    return " UNION ALL ".join(selects)

@@ -63,3 +63,52 @@ def test_profile_approx_mode(spark):
         profile_table(orders, COLS)._jdf.queryExecution().executedPlan().toString()
     )
     assert "Expand" in exact_plan  # documents WHY approx is the scale mode
+
+
+EXPECT_RULES = [
+    {"kind": "not_null", "column": "o_orderkey"},
+    {"kind": "unique", "column": "o_orderkey"},
+    {"kind": "min", "column": "o_totalprice", "value": 0},
+    {"kind": "max", "column": "o_totalprice", "value": 100_000},
+    {"kind": "in_set", "column": "o_orderstatus", "values": ["O", "F", "P"]},
+    {"kind": "matches", "column": "o_orderpriority", "pattern": r"\d-[A-Z ]+"},
+    {"kind": "row_count_min", "value": 1_000},
+]
+
+
+def test_expectations_parity_and_gate(spark, duck):
+    from dwca_parquet_spark.operators.profile import (
+        check_expectations,
+        sql_check_expectations,
+    )
+
+    orders = spark.read.parquet(f"{SF_T2}/orders.parquet")
+    got = sorted(
+        map(tuple, check_expectations(orders, EXPECT_RULES).collect())
+    )
+    want = sorted(
+        duck.execute(sql_check_expectations("orders", EXPECT_RULES)).fetchall()
+    )
+    assert got == want
+    by_idx = {r[0]: r for r in got}
+    assert by_idx[0][4] and by_idx[1][4]  # key integrity holds
+
+    # planted violations
+    bad = spark.createDataFrame(
+        [(None, "X", -5.0), (1, "O", 10.0), (1, "O", 20.0)],
+        "k long, status string, price double",
+    )
+    rules = [
+        {"kind": "not_null", "column": "k"},
+        {"kind": "unique", "column": "k"},
+        {"kind": "min", "column": "price", "value": 0},
+        {"kind": "in_set", "column": "status", "values": ["O", "F"]},
+        {"kind": "row_count_min", "value": 10},
+    ]
+    res = {r["rule_idx"]: r for r in check_expectations(bad, rules).collect()}
+    assert res[0]["violations"] == 1          # one null key
+    assert res[1]["violations"] == 1          # k=1 twice
+    assert res[2]["violations"] == 1          # -5 price
+    assert res[3]["violations"] == 1          # status X
+    assert res[4]["violations"] == 7          # 3 rows, need 10
+    assert not any(r["passed"] for r in res.values())
