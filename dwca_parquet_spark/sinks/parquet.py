@@ -175,3 +175,37 @@ def write_clustered(
         .parquet(str(path))
     )
     return str(path)
+
+
+def write_partitioned_dynamic(
+    df: DataFrame,
+    path: str | Path,
+    partition_by: list[str],
+    compression: str = "zstd",
+) -> str:
+    """Overwrite ONLY the hive partitions present in ``df``, leaving every
+    other partition untouched — the per-batch landing write for a table
+    partitioned by ingestion date / source.
+
+    Spark's default overwrite ("static") deletes the WHOLE table first;
+    the dynamic mode scopes the delete to partitions the incoming frame
+    actually carries. That is the difference between "re-land one day"
+    and "destroy the corpus" at 100 TB, and it composes with partition
+    pruning on the read side: a filter on the partition column reaches
+    the scan as a PartitionFilter and skips every other directory
+    entirely (pinned in test_fs.py). The session conf is set around the
+    write and restored — callers' settings are not leaked on.
+    """
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            df.write.mode("overwrite")
+            .option("compression", compression)
+            .partitionBy(*partition_by)
+            .parquet(str(path))
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return str(path)

@@ -177,3 +177,51 @@ def test_write_bucketed_join_has_no_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_customer")
+
+
+def test_dynamic_partition_overwrite_and_pruning(spark, tmp_path):
+    """Dynamic overwrite replaces only the partitions the batch carries;
+    a partition-column filter prunes the scan to those directories."""
+    from collections import Counter
+
+    from dwca_parquet_spark.sinks.parquet import write_partitioned_dynamic
+
+    import pyspark.sql.functions as F
+
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    path = str(tmp_path / "by_status")
+    write_partitioned_dynamic(orders, path, ["o_orderstatus"])
+    before = Counter(
+        (r["o_orderstatus"],) for r in spark.read.parquet(path).collect()
+    )
+
+    # re-land ONLY status 'F' with halved prices
+    relanded = orders.filter(F.col("o_orderstatus") == "F").withColumn(
+        "o_totalprice", F.col("o_totalprice") / 2
+    )
+    write_partitioned_dynamic(relanded, path, ["o_orderstatus"])
+    after = spark.read.parquet(path)
+
+    # untouched partitions intact, 'F' replaced (same rows, new values)
+    assert Counter((r["o_orderstatus"],) for r in after.collect()) == before
+    f_prices = after.filter(F.col("o_orderstatus") == "F").agg(
+        F.sum("o_totalprice")
+    ).first()[0]
+    want = orders.filter(F.col("o_orderstatus") == "F").agg(
+        F.sum("o_totalprice") / 2
+    ).first()[0]
+    assert abs(f_prices - want) < 1e-6
+    o_rows = after.filter(F.col("o_orderstatus") == "O")
+    assert Counter(map(tuple, o_rows.collect())) == Counter(
+        map(tuple, orders.filter(F.col("o_orderstatus") == "O").collect())
+    )
+
+    # pruning: the partition filter reaches the scan
+    plan = (
+        after.filter(F.col("o_orderstatus") == "O")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters: [" in plan
+    assert "o_orderstatus" in plan.split("PartitionFilters:")[1].split("]")[0]
