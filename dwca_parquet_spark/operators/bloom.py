@@ -34,7 +34,13 @@ Scale/shuffle shape:
   billion-key history at fpp=1% is ~1.2 GB = ~300M word rows, still a
   trivial table next to the corpus.
 - probe: k broadcast hash joins (bitmap side broadcast) — the batch streams
-  through unshuffled; misses exit immediately.
+  through unshuffled; misses exit immediately. Regime limit: the bitmap
+  broadcast is ~1.2 bytes/history key, so beyond ~10^9 keys per filter the
+  broadcast stops being free — at that point shard the filter (one bloom
+  per corpus partition, probed against the batch partition that would own
+  the key — the bitmap table is already keyed data, so sharding is a
+  WHERE clause) rather than growing one monolith. tools/bloom_sweep.py
+  measures the tradeoff curve.
 - verify: anti-join on the candidate subset only (|batch| · fpp + true-dup
   rows), keyed on the 8-byte hash — the full-history join the filter
   avoided now touches only candidates.

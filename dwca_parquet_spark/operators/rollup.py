@@ -137,3 +137,68 @@ def sql_rollup_from_scratch(
             f"round(CAST({dsum} AS DOUBLE) / count(*), 6) AS mean_{v}",
         ]
     return f"SELECT {keys}, {', '.join(parts)} FROM {source} GROUP BY {keys}"
+
+
+# ---------------------------------------------------------------------------
+# Mergeable percentile state: fixed log2 histogram
+# ---------------------------------------------------------------------------
+# Exact percentiles are not mergeable (they need the sorted data); the
+# mergeable form is a histogram with FIXED bucket boundaries — counts add,
+# so shard/day/corpus folds are exact over the histogram itself, and any
+# percentile reads off the cumulative counts with relative value error
+# bounded by the bucket width. Log2 buckets (value ∈ [2^i, 2^{i+1}) →
+# bucket i) give ≤ 2× relative error over the whole positive range with
+# ~64 buckets — the latency/size/length-distribution workhorse. Integer
+# bucket arithmetic (comparison chain, no log()) keeps it engine-portable
+# like sketch.py's rho.
+
+
+def log_hist_partial(
+    df: DataFrame, value_col: str, max_bucket: int = 40
+) -> DataFrame:
+    """(bucket, cnt): bucket = floor(log2(v)) for v ≥ 1 (clamped into
+    [0, max_bucket]; v < 1 or NULL → bucket 0 counts via the CASE floor).
+    One combinable groupBy, ≤ max_bucket+1 rows."""
+    v = F.col(value_col)
+    bucket = F.lit(0)
+    for i in range(1, max_bucket + 1):
+        bucket = F.when(v >= F.lit(float(2**i)), F.lit(i)).otherwise(bucket)
+    return (
+        df.filter(v.isNotNull())
+        .select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def log_hist_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Counts add — associative, shard-parallel (the CMS/HLL contract)."""
+    return a.unionByName(b).groupBy("bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def log_hist_percentile(hist: DataFrame, q: float) -> float:
+    """Approximate q-quantile from the histogram (bounded collect): the
+    geometric midpoint of the bucket holding the q·N-th value — relative
+    error ≤ √2 of the true quantile by construction."""
+    rows = sorted(
+        (r["bucket"], r["cnt"]) for r in hist.collect()
+    )
+    total = sum(c for _, c in rows)
+    target = q * total
+    run = 0
+    for bucket, c in rows:
+        run += c
+        if run >= target:
+            return float(2**bucket) * (2**0.5)
+    return float(2 ** rows[-1][0]) * (2**0.5) if rows else 0.0
+
+
+def sql_log_hist(source: str, value_expr: str, max_bucket: int = 40) -> str:
+    """DuckDB oracle for the identical histogram."""
+    bucket = "0"
+    for i in range(1, max_bucket + 1):
+        bucket = f"CASE WHEN {value_expr} >= {float(2**i)} THEN {i} ELSE {bucket} END"
+    return (
+        f"SELECT {bucket} AS bucket, CAST(count(*) AS BIGINT) AS cnt "
+        f"FROM {source} WHERE {value_expr} IS NOT NULL GROUP BY 1"
+    )

@@ -95,3 +95,33 @@ def test_bucketed_state_merge_is_exchange_free(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS roll_state_b")
         spark.sql("DROP TABLE IF EXISTS roll_part_b")
+
+
+def test_log_histogram_parity_merge_and_percentile(spark, duck):
+    from dwca_parquet_spark.operators.rollup import (
+        log_hist_merge,
+        log_hist_partial,
+        log_hist_percentile,
+        sql_log_hist,
+    )
+
+    li = spark.read.parquet(f"{SF_T2}/lineitem.parquet")
+    hist = log_hist_partial(li, "l_extendedprice")
+    got = {r["bucket"]: r["cnt"] for r in hist.collect()}
+    want = dict(
+        duck.execute(sql_log_hist("lineitem", "l_extendedprice")).fetchall()
+    )
+    assert got == want
+
+    # shard merge == whole
+    a = log_hist_partial(li.filter(F.col("l_orderkey") % 2 == 0),
+                         "l_extendedprice")
+    b = log_hist_partial(li.filter(F.col("l_orderkey") % 2 == 1),
+                         "l_extendedprice")
+    merged = {r["bucket"]: r["cnt"] for r in log_hist_merge(a, b).collect()}
+    assert merged == got
+
+    # percentile within the 2x bucket bound of the exact answer
+    exact = li.approxQuantile("l_extendedprice", [0.5], 0.001)[0]
+    est = log_hist_percentile(hist, 0.5)
+    assert exact / 2 <= est <= exact * 2, (est, exact)
