@@ -557,3 +557,69 @@ SELECT _n.id AS {id_expr},
              / greatest(coalesce(n_spans, 0), 1), 6) AS dup_span_fraction
 FROM _n LEFT JOIN _a USING (id)
 """
+
+
+# ---------------------------------------------------------------------------
+# Incremental fuzzy dedup: probe a STORED LSH state (round 4)
+# ---------------------------------------------------------------------------
+
+
+def lsh_state(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3
+) -> tuple[DataFrame, DataFrame]:
+    """The stored near-dup state for a corpus: (band-bucket table, shingle
+    table). Write both as parquet (bucketed on (band, bucket) and id
+    respectively for the co-located probe); advancing the state after an
+    accepted batch is appending the batch's own rows to each — the same
+    tables this function computes for the batch."""
+    sh = shingle_hash_table(df, id_col, text_col, k)
+    buckets = band_bucket_table(minhash_signatures(sh, id_col), id_col)
+    return buckets, sh
+
+
+def minhash_dup_pairs_incremental(
+    batch: DataFrame,
+    state_buckets: DataFrame,
+    state_shingles: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup pairs BETWEEN a new batch and a stored corpus — the fuzzy
+    analog of bloom.dedup_incremental: history's signatures are never
+    recomputed, only its stored bucket/shingle tables are probed.
+
+    Output (id_a, id_b, jaccard): id_a from the stored corpus, id_b from
+    the batch (id spaces must be disjoint — they are different tables).
+    Proved equal to running minhash_dup_pairs over history ∪ batch and
+    keeping the cross pairs (test_bloom.py).
+
+    Scale shape: batch-side shingles/signatures are batch-sized work; the
+    candidate join is an equi-join on (band, bucket) costing
+    Σ_bucket |batch∩bucket|·|corpus∩bucket| — batch-proportional, never
+    |corpus|²; the verify joins touch only candidate ids. With the state
+    tables bucketed on their join keys the probe shuffles only the batch
+    (the write_bucketed lever, same as CDC).
+    """
+    b_sh = persist_tracked(shingle_hash_table(batch, id_col, text_col, k))
+    b_buckets = band_bucket_table(minhash_signatures(b_sh, id_col), id_col)
+    h = state_buckets.select(
+        F.col("band"), F.col("bucket"), F.col(id_col).alias("id_a")
+    )
+    b = b_buckets.select(
+        F.col("band"), F.col("bucket"), F.col(id_col).alias("id_b")
+    )
+    cand = persist_tracked(
+        h.join(b, ["band", "bucket"]).select("id_a", "id_b").distinct(),
+        eager=True,
+    )
+    sh_all = state_shingles.select(id_col, "hashes").unionByName(
+        b_sh.select(id_col, "hashes")
+    )
+    return (
+        pair_jaccard(cand, sh_all, id_col)
+        .withColumn("jaccard", F.round(F.col("jaccard"), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

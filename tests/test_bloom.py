@@ -124,3 +124,41 @@ def test_probe_plan_is_broadcast_only(spark):
     probe_side = plan.split("BroadcastHashJoin")[0]
     assert "Exchange hashpartitioning" not in probe_side
     assert plan.count("BroadcastHashJoin") == k
+
+
+def test_incremental_minhash_equals_cross_pairs_of_full_run(spark):
+    """The fuzzy incremental theorem: probing the stored LSH state with a
+    batch yields exactly the cross pairs of a from-scratch LSH run over
+    history ∪ batch."""
+    from dwca_parquet_spark.operators.dedup import (
+        lsh_state,
+        minhash_dup_pairs,
+        minhash_dup_pairs_incremental,
+    )
+
+    docs = spark.read.parquet(f"{SF_T2}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    history = docs.filter(F.col("doc_id") % 4 != 0)
+    batch = docs.filter(F.col("doc_id") % 4 == 0)
+
+    buckets, shingles = lsh_state(history, "doc_id", "text")
+    got = sorted(
+        map(
+            tuple,
+            minhash_dup_pairs_incremental(
+                batch, buckets, shingles, "doc_id", "text", threshold=0.5
+            ).collect(),
+        )
+    )
+
+    full = minhash_dup_pairs(docs, "doc_id", "text", threshold=0.5)
+    want = sorted(
+        (r["id_a"], r["id_b"], r["jaccard"])
+        if r["id_a"] % 4 != 0
+        else (r["id_b"], r["id_a"], r["jaccard"])
+        for r in full.collect()
+        if (r["id_a"] % 4 == 0) != (r["id_b"] % 4 == 0)  # cross pairs only
+    )
+    assert got == want
+    assert len(got) > 0  # the fixture's planted near-dups span the split
