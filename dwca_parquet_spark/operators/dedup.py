@@ -204,6 +204,24 @@ def minhash_dup_pairs(
     candidate set before an expensive verify anyway.
     """
     sh = persist_tracked(shingle_hash_table(df, id_col, text_col, k))
+    return dup_pairs_from_hash_sets(
+        sh, id_col, threshold=threshold, max_bucket_size=max_bucket_size,
+        eager=eager,
+    )
+
+
+def dup_pairs_from_hash_sets(
+    sh: DataFrame,
+    id_col: str,
+    threshold: float = 0.5,
+    max_bucket_size: int | None = None,
+    eager: bool = True,
+) -> DataFrame:
+    """The modality-independent LSH pipeline: (id, hashes array<long>) →
+    verified Jaccard pairs. Text shingles (minhash_dup_pairs) and frame
+    hashes (multimodal.payload_neardup_pairs) both feed this; the input
+    ``sh`` must already be persisted (it is referenced by the signature
+    build and both verify sides)."""
     buckets = band_bucket_table(minhash_signatures(sh, id_col), id_col)
     if max_bucket_size is not None:
         w = Window.partitionBy("band", "bucket")

@@ -182,3 +182,32 @@ def sample_frames(binary_df: DataFrame, n_frames: int = 4) -> DataFrame:
             )
 
     return binary_df.mapInPandas(batch_fn, FRAME_SCHEMA)
+
+
+def payload_neardup_pairs(
+    binary_df: DataFrame, n_frames: int = 8, threshold: float = 0.5
+) -> DataFrame:
+    """Near-duplicate PAYLOAD pairs by frame-hash Jaccard — the video/image
+    dedup shape: decode to frames (here the deterministic chunking stub),
+    hash each frame, and treat a payload as its SET of frame hashes; two
+    payloads sharing ≥ threshold of their frames are near-dups (re-encodes,
+    trims, appended variants). Feeds the exact same modality-independent
+    LSH pipeline as text shingles (dedup.dup_pairs_from_hash_sets), so the
+    scale/shuffle story — persisted hash table, band-bucket equi-join,
+    explode-join verify — is inherited, not re-implemented.
+
+    Frame hash = (byte_sum·31 + n_bytes) mod HASH_MOD over the frame
+    features sample_frames already computes — the blobs never leave the
+    Python worker; only 8-byte hashes enter the join graph.
+    """
+    from dwca_parquet_spark.cache import persist_tracked
+    from dwca_parquet_spark.operators.dedup import dup_pairs_from_hash_sets
+
+    frames = sample_frames(binary_df, n_frames)
+    fh = (F.col("byte_sum") * 31 + F.col("n_bytes")) % HASH_MOD
+    sh = persist_tracked(
+        frames.select(F.col("doc_id"), fh.alias("_fh"))
+        .groupBy("doc_id")
+        .agg(F.array_distinct(F.collect_list("_fh")).alias("hashes"))
+    )
+    return dup_pairs_from_hash_sets(sh, "doc_id", threshold=threshold)

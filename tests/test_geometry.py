@@ -229,3 +229,42 @@ def test_flatten_nullifies_malformed_footprint(spark, tmp_path):
     assert got[rows[1]["id"]] == "POLYGON ((1 1, 2 1, 2 2, 1 1))"
     bad = got[rows[0]["id"]]
     assert bad is None or bad.startswith("POINT (")
+
+
+def test_payload_neardup_pairs(spark):
+    """Frame-hash near-dup: a payload sharing 7/8 frames with its source
+    pairs up; disjoint payloads don't; jaccard matches an independent
+    python computation over the same frame hashes."""
+    from dwca_parquet_spark.functions.hashing import HASH_MOD
+    from dwca_parquet_spark.operators.multimodal import (
+        payload_neardup_pairs,
+        to_binary_table,
+    )
+
+    base = "".join(chr(65 + (i * 7) % 26) for i in range(800))
+    variant = base[:700] + "x" * 100          # last frame differs
+    other = "".join(chr(97 + (i * 5) % 26) for i in range(800))
+    df = spark.createDataFrame(
+        [(1, base), (2, variant), (3, other)], "doc_id long, text string"
+    )
+    pairs = payload_neardup_pairs(
+        to_binary_table(df, "doc_id", "text"), n_frames=8, threshold=0.5
+    )
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs.collect()}
+    assert (1, 2) in got and len(got) == 1
+
+    # independent reference: frame hashes in plain python
+    def fhashes(payload: bytes, n=8):
+        size = -(-len(payload) // n)
+        out = set()
+        for i in range(n):
+            chunk = payload[i * size : (i + 1) * size]
+            if not chunk:
+                break
+            total = sum(chunk) % HASH_MOD
+            out.add((total * 31 + len(chunk)) % HASH_MOD)
+        return out
+
+    a, b = fhashes(base.encode()), fhashes(variant.encode())
+    want = round(len(a & b) / len(a | b), 6)
+    assert got[(1, 2)] == want
