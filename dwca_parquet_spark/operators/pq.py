@@ -322,3 +322,61 @@ def ivf_pq_topk(
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
     )
+
+
+def ivf_pq_topk_rerank(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_ids_below: int,
+    codebook: list[list[list[int]]],
+    k: int = 10,
+    k_cells: int = 16,
+    nprobe: int = 4,
+    rerank: int = 100,
+) -> DataFrame:
+    """Two-stage retrieval — the standard production composition: ADC over
+    PQ codes produces a cheap shortlist of ``rerank`` candidates per
+    query; only THOSE rows' original vectors are read and exact-scored.
+    PQ quantization error stops binding recall (measured in
+    tools/ann_sweep.py on the structureless sf0.1 fixture: ~0.19 → ~0.57
+    at rerank=100, nprobe=8 — the remaining gap is shortlist quality,
+    tuned via rerank size and codebook (m, k)) while the expensive exact
+    distance runs on rerank·|queries| rows instead of the corpus.
+
+    Shape: stage 1 is ivf_pq_topk (codes only); stage 2 joins the
+    shortlist back to the vector table by id — an equi-join whose left
+    side is bounded by rerank·|queries| — and computes exact integer L2
+    via one zip_with fold, then re-ranks. Output: (query_id, cand_id,
+    dist2, rk)."""
+    shortlist = ivf_pq_topk(
+        df, id_col, vec_col, query_ids_below, codebook,
+        k=rerank, k_cells=k_cells, nprobe=nprobe,
+    ).select("query_id", "cand_id")
+    vecs = df.select(
+        F.col(id_col).alias("cand_id"), scaled_vec(F.col(vec_col)).alias("_sv")
+    )
+    qvecs = df.filter(F.col(id_col) < query_ids_below).select(
+        F.col(id_col).alias("query_id"),
+        scaled_vec(F.col(vec_col)).alias("_sq"),
+    )
+    exact = (
+        shortlist.join(vecs, "cand_id")
+        .join(F.broadcast(qvecs), "query_id")
+        .withColumn(
+            "dist2",
+            F.aggregate(
+                F.zip_with(
+                    F.col("_sq"), F.col("_sv"), lambda x, y: (x - y) * (x - y)
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("dist2"), F.asc("cand_id"))
+    return (
+        exact.select("query_id", "cand_id", "dist2")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+    )

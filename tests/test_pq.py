@@ -148,3 +148,39 @@ def test_ivf_pq_bounds_candidates_and_recalls(spark, emb):
         emb, "vec_id", "embedding", 20, cb, k=10, k_cells=16, nprobe=6
     ).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_rerank_improves_over_adc(spark, emb):
+    from dwca_parquet_spark.operators.pq import ivf_pq_topk, ivf_pq_topk_rerank
+
+    cb = pq_fit(emb, "vec_id", "embedding", DIM, M, K, iters=3)
+    ids, mat = _np_vectors(emb)
+    order = np.argsort(ids)
+    ids, mat = ids[order], mat[order]
+
+    def truth(q):
+        d = ((mat - mat[q][None, :]) ** 2).sum(axis=1)
+        d[q] = np.iinfo(np.int64).max
+        return set(ids[np.lexsort((ids, d))[:10]].tolist())
+
+    def recall(res):
+        by_q = {}
+        for r in res.collect():
+            by_q.setdefault(r["query_id"], set()).add(r["cand_id"])
+        return np.mean([len(by_q[q] & truth(q)) / 10 for q in range(20)])
+
+    plain = recall(
+        ivf_pq_topk(emb, "vec_id", "embedding", 20, cb, k=10,
+                    k_cells=16, nprobe=6)
+    )
+    rr = recall(
+        ivf_pq_topk_rerank(emb, "vec_id", "embedding", 20, cb, k=10,
+                           k_cells=16, nprobe=6, rerank=100)
+    )
+    assert rr > plain + 0.1, (plain, rr)
+    # reranked distances are EXACT integers → fully deterministic
+    a = ivf_pq_topk_rerank(emb, "vec_id", "embedding", 5, cb, k=5,
+                           k_cells=16, nprobe=6, rerank=50).collect()
+    b = ivf_pq_topk_rerank(emb, "vec_id", "embedding", 5, cb, k=5,
+                           k_cells=16, nprobe=6, rerank=50).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))

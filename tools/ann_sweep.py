@@ -18,7 +18,7 @@ sys.path.insert(0, "/root/repo")
 import numpy as np
 from pyspark.sql import functions as F
 
-from dwca_parquet_spark.operators.pq import ivf_pq_topk, pq_encode, pq_fit
+from dwca_parquet_spark.operators.pq import ivf_pq_topk, ivf_pq_topk_rerank, pq_fit
 from dwca_parquet_spark.operators.similarity import (
     VEC_SCALE,
     ivf_topk,
@@ -95,6 +95,18 @@ def main() -> None:
         for r in got.collect():
             by_q.setdefault(r["query_id"], set()).add(r["cand_id"])
         results.append(("ivf", f"nprobe={nprobe}", recall(by_q, truth_cos)))
+
+    for nprobe in (4, 8):
+        got = ivf_pq_topk_rerank(
+            emb, "vec_id", "embedding", N_QUERIES, cb,
+            k=K, k_cells=16, nprobe=nprobe, rerank=100,
+        )
+        by_q = {}
+        for r in got.collect():
+            by_q.setdefault(r["query_id"], set()).add(r["cand_id"])
+        results.append(
+            ("ivf-pq+rerank", f"nprobe={nprobe}", recall(by_q, truth_l2))
+        )
 
     exact = knn_bruteforce(emb, "vec_id", "embedding", N_QUERIES, k=K)
     by_q = {}
