@@ -969,3 +969,173 @@ def sql_nb_score(
            END AS nb_logodds_per_token
     FROM t
     """
+
+
+# ---------------------------------------------------------------------------
+# Bigram LM with stupid backoff (conditional perplexity proxy)
+# ---------------------------------------------------------------------------
+# The unigram score (lm_logprob_score) ranks by vocabulary typicality;
+# fluency lives in token TRANSITIONS. The no-dependency distributed form:
+# bigram MLE over a bounded vocabulary with "stupid backoff" to the
+# unigram (Brants et al. 2007, "Large Language Models in Machine
+# Translation" — the backoff designed FOR map-reduce-scale counts;
+# PAPERS.md). Same engine-parity discipline as the whole LM family: all
+# log-probs computed and rounded driver-side, engines only sum literals.
+
+LM2_SEP = "\x1f"  # unit separator — cannot appear in normalized text
+LM2_BACKOFF = 0.4  # stupid-backoff multiplier
+
+
+def lm2_fit(
+    df: DataFrame,
+    text_col: str,
+    vocab_size: int = 512,
+    top_bigrams: int = 2048,
+) -> dict:
+    """Fit the bigram model: unigram vocab (lm_fit_vocab) + the
+    ``top_bigrams`` most frequent in-vocab bigrams (ties: count desc,
+    pair asc). Two combinable shuffles + bounded collects."""
+    vocab, total = lm_fit_vocab(df, text_col, vocab_size)
+    vset = {t for t, _ in vocab}
+    toks = df.select(tokens(F.col(text_col)).alias("_t"))
+    vmap = F.create_map(
+        *[F.lit(x) for t in sorted(vset) for x in (t, t)]
+    )
+    vt = F.transform(F.col("_t"), lambda t: F.coalesce(vmap[t], F.lit("<unk>")))
+    pairs = F.expr(
+        "transform(sequence(1, greatest(size(_vt) - 1, 0)), "
+        f"i -> concat(element_at(_vt, i), '{LM2_SEP}', element_at(_vt, i + 1)))"
+    )
+    pair_rows = (
+        toks.select(vt.alias("_vt"))
+        .select(F.explode(pairs).alias("p"))
+        .groupBy("p")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("p"))
+        .limit(top_bigrams)
+        .collect()
+    )
+    # context totals (count of bigrams starting at each prev token),
+    # derived from the SAME bounded bigram table would undercount; use
+    # unigram counts as the denominator (MLE over all transitions from
+    # prev — identical in both engines, and the standard stupid-backoff
+    # numerator/denominator)
+    return {
+        "vocab": vocab,
+        "total": total,
+        "bigrams": {r["p"]: r["n"] for r in pair_rows},
+        "vocab_size": vocab_size,
+    }
+
+
+def _lm2_weights(model: dict) -> tuple[dict[str, float], dict[str, float], float]:
+    unigram = dict(model["vocab"])
+    total = model["total"]
+    ulp = {t: math.log(n / total) for t, n in unigram.items()}
+    oov_lp = math.log(1.0 / total)
+    blp = {}
+    for p, n in model["bigrams"].items():
+        prev = p.split(LM2_SEP)[0]
+        denom = unigram.get(prev)
+        if denom:
+            blp[p] = round(math.log(n / denom), 9)
+    back = {
+        t: round(lp + math.log(LM2_BACKOFF), 9) for t, lp in ulp.items()
+    }
+    oov_back = round(oov_lp + math.log(LM2_BACKOFF), 9)
+    return blp, back, oov_back
+
+
+def lm2_logprob_score(
+    df: DataFrame, id_col: str, text_col: str, model: dict
+) -> DataFrame:
+    """Mean per-transition log-prob under bigram-with-stupid-backoff.
+    Zero-shuffle literal-map projection; documents with < 2 tokens score
+    NULL. Output: (id, n_transitions, lm2_logprob)."""
+    blp, back, oov_back = _lm2_weights(model)
+    bpairs: list[Column] = []
+    for p, lp in sorted(blp.items()):
+        bpairs.extend([F.lit(p), F.lit(lp)])
+    bmap = F.create_map(*bpairs) if bpairs else None
+    upairs: list[Column] = []
+    for t, lp in sorted(back.items()):
+        upairs.extend([F.lit(t), F.lit(lp)])
+    umap = F.create_map(*upairs)
+    vmap = F.create_map(
+        *[F.lit(x) for t, _ in sorted(model["vocab"]) for x in (t, t)]
+    )
+    toks = tokens(F.col(text_col))
+    staged = df.select(
+        F.col(id_col),
+        F.transform(toks, lambda t: F.coalesce(vmap[t], F.lit("<unk>"))).alias(
+            "_vt"
+        ),
+    )
+    steps = F.expr(
+        "transform(sequence(1, greatest(size(_vt) - 1, 0)), i -> "
+        f"struct(concat(element_at(_vt, i), '{LM2_SEP}', element_at(_vt, i + 1))"
+        " AS pair, element_at(_vt, i + 1) AS cur))"
+    )
+    def term(x):
+        ubac = F.coalesce(umap[x["cur"]], F.lit(oov_back))
+        return F.coalesce(bmap[x["pair"]], ubac) if bmap is not None else ubac
+
+    total = F.aggregate(
+        steps, F.lit(0.0), lambda acc, x: acc + term(x)
+    )
+    n = F.size(F.col("_vt")) - 1
+    return staged.select(
+        F.col(id_col),
+        F.greatest(n, F.lit(0)).cast("long").alias("n_transitions"),
+        F.when(n > 0, F.round(total / n, 6)).alias("lm2_logprob"),
+    )
+
+
+def sql_lm2_logprob_score(
+    id_expr: str, text_expr: str, model: dict, source: str = "documents"
+) -> str:
+    """DuckDB oracle — identical literals, fold, and backoff."""
+    blp, back, oov_back = _lm2_weights(model)
+    bitems = sorted(blp.items())
+    uitems = sorted(back.items())
+    vwords = sorted(t for t, _ in model["vocab"])
+
+    def strlist(xs):
+        return ", ".join("'" + x.replace("'", "''") + "'" for x in xs)
+
+    bkeys = strlist([p.replace(LM2_SEP, "\x01SEP\x01") for p, _ in bitems])
+    # DuckDB string literals take \x1f literally via chr(31) concat; avoid
+    # embedding the control char by building pair keys with chr(31)
+    bkeys = bkeys.replace("\x01SEP\x01", "' || chr(31) || '")
+    bvals = ", ".join(f"CAST({lp!r} AS DOUBLE)" for _, lp in bitems)
+    ukeys = strlist([t for t, _ in uitems])
+    uvals = ", ".join(f"CAST({lp!r} AS DOUBLE)" for _, lp in uitems)
+    vlist = strlist(vwords)
+    norm = H.sql_normalize_text(text_expr)
+    rawtoks = (
+        f"CASE WHEN length({norm}) = 0 THEN CAST([] AS VARCHAR[]) "
+        f"ELSE string_split_regex({norm}, '\\s+') END"
+    )
+    vt = (
+        f"[CASE WHEN list_position([{vlist}], t) IS NOT NULL THEN t "
+        f"ELSE '<unk>' END for t in {rawtoks}]"
+    )
+    pair = "vt[i - 1] || chr(31) || vt[i]"
+    backoff = (
+        f"coalesce([{uvals}][list_position([{ukeys}], vt[i])], "
+        f"CAST({oov_back!r} AS DOUBLE))"
+    )
+    term = (
+        f"coalesce([{bvals}][list_position([{bkeys}], {pair})], {backoff})"
+    )
+    return f"""
+    WITH t AS (SELECT {id_expr} AS id, {vt} AS vt FROM {source})
+    SELECT id AS {id_expr},
+           CAST(greatest(len(vt) - 1, 0) AS BIGINT) AS n_transitions,
+           CASE WHEN len(vt) > 1 THEN
+               round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                         [{term} for i in range(2, len(vt) + 1)]),
+                     (a, b) -> a + b) / (len(vt) - 1), 6)
+           END AS lm2_logprob
+    FROM t
+    """

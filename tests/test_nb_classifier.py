@@ -74,3 +74,43 @@ def test_scoring_plan_is_shuffle_free(spark):
     )
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_bigram_lm_parity_and_fluency(spark, duck):
+    from dwca_parquet_spark.operators.text import (
+        lm2_fit,
+        lm2_logprob_score,
+        sql_lm2_logprob_score,
+    )
+
+    docs = spark.read.parquet(f"{SF_T2}/documents.parquet")
+    model = lm2_fit(docs, "text", vocab_size=128, top_bigrams=512)
+    assert model == lm2_fit(docs, "text", vocab_size=128, top_bigrams=512)
+
+    got = sorted(
+        tuple(r) for r in lm2_logprob_score(docs, "doc_id", "text", model).collect()
+    )
+    want = sorted(
+        duck.execute(
+            sql_lm2_logprob_score("doc_id", "text", model, "documents")
+        ).fetchall()
+    )
+    assert got == want
+
+    # fluency: corpus-frequent transitions outscore shuffled ones
+    top_pair = max(model["bigrams"], key=model["bigrams"].get)
+    a, b = top_pair.split("\x1f")
+    fluent = spark.createDataFrame(
+        [(1, f"{a} {b} {a} {b} {a} {b}")], "id long, text string"
+    )
+    garbled = spark.createDataFrame(
+        [(2, f"{b} {b} {b} {a} {a} {a}")], "id long, text string"
+    )
+    sf = lm2_logprob_score(fluent, "id", "text", model).first()["lm2_logprob"]
+    sg = lm2_logprob_score(garbled, "id", "text", model).first()["lm2_logprob"]
+    assert sf > sg
+
+    # short docs: single-token → NULL, n_transitions 0
+    one = spark.createDataFrame([(3, "word")], "id long, text string")
+    r = lm2_logprob_score(one, "id", "text", model).first()
+    assert r["n_transitions"] == 0 and r["lm2_logprob"] is None
