@@ -1,0 +1,154 @@
+"""Link-graph importance scoring: PageRank on (src, dst) edge tables
+(SURVEY §2 round-4 extension).
+
+Web-curation pipelines weight documents by their host's link-graph
+importance (the CommonCrawl-ranking signal; pairs with
+text.extract_urls/registrable_domain, which produce exactly the
+(doc → linked-domain) edges this consumes). Beyond connected components
+(operators/dedup.py), this adds the ITERATIVE numeric graph family.
+
+Determinism contract (the repo-wide rule, applied to an iterative float
+algorithm): rank mass is DECIMAL(28,12) throughout — decimal sums are
+order-free exact, and the one division per (node, iteration) is
+explicitly quantized — so the final ranks are bit-identical across runs,
+partitionings, and a driver-side Decimal reference (the pytest oracle
+mirrors the arithmetic with Python's decimal module, HALF_UP like
+Spark's).
+
+Scale/shuffle shape per iteration: contributions explode along edges (a
+projection over the edge table joined with current ranks — equi-join on
+src, co-partitionable), then ONE map-side-combinable groupBy on dst.
+Dangling mass (nodes without out-edges) is a 1-row aggregate broadcast
+back — the textbook redistribution, kept exact in decimal. Iterations
+are a fixed count (convergence-threshold loops need a collect per round;
+fixed iters need none beyond the dangling scalar).
+"""
+
+from __future__ import annotations
+
+from decimal import ROUND_HALF_UP, Decimal
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# decimal(28,12), NOT (38,12): Spark derives division/multiplication
+# result types from operand precisions and SHRINKS the scale when the
+# derived precision exceeds 38 — a (38,12)/(20,0) division would come
+# back at scale 6 and the subsequent cast would double-round, diverging
+# from the single-quantize Python mirror. With (28,12) operands every
+# intermediate fits in 38 digits at scale ≥ 12, so the one explicit cast
+# is the ONLY rounding point — same as the reference's one quantize.
+DEC = "decimal(28,12)"
+Q12 = Decimal("0.000000000001")
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = 5,
+    damping: str = "0.85",
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Fixed-iteration PageRank; returns (node, rank DECIMAL(28,12)),
+    ranks summing to ~1 (exact up to the per-node quantization).
+    ``damping`` is a STRING so it enters decimal arithmetic unrounded.
+    Out-degrees are capped at decimal(8,0) (10^8 edges per node) by the
+    precision budget above."""
+    # damping at its NATURAL precision (3,2): a (28,12)×(28,12) product
+    # would exceed 38 digits and trigger Spark's scale reduction; (3,2)×
+    # (28,12) stays exact at (32,14), so the cast to DEC is the single
+    # rounding point, mirroring the reference's one quantize.
+    d = F.lit(damping).cast("decimal(3,2)")
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .unionByName(edges.select(F.col(dst).alias("node")))
+        .distinct()
+    )
+    n_nodes = nodes.count()  # one scalar; fixes the teleport share
+    init = (Decimal(1) / Decimal(n_nodes)).quantize(Q12, ROUND_HALF_UP)
+    teleport_coef = (
+        (Decimal(1) - Decimal(damping)) / Decimal(n_nodes)
+    ).quantize(Q12, ROUND_HALF_UP)
+
+    out_deg = edges.groupBy(src).agg(F.count(F.lit(1)).alias("_deg"))
+    ranks = nodes.select("node", F.lit(str(init)).cast(DEC).alias("rank"))
+
+    for _ in range(iters):
+        with_deg = ranks.join(
+            out_deg.select(F.col(src).alias("node"), "_deg"), "node", "left"
+        )
+        contribs = (
+            with_deg.filter(F.col("_deg").isNotNull())
+            .join(edges.select(F.col(src).alias("node"), F.col(dst)), "node")
+            .select(
+                F.col(dst).alias("node"),
+                (F.col("rank") / F.col("_deg").cast("decimal(8,0)"))
+                .cast(DEC)
+                .alias("_c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("_c").cast(DEC).alias("_in"))
+        )
+        # dangling nodes' mass redistributes uniformly — one exact scalar
+        dangling = (
+            with_deg.filter(F.col("_deg").isNull())
+            .agg(F.coalesce(F.sum("rank"), F.lit("0").cast(DEC)).cast(DEC))
+            .first()[0]
+        ) or Decimal(0)
+        dang_share = (Decimal(dangling) / Decimal(n_nodes)).quantize(
+            Q12, ROUND_HALF_UP
+        )
+        base = F.lit(str(teleport_coef)).cast(DEC) + (
+            d * F.lit(str(dang_share)).cast(DEC)
+        ).cast(DEC)
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .select(
+                "node",
+                (
+                    base
+                    + (
+                        d * F.coalesce(F.col("_in"), F.lit("0").cast(DEC))
+                    ).cast(DEC)
+                )
+                .cast(DEC)
+                .alias("rank"),
+            )
+        )
+    return ranks
+
+
+def pagerank_reference(
+    edge_list: list[tuple[str, str]], iters: int = 5, damping: str = "0.85"
+) -> dict[str, Decimal]:
+    """Driver-side Decimal mirror of :func:`pagerank` — the differential
+    oracle for the iterative arithmetic (same quantization points)."""
+    nodes = sorted({s for s, _ in edge_list} | {t for _, t in edge_list})
+    n = Decimal(len(nodes))
+    d = Decimal(damping)
+    out: dict[str, list[str]] = {}
+    for s, t in edge_list:
+        out.setdefault(s, []).append(t)
+    ranks = {v: (Decimal(1) / n).quantize(Q12, ROUND_HALF_UP) for v in nodes}
+    teleport = ((Decimal(1) - d) / n).quantize(Q12, ROUND_HALF_UP)
+    for _ in range(iters):
+        incoming = {v: Decimal(0) for v in nodes}
+        dangling = Decimal(0)
+        for v in nodes:
+            if v in out:
+                share = (ranks[v] / Decimal(len(out[v]))).quantize(
+                    Q12, ROUND_HALF_UP
+                )
+                for t in out[v]:
+                    incoming[t] += share
+            else:
+                dangling += ranks[v]
+        dang_share = (dangling / n).quantize(Q12, ROUND_HALF_UP)
+        base = teleport + (d * dang_share).quantize(Q12, ROUND_HALF_UP)
+        ranks = {
+            v: (base + (d * incoming[v]).quantize(Q12, ROUND_HALF_UP)).quantize(
+                Q12, ROUND_HALF_UP
+            )
+            for v in nodes
+        }
+    return ranks

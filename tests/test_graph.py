@@ -1,0 +1,62 @@
+"""PageRank (SURVEY §2 round-4): bit-exact parity with the driver-side
+Decimal mirror on a handmade graph AND on the corpus link graph
+(extract_urls → registrable_domain edges), partition invariance, and
+rank-mass conservation."""
+
+from __future__ import annotations
+
+from decimal import Decimal
+
+from pyspark.sql import functions as F
+
+from dwca_parquet_spark.operators.graph import pagerank, pagerank_reference
+from tests.conftest import SF_T2
+
+EDGES = [
+    ("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"),
+    ("d", "c"), ("e", "c"), ("e", "a"),
+    # f is dangling (no out-edges, only appears as dst)
+    ("a", "f"),
+]
+
+
+def test_pagerank_matches_decimal_reference(spark):
+    df = spark.createDataFrame(EDGES, "src string, dst string")
+    got = {r["node"]: r["rank"] for r in pagerank(df, iters=5).collect()}
+    want = pagerank_reference(EDGES, iters=5)
+    assert {k: Decimal(v) for k, v in got.items()} == want
+
+    # rank is a probability mass (up to per-node quantization drift)
+    total = sum(got.values())
+    assert abs(total - Decimal(1)) < Decimal("0.000001")
+    # 'a' collects c's entire mass (c's only out-edge) → top rank;
+    # sources d/e, pointed at by nobody, sit at the teleport floor
+    assert got["a"] == max(got.values())
+    assert got["d"] == got["e"] == min(got.values())
+
+    # partition invariance — the decimal-exactness claim
+    again = {
+        r["node"]: r["rank"]
+        for r in pagerank(df.repartition(7), iters=5).collect()
+    }
+    assert again == got
+
+
+def test_pagerank_on_corpus_link_graph(spark):
+    from dwca_parquet_spark.operators.text import extract_urls
+
+    docs = spark.read.parquet(f"{SF_T2}/documents.parquet")
+    urls = extract_urls(docs, "doc_id", "text", collapse_suffix=True)
+    edges = urls.select(
+        F.col("doc_id").cast("string").alias("src"),
+        F.col("registrable_domain").alias("dst"),
+    ).distinct()
+    edge_list = [(r["src"], r["dst"]) for r in edges.collect()]
+    if not edge_list:  # fixture carries URLs; guard regardless
+        return
+    got = {
+        r["node"]: Decimal(r["rank"])
+        for r in pagerank(edges, iters=3).collect()
+    }
+    want = pagerank_reference(edge_list, iters=3)
+    assert got == want
