@@ -641,3 +641,76 @@ def minhash_dup_pairs_incremental(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def trim_duplicated_spans(
+    df: DataFrame, id_col: str, text_col: str, w: int = 8
+) -> DataFrame:
+    """The ACTION to duplicated_spans' measure: remove every w-token
+    window that duplicates an EARLIER occurrence (document order =
+    (id, span_idx) ascending — the first occurrence in the corpus keeps
+    its text, later copies lose theirs), rebuilding each document from
+    its surviving tokens. A repeated run of L > w tokens is covered by
+    L − w + 1 duplicated windows whose union is the whole run, so entire
+    boilerplate blocks disappear, not just one window (the Lee et al.
+    2022 removal policy at token-window granularity).
+
+    Output: (id, text_trimmed, n_tokens, n_tokens_removed). NOT
+    idempotent by design: removing a block makes previously-separated
+    tokens adjacent, which can form NEW duplicate windows — iterate to a
+    fixed point if the policy demands it (each pass is this operator).
+
+    Shuffle shape: the span stream's ONE groupBy on span_hash (min
+    occurrence — map-side combinable), a join-back on the same key, one
+    groupBy on id collecting the bounded removal-offset set, and a join
+    to the docs. Token filtering is a scan-stage lambda over the token
+    array with the removal set as a per-row array — O(n_tokens ·
+    |removals|) per doc, bounded by the dup mass itself.
+    """
+    spans = span_hash_table(df, id_col, text_col, w)
+    keeper = spans.groupBy("span_hash").agg(
+        F.min(F.struct(F.col(id_col), F.col("span_idx"))).alias("_keep"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    removals = (
+        spans.join(keeper, "span_hash")
+        .filter(
+            (F.col("_n") > 1)
+            & ~(
+                (F.col(id_col) == F.col(f"_keep.{id_col}"))
+                & (F.col("span_idx") == F.col("_keep.span_idx"))
+            )
+        )
+        .groupBy(id_col)
+        .agg(F.collect_set("span_idx").alias("_drops"))
+    )
+    staged = (
+        df.select(F.col(id_col), H.normalize_text(F.col(text_col)).alias("_norm"))
+        .select(
+            F.col(id_col),
+            F.when(
+                F.length(F.col("_norm")) == 0, F.array().cast("array<string>")
+            )
+            .otherwise(F.split(F.col("_norm"), r"\s+"))
+            .alias("_toks"),
+        )
+        .join(removals, id_col, "left")
+        .withColumn("_drops", F.coalesce(F.col("_drops"), F.array().cast("array<long>")))
+    )
+    # token at 0-based position i is removed iff some dropped window
+    # start s satisfies s ≤ i < s + w  (F.filter's two-arg lambda gives
+    # the element index)
+    kept = F.filter(
+        F.col("_toks"),
+        lambda t, i: ~F.exists(
+            F.col("_drops"), lambda s: (s <= i.cast("long")) & (i.cast("long") < s + w)
+        ),
+    )
+    return staged.select(
+        F.col(id_col),
+        F.array_join(kept, " ").alias("text_trimmed"),
+        F.size(F.col("_toks")).cast("long").alias("n_tokens"),
+        (F.size(F.col("_toks")) - F.size(kept)).cast("long").alias(
+            "n_tokens_removed"
+        ),
+    )

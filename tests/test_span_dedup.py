@@ -79,3 +79,84 @@ def test_span_table_positions(spark):
     assert sorted(i for i, _ in by_doc[2]) == [0]
     # doc2's only window 'a b c d' equals doc1's first window
     assert by_doc[2][0][1] == dict(by_doc[1])[0]
+
+
+def _py_trim(rows, w=8):
+    """Independent python reference for trim_duplicated_spans' spec."""
+    import re
+
+    def norm(s):
+        s = re.sub(r"[^\x20-\x7e]", "", s.lower())
+        return re.sub(r"\s+", " ", s).strip()
+
+    MOD, BASE = 1_000_000_007, 31
+
+    def th(tok):
+        h = 0
+        for ch in tok:
+            h = (h * BASE + ord(ch)) % MOD
+        return h
+
+    docs = {i: (norm(t).split(" ") if norm(t) else []) for i, t in rows}
+    occ: dict[int, list] = {}
+    for i in sorted(docs):
+        toks = docs[i]
+        hs = [th(t) for t in toks]
+        for s in range(len(toks) - w + 1):
+            hv = 0
+            for j in range(w):
+                hv = (hv * BASE + hs[s + j]) % MOD
+            occ.setdefault(hv, []).append((i, s))
+    out = {}
+    for i in sorted(docs):
+        toks = docs[i]
+        drop = set()
+        hs = [th(t) for t in toks]
+        for s in range(len(toks) - w + 1):
+            hv = 0
+            for j in range(w):
+                hv = (hv * BASE + hs[s + j]) % MOD
+            lst = occ[hv]
+            if len(lst) > 1 and min(lst) != (i, s):
+                drop.update(range(s, s + w))
+        kept = [t for p, t in enumerate(toks) if p not in drop]
+        out[i] = (" ".join(kept), len(toks), len(toks) - len(kept))
+    return out
+
+
+def test_trim_duplicated_spans(spark):
+    from dwca_parquet_spark.operators.dedup import trim_duplicated_spans
+
+    df = spark.createDataFrame(ROWS, "id long, text string")
+    got = {
+        r["id"]: (r["text_trimmed"], r["n_tokens"], r["n_tokens_removed"])
+        for r in trim_duplicated_spans(df, "id", "text", w=8).collect()
+    }
+    want = _py_trim(ROWS, w=8)
+    assert got == want
+
+    # semantics: the first boilerplate carrier (doc 1) keeps its text;
+    # later pure-boilerplate doc 4 is emptied; unique doc 3 untouched
+    assert got[1][2] == 0
+    assert got[4][0] == "" and got[4][2] == got[4][1] > 0
+    assert got[3][2] == 0
+    # doc 2's boilerplate block is gone but its unique prefix/suffix stay
+    assert "prefix words differ here" in got[2][0]
+    assert "repeated verbatim" not in got[2][0]
+
+
+def test_trim_on_fixture_matches_reference(spark):
+    from dwca_parquet_spark.operators.dedup import trim_duplicated_spans
+
+    docs = spark.read.parquet(f"{SF_T2}/documents.parquet").filter(
+        "doc_id % 10 < 3"
+    )
+    rows = [(r["doc_id"], r["text"]) for r in docs.collect()]
+    got = {
+        r["id"] if "id" in r else r["doc_id"]: (
+            r["text_trimmed"], r["n_tokens"], r["n_tokens_removed"]
+        )
+        for r in trim_duplicated_spans(docs, "doc_id", "text", w=6).collect()
+    }
+    want = _py_trim(rows, w=6)
+    assert got == want
