@@ -1,0 +1,98 @@
+"""Corpus datasheet generator (SURVEY §2 round-4 extension).
+
+"Datasheets for Datasets" (Gebru et al. 2021; PAPERS.md) made dataset
+documentation a release artifact; every serious corpus ships one. This
+composes the engine's OWN gated operators — token accounting
+(text_stats), exact-dup profiling (dedup_exact), length distribution
+(rollup.log_hist), per-source/language mixes — into one markdown card,
+so the datasheet numbers are definitionally the numbers the pipeline
+computed, not a second implementation that can drift.
+
+Cost shape: one pass for the token/length stats, one content-hash
+groupBy for the dup profile, two tiny mix aggregates; every collect is
+bounded (scalars, ≤41 histogram buckets, |sources|, |languages|).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dwca_parquet_spark.operators.dedup import dedup_exact
+from dwca_parquet_spark.operators.rollup import log_hist_partial
+from dwca_parquet_spark.operators.text import text_stats
+
+
+def corpus_card(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    source_col: str | None = None,
+    lang_col: str | None = None,
+    name: str = "corpus",
+) -> str:
+    """Markdown datasheet for a document table. Deterministic: every
+    number is an exact aggregate; orderings are explicit."""
+    stats = text_stats(df, id_col, text_col)
+    totals = stats.agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum("n_tokens").alias("tokens"),
+        F.sum("n_chars").alias("chars"),
+        F.min("n_tokens").alias("min_t"),
+        F.max("n_tokens").alias("max_t"),
+    ).first()
+
+    groups = dedup_exact(df, id_col, text_col)
+    dup = groups.agg(
+        F.count(F.lit(1)).alias("distinct_texts"),
+        F.sum(F.col("n_copies") - 1).alias("redundant_docs"),
+    ).first()
+
+    hist = sorted(
+        (r["bucket"], r["cnt"])
+        for r in log_hist_partial(stats, "n_tokens").collect()
+    )
+
+    lines = [
+        f"# Datasheet: {name}",
+        "",
+        "## Size",
+        f"- documents: {totals['docs']:,}",
+        f"- tokens (whitespace): {totals['tokens']:,}",
+        f"- characters (normalized): {totals['chars']:,}",
+        f"- tokens per document: min {totals['min_t']}, max {totals['max_t']}",
+        "",
+        "## Exact duplication",
+        f"- distinct normalized texts: {dup['distinct_texts']:,}",
+        f"- redundant documents (exact copies beyond the first): "
+        f"{dup['redundant_docs']:,} "
+        f"({dup['redundant_docs'] / max(totals['docs'], 1):.2%})",
+        "",
+        "## Document length (log2 token buckets)",
+        "| bucket (tokens ≥) | documents |",
+        "|---|---|",
+    ]
+    for b, c in hist:
+        lines.append(f"| {2**b:,} | {c:,} |")
+
+    for label, col in (("Source mix", source_col), ("Language mix", lang_col)):
+        if col is None:
+            continue
+        mix = (
+            df.join(stats.select(id_col, "n_tokens"), id_col)
+            .groupBy(col)
+            .agg(
+                F.count(F.lit(1)).alias("docs"),
+                F.sum("n_tokens").alias("tokens"),
+            )
+            .orderBy(F.desc("tokens"), F.asc(col))
+            .collect()
+        )
+        total_tokens = max(totals["tokens"], 1)
+        lines += ["", f"## {label}", f"| {col} | documents | tokens | token share |", "|---|---|---|---|"]
+        for r in mix:
+            lines.append(
+                f"| {r[col]} | {r['docs']:,} | {r['tokens']:,} | "
+                f"{r['tokens'] / total_tokens:.2%} |"
+            )
+    return "\n".join(lines) + "\n"

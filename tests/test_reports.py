@@ -1,0 +1,44 @@
+"""Corpus datasheet (SURVEY §2 round-4): the card's numbers ARE the
+gated operators' numbers (recomputed independently here), and the output
+is deterministic."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dwca_parquet_spark.reports import corpus_card
+from tests.conftest import SF_T2
+
+
+def test_corpus_card_numbers_and_determinism(spark):
+    docs = spark.read.parquet(f"{SF_T2}/documents.parquet")
+    card = corpus_card(
+        docs, "doc_id", "text", source_col="source", lang_col="lang",
+        name="fixture-sf0.01",
+    )
+    assert card == corpus_card(
+        docs, "doc_id", "text", source_col="source", lang_col="lang",
+        name="fixture-sf0.01",
+    )
+
+    n_docs = docs.count()
+    assert f"- documents: {n_docs:,}" in card
+
+    from dwca_parquet_spark.operators.text import text_stats
+
+    n_tokens = (
+        text_stats(docs, "doc_id", "text").agg(F.sum("n_tokens")).first()[0]
+    )
+    assert f"- tokens (whitespace): {n_tokens:,}" in card
+
+    from dwca_parquet_spark.operators.dedup import dedup_exact
+
+    distinct = dedup_exact(docs, "doc_id", "text").count()
+    assert f"- distinct normalized texts: {distinct:,}" in card
+
+    # structure: all sections present; mixes list every source/language
+    for section in ("## Size", "## Exact duplication",
+                    "## Document length", "## Source mix", "## Language mix"):
+        assert section in card
+    for r in docs.select("lang").distinct().collect():
+        assert f"| {r['lang']} |" in card
