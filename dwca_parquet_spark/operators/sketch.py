@@ -217,3 +217,72 @@ def sql_hll_build(item_expr: str, source: str, b: int = HLL_B) -> str:
         f"SELECT h % {2**b} AS bucket, h // {2**b} AS tail "
         f"FROM (SELECT {ph} AS h FROM {source})) GROUP BY bucket"
     )
+
+
+# ---------------------------------------------------------------------------
+# Heavy hitters: distributed Misra-Gries with exact verification
+# ---------------------------------------------------------------------------
+# CMS estimates a GIVEN item's frequency but cannot enumerate the frequent
+# items. Misra-Gries (the classic k-counter summary) can, and its partials
+# MERGE: each partition keeps ≤ k counters (decrementing all when full —
+# each decrement also "charges" k-1 other stream items, so any item with
+# true count > n/k survives SOMEWHERE); summing per-item counters across
+# partition summaries preserves the guarantee for the whole corpus
+# (Agarwal et al. 2012, "Mergeable Summaries"; PAPERS.md). The candidate
+# set is then ≤ partitions·k items — bounded — and ONE exact filtered
+# count restores exact frequencies for just those items.
+#
+# Guarantee surfaced by the operator (and pinned in tests): every item
+# with true count > n_total/k appears in the output with its EXACT count.
+
+
+def heavy_hitters(
+    df: DataFrame, item_col: str, k: int = 64
+) -> DataFrame:
+    """(item, cnt) for every candidate the merged Misra-Gries summaries
+    surface, with cnt EXACT (verified). Superset of all items with true
+    count > n/k; ordered consumers should sort by cnt desc themselves.
+
+    Shape: one mapInPandas pass building per-partition ≤ k-counter
+    summaries (Arrow-batched; the only stateful loop, and it never holds
+    more than k counters), a ≤ partitions·k-row candidate aggregation,
+    and one broadcast-semi-filtered exact groupBy over the corpus.
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def mg(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters: dict = {}
+        for pdf in batches:
+            for item in pdf["_item"]:
+                if item in counters:
+                    counters[item] += 1
+                elif len(counters) < k:
+                    counters[item] = 1
+                else:
+                    dead = []
+                    for key in counters:
+                        counters[key] -= 1
+                        if counters[key] == 0:
+                            dead.append(key)
+                    for key in dead:
+                        del counters[key]
+        yield pd.DataFrame(
+            {"item": list(counters), "cnt": list(counters.values())}
+        )
+
+    items = df.select(F.col(item_col).alias("_item"))
+    partials = items.mapInPandas(mg, "item string, cnt long")
+    candidates = partials.groupBy("item").agg(F.sum("cnt")).select("item")
+    exact = (
+        items.join(
+            F.broadcast(candidates),
+            items["_item"] == candidates["item"],
+            "left_semi",
+        )
+        .groupBy("_item")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("_item").alias("item"), "cnt")
+    )
+    return exact

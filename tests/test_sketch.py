@@ -107,3 +107,28 @@ def test_hll_register_parity_and_estimate(spark, duck):
     b = hll_build(toks.filter(F.length("tok") % 2 == 1), "tok")
     merged = {(r["bucket"], r["register"]) for r in hll_merge(a, b).collect()}
     assert merged == got
+
+
+def test_heavy_hitters_guarantee_and_exactness(spark):
+    from dwca_parquet_spark.operators.sketch import heavy_hitters
+
+    toks = _token_stream(spark)
+    n_total = toks.count()
+    k = 32
+    got = {r["item"]: r["cnt"] for r in heavy_hitters(toks, "tok", k).collect()}
+
+    exact = {
+        r["tok"]: r["n"]
+        for r in toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    # every surfaced count is EXACT
+    for item, cnt in got.items():
+        assert cnt == exact[item]
+    # the MG guarantee: all items with true count > n/k are present
+    threshold = n_total / k
+    must_have = {t for t, n in exact.items() if n > threshold}
+    assert must_have <= set(got)
+    assert len(must_have) > 0  # the fixture's stopword-ish tokens qualify
+    # candidate set stays bounded (partitions × k is the hard cap)
+    n_parts = toks.rdd.getNumPartitions()
+    assert len(got) <= n_parts * k
