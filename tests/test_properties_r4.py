@@ -118,3 +118,30 @@ def test_bloom_incremental_exactness(spark, hist, batch):
         .collect()
     )
     assert got == want
+
+
+@SETTINGS
+@given(
+    weights=st.lists(st.integers(1, 60), min_size=1, max_size=12),
+    k=st.integers(4, 16),
+    n_noise=st.integers(0, 300),
+)
+def test_heavy_hitters_guarantee_holds(spark, weights, k, n_noise):
+    """Misra-Gries + exact verify: on ANY stream (planted hot items over
+    unique-noise floors), every item above n/k is surfaced with its exact
+    count."""
+    from dwca_parquet_spark.operators.sketch import heavy_hitters
+
+    rows = [(f"hot{i}",) for i, w in enumerate(weights) for _ in range(w)]
+    rows += [(f"noise{j}",) for j in range(n_noise)]
+    df = spark.createDataFrame(rows, "tok string").repartition(5)
+    got = {r["item"]: r["cnt"] for r in heavy_hitters(df, "tok", k).collect()}
+
+    n_total = len(rows)
+    exact: dict[str, int] = {}
+    for (t,) in rows:
+        exact[t] = exact.get(t, 0) + 1
+    for item, cnt in got.items():
+        assert cnt == exact[item]
+    must = {t for t, c in exact.items() if c > n_total / k}
+    assert must <= set(got)
