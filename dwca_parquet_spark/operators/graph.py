@@ -31,6 +31,8 @@ from decimal import ROUND_HALF_UP, Decimal
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from dwca_parquet_spark.cache import persist_tracked
+
 # decimal(28,12), NOT (38,12): Spark derives division/multiplication
 # result types from operand precisions and SHRINKS the scale when the
 # derived precision exceeds 38 — a (38,12)/(20,0) division would come
@@ -59,21 +61,36 @@ def pagerank(
     # (28,12) stays exact at (32,14), so the cast to DEC is the single
     # rounding point, mirroring the reference's one quantize.
     d = F.lit(damping).cast("decimal(3,2)")
+    # nodes is referenced twice per iteration across all iterations —
+    # checkpoint once so those references read a materialized table.
     nodes = (
         edges.select(F.col(src).alias("node"))
         .unionByName(edges.select(F.col(dst).alias("node")))
         .distinct()
+        .localCheckpoint()
     )
     n_nodes = nodes.count()  # one scalar; fixes the teleport share
+    if n_nodes == 0:  # empty edge table → empty ranks, not DivisionByZero
+        return nodes.select("node", F.lit(None).cast(DEC).alias("rank"))
     init = (Decimal(1) / Decimal(n_nodes)).quantize(Q12, ROUND_HALF_UP)
     teleport_coef = (
         (Decimal(1) - Decimal(damping)) / Decimal(n_nodes)
     ).quantize(Q12, ROUND_HALF_UP)
 
-    out_deg = edges.groupBy(src).agg(F.count(F.lit(1)).alias("_deg"))
+    # out_deg feeds every iteration — persist it once (released by the
+    # session owner via release_caches, the repo-wide cache lifecycle).
+    out_deg = persist_tracked(
+        edges.groupBy(src).agg(F.count(F.lit(1)).alias("_deg"))
+    )
     ranks = nodes.select("node", F.lit(str(init)).cast(DEC).alias("rank"))
 
     for _ in range(iters):
+        # Truncate lineage and materialize ONCE per round (the CC
+        # discipline, operators/dedup.py:302-330): both references below —
+        # the dangling-mass scalar action and the contributions join — read
+        # this materialized table. Without it, iteration i's action replays
+        # rounds 0..i-1 from source: O(iters²) executed work.
+        ranks = ranks.localCheckpoint()
         with_deg = ranks.join(
             out_deg.select(F.col(src).alias("node"), "_deg"), "node", "left"
         )
@@ -115,7 +132,8 @@ def pagerank(
                 .alias("rank"),
             )
         )
-    return ranks
+    # final checkpoint: the caller's first action replays zero iterations
+    return ranks.localCheckpoint()
 
 
 def pagerank_reference(

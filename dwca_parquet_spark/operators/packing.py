@@ -253,8 +253,12 @@ def pack_sequences(
         H.poly_hash(F.col(id_col).cast("string")).alias("_h"),
     ).withColumn("_bucket", F.pmod(F.col("_h"), F.lit(n_buckets)))
 
+    # the id column keeps its INPUT type (string ids are common in corpora
+    # and the poly_hash bucketing casts to string anyway) — hard-coding
+    # `long` here made applyInPandas reject any non-bigint id at runtime
+    id_type = chunks.schema[id_col].dataType.simpleString()
     out_schema = (
-        f"{id_col} long, chunk_idx long, n_chunk_tokens long, "
+        f"{id_col} {id_type}, chunk_idx long, n_chunk_tokens long, "
         "seq_id long, seq_pos long"
     )
 

@@ -14,7 +14,10 @@ Spark itself uses for map-side partials, lifted to table level):
   count → sum;  sum → sum;  min → min;  max → max;
   mean  → (sum, count) carried, surfaced as sum/count at read time.
 
-Sums of floating columns are carried as DECIMAL(38,2) — an exact,
+Sums of floating columns are carried as DECIMAL(38,s) with a caller-chosen
+scale s (``value_scale``, default 2) — values are quantized to s decimal
+places on entry, so the exactness guarantee is relative to the s-quantized
+data; pick s to cover the column's precision. Decimal is an exact,
 order-insensitive representation. A double-summed state would drift by
 fold order (measured: the same lineitem sum differs in the 9th digit
 between two groupings), which breaks the defining property of mergeable
@@ -54,14 +57,25 @@ def _state_cols(value_cols: list[str]) -> list[str]:
 
 
 def rollup_partial(
-    batch: DataFrame, key_cols: list[str], value_cols: list[str]
+    batch: DataFrame,
+    key_cols: list[str],
+    value_cols: list[str],
+    value_scale: int = 2,
 ) -> DataFrame:
-    """Per-key partial aggregate of one batch — the mergeable unit."""
+    """Per-key partial aggregate of one batch — the mergeable unit.
+
+    ``value_scale`` is the decimal scale values are quantized to BEFORE
+    summing (default 2 — currency-style): sum_v/mean_v are exact statistics
+    of the values rounded to that many decimal places. For finer-grained
+    columns (per-day quality scores in [0,1]) pass a larger scale, e.g.
+    value_scale=9 — the precision budget decimal(18+s-2, s) keeps ~1e16
+    of integer headroom at any scale."""
     aggs: list[Column] = [F.count(F.lit(1)).alias("cnt")]
+    s = value_scale
     for v in value_cols:
         aggs += [
-            F.sum(F.col(v).cast("decimal(18,2)"))
-            .cast("decimal(38,2)")
+            F.sum(F.col(v).cast(f"decimal({16 + s},{s})"))
+            .cast(f"decimal(38,{s})")
             .alias(f"sum_{v}"),
             F.min(v).alias(f"min_{v}"),
             F.max(v).alias(f"max_{v}"),
@@ -70,7 +84,11 @@ def rollup_partial(
 
 
 def rollup_merge(
-    state: DataFrame, partial: DataFrame, key_cols: list[str], value_cols: list[str]
+    state: DataFrame,
+    partial: DataFrame,
+    key_cols: list[str],
+    value_cols: list[str],
+    value_scale: int = 2,
 ) -> DataFrame:
     """state ⊕ partial: exact, associative, commutative.
 
@@ -90,14 +108,14 @@ def rollup_merge(
         (F.coalesce(F.col("cnt"), F.lit(0)) + F.coalesce(F.col("_p_cnt"), F.lit(0)))
         .alias("cnt")
     )
-    zero = F.lit(0).cast("decimal(38,2)")
+    zero = F.lit(0).cast(f"decimal(38,{value_scale})")
     for v in value_cols:
         cols += [
             (
                 F.coalesce(F.col(f"sum_{v}"), zero)
                 + F.coalesce(F.col(f"_p_sum_{v}"), zero)
             )
-            .cast("decimal(38,2)")
+            .cast(f"decimal(38,{value_scale})")
             .alias(f"sum_{v}"),
             F.least(F.col(f"min_{v}"), F.col(f"_p_min_{v}")).alias(f"min_{v}"),
             F.greatest(F.col(f"max_{v}"), F.col(f"_p_max_{v}")).alias(f"max_{v}"),
@@ -122,16 +140,20 @@ def rollup_read(
 
 
 def sql_rollup_from_scratch(
-    source: str, key_cols: list[str], value_cols: list[str]
+    source: str,
+    key_cols: list[str],
+    value_cols: list[str],
+    value_scale: int = 2,
 ) -> str:
     """DuckDB oracle: the from-scratch aggregate any merge sequence must
     equal (same column names as the state table + read-time means)."""
     keys = ", ".join(key_cols)
+    s = value_scale
     parts = [f"CAST(count(*) AS BIGINT) AS cnt"]
     for v in value_cols:
-        dsum = f"sum(CAST({v} AS DECIMAL(18,2)))"
+        dsum = f"sum(CAST({v} AS DECIMAL({16 + s},{s})))"
         parts += [
-            f"CAST({dsum} AS DECIMAL(38,2)) AS sum_{v}",
+            f"CAST({dsum} AS DECIMAL(38,{s})) AS sum_{v}",
             f"min({v}) AS min_{v}",
             f"max({v}) AS max_{v}",
             f"round(CAST({dsum} AS DOUBLE) / count(*), 6) AS mean_{v}",
@@ -157,7 +179,9 @@ def log_hist_partial(
     df: DataFrame, value_col: str, max_bucket: int = 40
 ) -> DataFrame:
     """(bucket, cnt): bucket = floor(log2(v)) for v ≥ 1 (clamped into
-    [0, max_bucket]; v < 1 or NULL → bucket 0 counts via the CASE floor).
+    [0, max_bucket]; v < 1 → bucket 0 via the CASE floor; NULLs are
+    EXCLUDED — they count in no bucket, matching the SQL oracle's WHERE
+    clause, so merge/percentile denominators cover non-null values only).
     One combinable groupBy, ≤ max_bucket+1 rows."""
     v = F.col(value_col)
     bucket = F.lit(0)

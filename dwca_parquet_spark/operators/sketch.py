@@ -253,24 +253,32 @@ def heavy_hitters(
     import pandas as pd
 
     def mg(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        counters: dict = {}
+        # Vectorized Misra-Gries: a batch's exact value_counts() IS a
+        # zero-error mergeable summary, so merge it into the bounded state
+        # and trim with the mergeable-summaries MG merge (Agarwal et al.
+        # 2012, §3.2): subtract the (k+1)-th largest counter from all and
+        # drop the non-positive — ≤ k survive and each subtraction charges
+        # every one of the ≥ k+1 affected counters equally, preserving the
+        # underestimate bound ≤ n_partition/(k+1). No per-row Python: the
+        # prior per-item dict loop capped the scan at ~1-5 M items/s/core.
+        acc: pd.Series | None = None
         for pdf in batches:
-            for item in pdf["_item"]:
-                if item in counters:
-                    counters[item] += 1
-                elif len(counters) < k:
-                    counters[item] = 1
-                else:
-                    dead = []
-                    for key in counters:
-                        counters[key] -= 1
-                        if counters[key] == 0:
-                            dead.append(key)
-                    for key in dead:
-                        del counters[key]
-        yield pd.DataFrame(
-            {"item": list(counters), "cnt": list(counters.values())}
-        )
+            vc = pdf["_item"].value_counts()
+            acc = vc if acc is None else acc.add(vc, fill_value=0)
+            if len(acc) > k:
+                thresh = acc.nlargest(k + 1).iloc[-1]
+                acc = acc[acc > thresh] - thresh
+        if acc is None:
+            yield pd.DataFrame(
+                {
+                    "item": pd.Series(dtype=object),
+                    "cnt": pd.Series(dtype="int64"),
+                }
+            )
+        else:
+            yield pd.DataFrame(
+                {"item": acc.index, "cnt": acc.astype("int64").values}
+            )
 
     items = df.select(F.col(item_col).alias("_item"))
     partials = items.mapInPandas(mg, "item string, cnt long")

@@ -35,15 +35,22 @@ WARC_SCHEMA = (
 )
 
 
+_WS = b" \t\r\n"  # whitespace allowed between records
+
+
 def _parse_warc_bytes(name: str, blob: bytes, keep_types: set[str] | None):
     pos = 0
     n = len(blob)
     while pos < n:
-        # skip inter-record blank lines
-        while pos < n and blob[pos : pos + 2] in (b"\r\n", b"\n\n"):
-            pos += 2
+        # skip inter-record whitespace by INDEX — a `blob[pos:]` slice here
+        # would copy the whole remaining file per record (O(bytes × records)
+        # on ~1 GB Common Crawl files); startswith takes an offset instead
+        while pos < n and blob[pos] in _WS:
+            pos += 1
+        if not blob.startswith(b"WARC/", pos):
+            return
         head_end = blob.find(b"\r\n\r\n", pos)
-        if head_end < 0 or not blob[pos:].lstrip().startswith(b"WARC/"):
+        if head_end < 0:
             return
         headers: dict[str, str] = {}
         for line in blob[pos:head_end].split(b"\r\n")[1:]:

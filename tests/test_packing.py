@@ -238,3 +238,28 @@ def test_pack_sequences_budget_and_determinism(spark):
     assert sorted(map(tuple, packed.collect())) == sorted(
         map(tuple, again.collect())
     )
+
+
+def test_pack_sequences_string_ids(spark):
+    """ADVICE r4: the output schema hard-coded the id column as bigint —
+    string document ids (common in corpora; the dedup/LSH family accepts
+    them) must round-trip with their input type and identical packing."""
+    from dwca_parquet_spark.operators.packing import pack_sequences
+
+    docs = spark.read.parquet(f"{SF_T2}/documents.parquet").limit(200)
+    SEQ = 64
+    as_str = docs.select(
+        F.concat(F.lit("doc-"), F.col("doc_id").cast("string")).alias("doc_id"),
+        "text",
+    )
+    packed = pack_sequences(as_str, "doc_id", "text", SEQ)
+    assert dict(packed.dtypes)["doc_id"] == "string"
+    rows = packed.collect()
+    assert rows and all(r["doc_id"].startswith("doc-") for r in rows)
+    # hard budget still holds
+    from dwca_parquet_spark.operators.packing import sequence_stats
+
+    assert (
+        sequence_stats(packed, SEQ).filter(F.col("n_tokens") > SEQ).count()
+        == 0
+    )

@@ -125,3 +125,49 @@ def test_log_histogram_parity_merge_and_percentile(spark, duck):
     exact = li.approxQuantile("l_extendedprice", [0.5], 0.001)[0]
     est = log_hist_percentile(hist, 0.5)
     assert exact / 2 <= est <= exact * 2, (est, exact)
+
+
+def test_value_scale_preserves_fine_precision(spark, duck):
+    """ADVICE r4: the default scale-2 cast quantized fine-grained values
+    (quality scores in [0,1]) before summing. value_scale parameterizes
+    the quantization point; at scale 9 the folded state equals the
+    DuckDB from-scratch aggregate at the SAME scale on a score column
+    whose digits a 2-dp cast would destroy. The score is n_chars/256
+    — exact in double AND within scale 9 (8 binary places), so neither
+    engine rounds anywhere and parity is exact (the repo's portable-
+    arithmetic rule: no cross-engine float rounding points)."""
+    docs = spark.read.parquet(f"{SF_T2}/documents.parquet")
+    scored = docs.select(
+        "lang", (F.col("n_chars") / F.lit(256.0)).alias("score")
+    )
+    a = scored.filter(F.col("n_chars") % 2 == 0)
+    b = scored.filter(F.col("n_chars") % 2 == 1)
+    state = rollup_merge(
+        rollup_partial(a, ["lang"], ["score"], value_scale=9),
+        rollup_partial(b, ["lang"], ["score"], value_scale=9),
+        ["lang"],
+        ["score"],
+        value_scale=9,
+    )
+    got = {
+        r["lang"]: (r["cnt"], r["sum_score"], r["min_score"], r["max_score"])
+        for r in state.collect()
+    }
+    cur = duck.execute(
+        sql_rollup_from_scratch(
+            "(SELECT lang, CAST(n_chars AS DOUBLE)/256.0 AS score FROM documents)",
+            ["lang"],
+            ["score"],
+            value_scale=9,
+        )
+    )
+    cols = [d[0] for d in cur.description]
+    want = {}
+    for row in cur.fetchall():
+        d = dict(zip(cols, row))
+        want[d["lang"]] = (d["cnt"], d["sum_score"], d["min_score"], d["max_score"])
+    assert got == want
+    # and the scale-9 sum really carries sub-cent digits (guards against a
+    # silent re-quantization to 2 dp anywhere in the fold)
+    assert any(v[1] != v[1].quantize(__import__("decimal").Decimal("0.01"))
+               for v in got.values())
