@@ -242,6 +242,9 @@ def heavy_hitters(
     """(item, cnt) for every candidate the merged Misra-Gries summaries
     surface, with cnt EXACT (verified). Superset of all items with true
     count > n/k; ordered consumers should sort by cnt desc themselves.
+    NULL items are outside the universe (``value_counts`` drops them in
+    the summary pass, and the exact verify's equality semi-join could
+    never match them anyway — the same exclusion in both passes).
 
     Shape: one mapInPandas pass building per-partition ≤ k-counter
     summaries (Arrow-batched; the only stateful loop, and it never holds

@@ -26,11 +26,12 @@ plan (wall time on local[32] undersells the Bloom side: an in-memory
 real cluster, while the bitmap broadcast the Bloom path pays is
 priced realistically in both settings).
 
-Run: python tools/bloom_sweep.py [--md]
+Run: python tools/bloom_sweep.py [--md] [--runs N] [--sizes a,b,...]
 """
 
 from __future__ import annotations
 
+import argparse
 import statistics
 import sys
 import time
@@ -49,7 +50,7 @@ from dwca_parquet_spark.session import get_spark
 
 BATCH = 500_000
 HISTORY_SIZES = [1_000_000, 2_000_000, 5_000_000, 10_000_000]
-RUNS = 5
+RUNS = 5  # default; --runs overrides (use fewer at the 10^8 decade)
 
 
 def synth_docs(spark, n, offset=0, tag="h"):
@@ -69,9 +70,9 @@ def keyed(df):
     ).select("doc_id", H.poly_hash(F.col("_n")).alias("_chash"))
 
 
-def bench(fn):
+def bench(fn, runs=RUNS):
     times = []
-    for _ in range(RUNS):
+    for _ in range(runs):
         t0 = time.perf_counter()
         fn()
         times.append(time.perf_counter() - t0)
@@ -79,12 +80,24 @@ def bench(fn):
 
 
 def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--md", action="store_true")
+    ap.add_argument("--runs", type=int, default=RUNS)
+    ap.add_argument(
+        "--sizes", default=",".join(str(s) for s in HISTORY_SIZES),
+        help="comma-separated history sizes (e.g. 100000000 for the"
+        " 10^8 decade, where the bitmap broadcast is ~120 MB and the"
+        " sharded-filter regime note in operators/bloom.py applies)",
+    )
+    args = ap.parse_args()
+    sizes = [int(s) for s in args.sizes.split(",") if s]
+
     spark = get_spark("bloom-sweep")
     spark.sparkContext.setLogLevel("ERROR")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(4 << 20))
 
     rows = []
-    for n in HISTORY_SIZES:
+    for n in sizes:
         history = synth_docs(spark, n, tag="h")
         # batch: 20% dups (ids inside history), 80% new (disjoint tag)
         dups = synth_docs(spark, BATCH // 5, tag="h").select(
@@ -105,7 +118,8 @@ def main() -> None:
         t_anti = bench(
             lambda: keyed(batch)
             .join(hist_keys.distinct(), "_chash", "left_anti")
-            .count()
+            .count(),
+            args.runs,
         )
 
         m, k = bloom_params(n, 0.01)
@@ -138,7 +152,7 @@ def main() -> None:
             probed.unpersist()
             return n_out
 
-        t_bloom = bench(incremental)
+        t_bloom = bench(incremental, args.runs)
         probe_plan = (
             bloom_probe(keyed(batch), "_chash", bitmap, m, k)
             ._jdf.queryExecution().executedPlan().toString()
@@ -167,7 +181,7 @@ def main() -> None:
             flush=True,
         )
 
-    if "--md" in sys.argv:
+    if args.md:
         print("| history rows | anti-join / batch | bloom build (once) | bloom / batch | outputs equal | anti shuffles | probe shuffles |")
         print("|---|---|---|---|---|---|---|")
         for n, ta, tb, tp, eq, ax, px in rows:
