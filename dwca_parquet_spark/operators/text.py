@@ -463,10 +463,18 @@ def find_contaminated_blocked(
                 H.shingle_hashes_from_codes(H.char_codes(F.col("_pnorm")), k)
             ).alias("_h"),
         )
+        # stage char_codes in its own projection (the element_at-on-
+        # computed-expression trap; see contamination_overlap / dedup.
+        # shingle_hash_table) — the probe side above is bounded rows, the
+        # doc side is the corpus scan and pays O(len²·k) per row unstaged
         doc_shingles = docs.select(
             F.col(id_col),
+            "_norm",
+            H.char_codes(F.col("_norm")).alias("_codes"),
+        ).select(
+            F.col(id_col),
             F.explode(
-                H.shingle_hashes_from_codes(H.char_codes(F.col("_norm")), k)
+                H.shingle_hashes_from_codes(F.col("_codes"), k)
             ).alias("_h"),
         )
         cand = (
@@ -552,14 +560,22 @@ def contamination_overlap(
             F.explode("_ph").alias("_h"),
         )
     )
-    docs = df.select(
-        F.col(id_col), H.normalize_text(F.col(text_col)).alias("_norm")
-    )
-    doc_sh = docs.select(
-        F.col(id_col),
-        F.explode(
-            H.shingle_hashes_from_codes(H.char_codes(F.col("_norm")), n)
-        ).alias("_h"),
+    # char_codes MUST be staged through its own projection before the
+    # shingle transform references it: element_at on a computed array
+    # expression re-evaluates the whole split per element (O(len²·n) per
+    # row — measured 75 s for 500 docs at n=8 before staging, sub-second
+    # after; the same trap dedup.shingle_hash_table documents).
+    doc_sh = (
+        df.select(
+            F.col(id_col), H.normalize_text(F.col(text_col)).alias("_norm")
+        )
+        .select(F.col(id_col), H.char_codes(F.col("_norm")).alias("_codes"))
+        .select(
+            F.col(id_col),
+            F.explode(
+                H.shingle_hashes_from_codes(F.col("_codes"), n)
+            ).alias("_h"),
+        )
     )
     shared = (
         doc_sh.join(F.broadcast(probe_sh), "_h")

@@ -1,0 +1,148 @@
+"""Streaming sketch maintenance: keep mergeable summaries (CMS + HLL)
+of a streaming column as stored state, folded per micro-batch
+(SURVEY §2 round-5 extension; composes operators/sketch.py's mergeable
+summaries with the streaming/ingest.py foreachBatch discipline).
+
+A continuously-ingested corpus needs continuously-current statistics —
+token frequencies for heavy-hitter monitoring (CMS), distinct counts for
+dedup-rate dashboards (HLL) — without ever rescanning the corpus. The
+mergeable-summaries contract (Agarwal et al. 2012; PAPERS.md) makes the
+streaming lift trivially correct ON THE HAPPY PATH: fold each
+micro-batch's bounded partial into the stored state. The part that is
+NOT free is replay: foreachBatch may re-deliver a batch after a crash,
+and unlike streaming/ingest.py's content-keyed dedup (where a replay
+finds its rows already stored and appends nothing), RE-MERGING a sketch
+partial double-counts. Sketch state therefore needs the TRANSACTIONAL
+idempotency pattern:
+
+- state versions are directories ``v<batch_id>/`` under the state path,
+  written staged (``.tmp`` then one atomic rename) so a crashed write is
+  never read as state;
+- the applied-batch watermark IS the max complete version directory —
+  no side meta file that could desync from the data it describes;
+- a replayed batch_id <= watermark is a no-op BEFORE any read or merge.
+
+Spark guarantees micro-batch ids are monotonically increasing per
+checkpoint, so one watermark (not a set) suffices.
+
+Scale: per batch the work is cms_build/hll_build over the batch (one
+combinable groupBy each) plus a merge against state tables bounded by
+depth*width and 2^b rows — per-batch cost is O(batch) regardless of how
+much history the sketches summarize. Old versions are pruned to
+``keep_versions``; state on disk is a few bounded parquet files.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+from dwca_parquet_spark.fs import FS
+from dwca_parquet_spark.operators.sketch import (
+    HLL_B,
+    cms_build,
+    cms_merge,
+    hll_build,
+    hll_merge,
+)
+
+_VDIR = re.compile(r".*/v(\d+)$")
+
+CMS_SCHEMA = "row int, col long, cnt long"
+HLL_SCHEMA = "bucket long, register int"
+
+
+def applied_watermark(spark: SparkSession, state_path: str) -> int:
+    """Max batch id with a COMPLETE state version on disk (-1 if none).
+    Complete = the version directory exists under its final name — the
+    staged-rename write makes that an all-or-nothing signal."""
+    fs = FS(spark, state_path)
+    best = -1
+    for p in fs.glob(str(state_path).rstrip("/") + "/v*"):
+        m = _VDIR.match(p)
+        if m:
+            best = max(best, int(m.group(1)))
+    return best
+
+
+def read_sketch_state(
+    spark: SparkSession, state_path: str
+) -> tuple[int, DataFrame, DataFrame]:
+    """(watermark, cms, hll) — empty bounded tables when no state yet."""
+    wm = applied_watermark(spark, state_path)
+    if wm < 0:
+        return (
+            wm,
+            spark.createDataFrame([], CMS_SCHEMA),
+            spark.createDataFrame([], HLL_SCHEMA),
+        )
+    base = f"{str(state_path).rstrip('/')}/v{wm}"
+    return (
+        wm,
+        spark.read.schema(CMS_SCHEMA).parquet(f"{base}/cms.parquet"),
+        spark.read.schema(HLL_SCHEMA).parquet(f"{base}/hll.parquet"),
+    )
+
+
+def apply_batch(
+    spark: SparkSession,
+    state_path: str,
+    batch: DataFrame,
+    batch_id: int,
+    item_col: str,
+    width: int = 8192,
+    depth: int = 4,
+    b: int = HLL_B,
+    keep_versions: int = 2,
+) -> bool:
+    """Fold one micro-batch into the stored sketches; False = replay
+    skipped. Exposed separately from the stream wiring so the replay
+    semantics are directly testable (and so a non-streaming incremental
+    pipeline can call it per ingestion batch)."""
+    wm, cms, hll = read_sketch_state(spark, state_path)
+    if batch_id <= wm:
+        return False  # replayed batch: state already includes it
+    new_cms = cms_merge(cms, cms_build(batch, item_col, width, depth))
+    new_hll = hll_merge(hll, hll_build(batch, item_col, b))
+    base = str(state_path).rstrip("/")
+    fs = FS(spark, base)
+    tmp, final = f"{base}/v{batch_id}.tmp", f"{base}/v{batch_id}"
+    if fs.exists(tmp):  # crashed predecessor attempt
+        fs.delete(tmp)
+    new_cms.coalesce(1).write.parquet(f"{tmp}/cms.parquet")
+    new_hll.coalesce(1).write.parquet(f"{tmp}/hll.parquet")
+    fs.rename(tmp, final)  # the atomic commit point
+    for p in fs.glob(f"{base}/v*"):
+        m = _VDIR.match(p)
+        if m and int(m.group(1)) <= batch_id - keep_versions:
+            fs.delete(p)
+    return True
+
+
+def stream_sketch_maintain(
+    stream: DataFrame,
+    state_path: str,
+    item_col: str,
+    checkpoint: str,
+    width: int = 8192,
+    depth: int = 4,
+    b: int = HLL_B,
+):
+    """Start a streaming query maintaining CMS + HLL state for
+    ``item_col`` at ``state_path``. Returns the StreamingQuery; read the
+    current summaries any time with :func:`read_sketch_state`."""
+    spark = stream.sparkSession
+
+    def body(batch: DataFrame, batch_id: int) -> None:
+        apply_batch(
+            spark, state_path, batch, batch_id, item_col,
+            width=width, depth=depth, b=b,
+        )
+
+    return (
+        stream.writeStream.foreachBatch(body)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -703,3 +703,103 @@ def test_weighted_sample_parity_and_properties(spark, duck):
     assert z.count() == 0
     o = weighted_sample(docs.withColumn("w", F.lit(1.0)), "doc_id", "w")
     assert o.count() == docs.count()
+
+
+def test_contamination_overlap_sf01_timed(spark, capsys):
+    """sf0.1 differential + wall-time row for contamination_overlap
+    (VERDICT r4 ask #7: the operator landed with parity at sf0.01 only;
+    this entry makes a regression at the 10x size visible).
+
+    Parity: identical rows vs the DuckDB list_intersect oracle over the
+    full 5,000-doc sf0.1 documents table with 12 probes (4 verbatim
+    windows, 4 mutated, 4 misses). Timing: both legs' wall seconds print
+    to the captured log; the gate is a generous absolute ceiling (60 s —
+    measured 2026-08-14 on idle local[32]: Spark leg 10.7 s, DuckDB leg
+    30.5 s, 26,813 rows) so only an order-of-magnitude plan regression
+    trips it, not machine load. Writing this test CAUGHT one: the
+    unstaged char_codes-in-transform-lambda re-evaluation (O(len²·n) per
+    row — the Spark leg ran > 7 MINUTES at sf0.1 before the staging fix
+    in contamination_overlap/find_contaminated_blocked).
+    """
+    import time
+
+    import duckdb
+
+    from dwca_parquet_spark.functions import hashing as H
+    from dwca_parquet_spark.operators.text import contamination_overlap
+
+    sf_dir = "/root/testdata/sf0.1"
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    texts = [
+        r[0]
+        for r in con.execute(
+            "SELECT text FROM documents WHERE length(text) > 160 "
+            "ORDER BY doc_id LIMIT 4"
+        ).fetchall()
+    ]
+    probes = (
+        [t[25:105] for t in texts]                      # verbatim windows
+        + [t[40:120].replace("a", "q") for t in texts]  # mutated
+        + [f"zzzzqqqqxxxx{i}wwwwyyyyvvvvjjjjkkkk" for i in range(4)]
+    )
+    n, min_frac = 8, 0.02
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t0 = time.perf_counter()
+    got = sorted(
+        tuple(r)
+        for r in contamination_overlap(
+            docs, "doc_id", "text", probes, n=n, min_frac=min_frac
+        ).collect()
+    )
+    spark_s = time.perf_counter() - t0
+
+    con.execute(
+        "CREATE OR REPLACE TABLE ov_probes_sf01 "
+        "(probe_idx BIGINT, probe VARCHAR)"
+    )
+    con.executemany(
+        "INSERT INTO ov_probes_sf01 VALUES (?, ?)", list(enumerate(probes))
+    )
+    t0 = time.perf_counter()
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            f"""
+            WITH p AS MATERIALIZED (
+                SELECT probe_idx, probe,
+                       {H.sql_shingle_hashes(H.sql_normalize_text('probe'), n)} AS ph
+                FROM ov_probes_sf01
+            ),
+            -- MATERIALIZED: inlined, DuckDB recomputes the ~24 s
+            -- all-docs shingle hashing once PER PROBE (12x)
+            d AS MATERIALIZED (
+                SELECT doc_id,
+                       {H.sql_shingle_hashes(H.sql_normalize_text('text'), n)} AS dh
+                FROM documents
+            )
+            SELECT doc_id, probe_idx, probe,
+                   CAST(len(ph) AS BIGINT) AS n_probe_shingles,
+                   CAST(len(list_intersect(dh, ph)) AS BIGINT) AS n_shared,
+                   round(len(list_intersect(dh, ph)) / len(ph), 6) AS overlap_frac
+            FROM d, p
+            WHERE len(ph) > 0
+              AND round(len(list_intersect(dh, ph)) / len(ph), 6) >= {min_frac}
+            """
+        ).fetchall()
+    )
+    oracle_s = time.perf_counter() - t0
+
+    print(
+        f"contamination_overlap sf0.1: spark={spark_s:.2f}s "
+        f"oracle={oracle_s:.2f}s rows={len(got)}"
+    )
+    assert got == want
+    # every verbatim window flags its source at exactly 1.0; misses absent
+    assert sum(1 for r in got if r[1] < 4 and r[5] == 1.0) >= 4
+    assert not any(r[1] >= 8 for r in got)
+    assert spark_s < 60, f"plan regression: spark leg took {spark_s:.1f}s"
