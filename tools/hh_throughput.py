@@ -68,12 +68,19 @@ def make_mg_loop(k: int):
 
 
 def make_mg_vectorized(k: int):
-    """The current per-batch value_counts merge (operators/sketch.py)."""
+    """The current trim-first value_counts pass (operators/sketch.py);
+    the batch count table is trimmed to k via the O(k) sorted slice
+    BEFORE the state align-add (merging untrimmed measured SLOWER than
+    the per-item loop on distinct-rich streams — see SCALE.md)."""
 
     def mg(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         acc: pd.Series | None = None
         for pdf in batches:
             vc = pdf["_item"].value_counts()
+            if len(vc) > k:
+                t = vc.iat[k]
+                vc = vc.iloc[:k] - t
+                vc = vc[vc > 0]
             acc = vc if acc is None else acc.add(vc, fill_value=0)
             if len(acc) > k:
                 thresh = acc.nlargest(k + 1).iloc[-1]
