@@ -120,6 +120,7 @@ def pair_jaccard(
     id_col: str,
     a: str = "id_a",
     b: str = "id_b",
+    threshold: float | None = None,
 ) -> DataFrame:
     """Exact Jaccard for candidate pairs WITHOUT shipping arrays per pair.
 
@@ -140,23 +141,42 @@ def pair_jaccard(
 
     Returns ``cand``'s columns plus a ``jaccard`` double (unrounded —
     callers round to keep oracle parity at a single place).
+
+    ``threshold``: when the caller will discard pairs below a Jaccard
+    threshold anyway, pass it here to apply the classic set-similarity
+    LENGTH FILTER (Arasu et al. 2006 / PPJoin family; PAPERS.md):
+    J(A,B) = |A∩B|/|A∪B| ≤ min(|A|,|B|)/max(|A|,|B|), so pairs whose
+    size ratio is below the threshold are EXACTLY below it and are
+    pruned BEFORE the intersection join — the two sizes joins are
+    doc-count-sized and run first, cutting the pair-×-shingle stream
+    (the verify's dominant cost; the sf1 sweep measured it at ~10⁹
+    rows) by the fraction of size-mismatched candidates. A 1e-6 margin
+    keeps pairs whose 6-dp-rounded jaccard could still reach the
+    threshold, so output parity with the unpruned plan (and the DuckDB
+    oracle) is exact, not approximate.
     """
     ex = sh.select(F.col(id_col).alias("_jid"), F.explode("hashes").alias("_jh"))
     sizes = sh.select(F.col(id_col).alias("_jid"), F.size("hashes").alias("_jn"))
+    na = sizes.select(F.col("_jid").alias(a), F.col("_jn").alias("_jna"))
+    nb = sizes.select(F.col("_jid").alias(b), F.col("_jn").alias("_jnb"))
+    cand = cand.join(na, a).join(nb, b)
+    if threshold is not None:
+        cand = cand.filter(
+            F.least(F.col("_jna"), F.col("_jnb")).cast("double")
+            / F.greatest(F.col("_jna"), F.col("_jnb")).cast("double")
+            >= F.lit(float(threshold) - 1e-6)
+        )
     ex_a = ex.select(F.col("_jid").alias(a), F.col("_jh"))
     ex_b = ex.select(F.col("_jid").alias(b), F.col("_jh"))
     inter = (
-        cand.join(ex_a, a)
+        cand.select(a, b)
+        .join(ex_a, a)
         .join(ex_b, [b, "_jh"])
         .groupBy(a, b)
         .agg(F.count(F.lit(1)).alias("_ji"))
     )
-    na = sizes.select(F.col("_jid").alias(a), F.col("_jn").alias("_jna"))
-    nb = sizes.select(F.col("_jid").alias(b), F.col("_jn").alias("_jnb"))
     return (
         cand.join(inter, [a, b], "left")
-        .join(na, a)
-        .join(nb, b)
         .withColumn("_ji", F.coalesce(F.col("_ji"), F.lit(0)))
         .withColumn(
             "jaccard",
@@ -247,7 +267,7 @@ def dup_pairs_from_hash_sets(
     )
     cand = persist_tracked(cand, eager=eager)
     return (
-        pair_jaccard(cand, sh, id_col)
+        pair_jaccard(cand, sh, id_col, threshold=threshold)
         .withColumn("jaccard", F.round(F.col("jaccard"), 6))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
@@ -636,7 +656,7 @@ def minhash_dup_pairs_incremental(
         b_sh.select(id_col, "hashes")
     )
     return (
-        pair_jaccard(cand, sh_all, id_col)
+        pair_jaccard(cand, sh_all, id_col, threshold=threshold)
         .withColumn("jaccard", F.round(F.col("jaccard"), 6))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")

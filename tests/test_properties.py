@@ -270,3 +270,73 @@ def test_chunk_documents_reconstructs(spark, words, chunk):
     rebuilt = [w for _, t in rows for w in t.split()]
     expected = df.select(tokens(F.col("t")).alias("tk")).collect()[0].tk
     assert rebuilt == expected
+
+
+def test_pair_jaccard_length_filter_lossless(spark):
+    """The set-similarity length filter in pair_jaccard (threshold=...) is
+    EXACTLY lossless: on a corpus whose doc lengths spread 20x (so the
+    size-ratio prune actually fires), the thresholded plan returns the
+    identical pair set + scores as the unpruned plan, including pairs
+    whose 6-dp-rounded jaccard lands exactly on the threshold."""
+    import random
+
+    from dwca_parquet_spark.operators.dedup import (
+        band_bucket_table,
+        dup_pairs_from_hash_sets,
+        minhash_signatures,
+        pair_jaccard,
+        shingle_hash_table,
+    )
+    from dwca_parquet_spark.cache import persist_tracked, release_caches
+
+    rng = random.Random(20260814)
+    vocab = [f"w{i}" for i in range(25)]  # small vocab -> real collisions
+    rows = []
+    for i in range(120):
+        ln = rng.choice([5, 8, 15, 30, 60, 100])
+        rows.append((i, " ".join(rng.choice(vocab) for _ in range(ln))))
+    # planted near-dups across DIFFERENT lengths (must survive the filter)
+    rows += [(200 + i, rows[i][1] + " w0 w1") for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    t = 0.5
+
+    def run(threshold):
+        sh = persist_tracked(shingle_hash_table(df, "doc_id", "text", 3))
+        buckets = persist_tracked(
+            band_bucket_table(minhash_signatures(sh, "doc_id"), "doc_id")
+        )
+        l, r = buckets.alias("l"), buckets.alias("r")
+        cand = (
+            l.join(
+                r,
+                (F.col("l.band") == F.col("r.band"))
+                & (F.col("l.bucket") == F.col("r.bucket"))
+                & (F.col("l.doc_id") < F.col("r.doc_id")),
+            )
+            .select(
+                F.col("l.doc_id").alias("id_a"),
+                F.col("r.doc_id").alias("id_b"),
+            )
+            .distinct()
+        )
+        out = (
+            pair_jaccard(cand, sh, "doc_id", threshold=threshold)
+            .withColumn("jaccard", F.round(F.col("jaccard"), 6))
+            .filter(F.col("jaccard") >= t)
+            .select("id_a", "id_b", "jaccard")
+        )
+        res = {(r.id_a, r.id_b): r.jaccard for r in out.collect()}
+        release_caches()
+        return res
+
+    pruned, unpruned = run(t), run(None)
+    assert pruned == unpruned
+    assert len(pruned) >= 5  # the planted cross-length near-dups survived
+    # and the public entry point agrees with the unpruned reference
+    sh = persist_tracked(shingle_hash_table(df, "doc_id", "text", 3))
+    via_api = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dup_pairs_from_hash_sets(sh, "doc_id", threshold=t).collect()
+    }
+    release_caches()
+    assert via_api == unpruned
