@@ -113,7 +113,10 @@ def pq_fit(
         raise ValueError("dim must divide into m subspaces")
     d_sub = dim // m
     spark = df.sparkSession
-    slices = _sub_slices(df, id_col, vec_col, m, d_sub)
+    # persisted: every Lloyd iteration re-reads the slice table; without the
+    # persist each iteration rescans + re-slices the full vector table
+    # (iters extra source scans at 100 TB for a table built once)
+    slices = _sub_slices(df, id_col, vec_col, m, d_sub).persist()
     seed_rows = (
         df.select(F.col(id_col).alias("_pid"), scaled_vec(F.col(vec_col)).alias("_svec"))
         .orderBy("_pid")
@@ -141,6 +144,7 @@ def pq_fit(
                 int(round(r[f"c{i}"] / r["n"])) for i in range(d_sub)
             ]
         codebook = new_cb  # empty clusters keep their previous centroid
+    slices.unpersist()  # fit is fully materialized driver-side by here
     return codebook
 
 

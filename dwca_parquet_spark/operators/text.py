@@ -753,16 +753,19 @@ def lm_fit_vocab(
     the fitted vocabulary is engine- and run-deterministic.
     """
     toks = df.select(F.explode(tokens(F.col(text_col))).alias("t"))
+    # ONE corpus scan: the per-token count table (distinct-token-sized,
+    # orders of magnitude below the corpus) is persisted and serves both
+    # the top-k vocabulary and the exact total (Σ counts ≡ toks.count())
+    counts = toks.groupBy("t").agg(F.count(F.lit(1)).alias("n")).persist()
     vocab = [
         (r["t"], r["n"])
-        for r in toks.groupBy("t")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .orderBy(F.desc("n"), F.asc("t"))
+        for r in counts.orderBy(F.desc("n"), F.asc("t"))
         .limit(vocab_size)
         .collect()
     ]
-    total = toks.count()
-    return vocab, total
+    total = counts.agg(F.sum("n")).first()[0]
+    counts.unpersist()
+    return vocab, int(total or 0)
 
 
 def _lm_logps(
@@ -877,21 +880,27 @@ def nb_fit(
     toks = df.select(
         F.explode(tokens(F.col(text_col))).alias("t"), lab.alias("y")
     )
-    vocab_rows = (
+    # ONE corpus scan: the per-token class-count table is persisted and
+    # serves both the top-k vocabulary and the class token totals
+    # (Σ c1 / Σ c0 over ALL tokens ≡ the per-class corpus token counts)
+    counts = (
         toks.groupBy("t")
         .agg(
             F.sum(F.when(F.col("y") == 1, 1).otherwise(0)).alias("c1"),
             F.sum(F.when(F.col("y") == 0, 1).otherwise(0)).alias("c0"),
         )
-        .withColumn("n", F.col("c1") + F.col("c0"))
+        .persist()
+    )
+    vocab_rows = (
+        counts.withColumn("n", F.col("c1") + F.col("c0"))
         .orderBy(F.desc("n"), F.asc("t"))
         .limit(vocab_size)
         .collect()
     )
-    totals = toks.groupBy().agg(
-        F.sum(F.when(F.col("y") == 1, 1).otherwise(0)).alias("t1"),
-        F.sum(F.when(F.col("y") == 0, 1).otherwise(0)).alias("t0"),
+    totals = counts.agg(
+        F.sum("c1").alias("t1"), F.sum("c0").alias("t0")
     ).first()
+    counts.unpersist()
     docs = df.groupBy().agg(
         F.sum(F.when(lab == 1, 1).otherwise(0)).alias("d1"),
         F.sum(F.when(lab == 0, 1).otherwise(0)).alias("d0"),
