@@ -193,3 +193,88 @@ def sql_weighted_sample_pred(
         f"((({h}) * {SAMPLE_A} + {SAMPLE_B}) % {H.HASH_MOD} % {SAMPLE_MOD})"
         f" < CAST(round({w} * {SAMPLE_MOD}, 0) AS BIGINT)"
     )
+
+
+def global_shuffle(
+    df: DataFrame,
+    key_col: str,
+    seed: str = "",
+    n_shards: int | None = None,
+) -> DataFrame:
+    """Deterministic seeded global shuffle — the training-export ordering.
+
+    Training loaders want the corpus in RANDOM order, reproducibly:
+    ``ORDER BY (poly_hash(key || seed), key)`` is a seeded permutation
+    that is independent of input partitioning and row order (same rows →
+    same permutation on any engine; a different ``seed`` draws a fresh
+    permutation). The key itself tie-breaks hash collisions, so the
+    order is TOTAL and run-stable. The hash rides along as
+    ``shuffle_key`` so consumers (and the oracle) can verify the order.
+
+    The raw polynomial hash of short sequential keys is nearly MONOTONIC
+    (consecutive ids differ by a fixed stride — the trap hash_sample's
+    mixing comment documents), and any affine mix maps an arithmetic
+    progression to another arithmetic progression, so the mix here is
+    QUADRATIC: ``(h² + A·h + B) mod M`` — non-linear (the stride becomes
+    position-dependent: f(h+d)−f(h) = 2hd+d²+Ad varies with h), exact in
+    int64 (h < 1e9+7 → h² < 2^63), and identical in both engines.
+
+    ``n_shards`` adds ``shard = shuffle_key mod n_shards``: hash-sharding
+    makes every shard an unbiased random slice of the corpus (what a
+    data-parallel loader wants), balanced in expectation, and each shard
+    internally inherits the global shuffled order.
+
+    Scale shape: one range-partitioned sort (Spark samples boundaries,
+    then sorts within partitions) — the canonical distributed total
+    order; the hash/shard columns are scan-stage projections. Writing
+    with ``partitionBy("shard")`` after this sort keeps per-shard files
+    ordered without a second shuffle.
+    """
+    h = H.poly_hash(F.concat(F.col(key_col).cast("string"), F.lit(seed)))
+    # stage the hash behind an alias before referencing it three times —
+    # the poly_hash aggregate re-evaluates per reference otherwise
+    # (functions/hashing.py:78 NOTE)
+    gh = F.col("_gh")
+    out = (
+        df.withColumn("_gh", h)
+        .withColumn(
+            "shuffle_key",
+            F.pmod(
+                gh * gh + F.lit(SAMPLE_A) * gh + F.lit(SAMPLE_B),
+                F.lit(H.HASH_MOD),
+            ),
+        )
+        .drop("_gh")
+    )
+    if n_shards is not None:
+        out = out.withColumn(
+            "shard", F.pmod(F.col("shuffle_key"), F.lit(n_shards))
+        )
+    return out.orderBy("shuffle_key", key_col)
+
+
+def sql_global_shuffle(
+    source: str,
+    key_col: str,
+    cols: str = "*",
+    seed: str = "",
+    n_shards: int | None = None,
+) -> str:
+    """DuckDB twin of :func:`global_shuffle` — identical hash, identical
+    total order."""
+    esc = seed.replace("'", "''")
+    keyed = (
+        f"(CAST({key_col} AS VARCHAR) || '{esc}')"
+        if seed
+        else f"CAST({key_col} AS VARCHAR)"
+    )
+    h = H.sql_poly_hash(keyed)
+    mixed = f"((_gh * _gh + {SAMPLE_A} * _gh + {SAMPLE_B}) % {H.HASH_MOD})"
+    shard = (
+        f", ({mixed}) % {n_shards} AS shard" if n_shards is not None else ""
+    )
+    return (
+        f"SELECT {cols}, {mixed} AS shuffle_key{shard} "
+        f"FROM (SELECT *, {h} AS _gh FROM {source}) "
+        f"ORDER BY shuffle_key, {key_col}"
+    )

@@ -803,3 +803,57 @@ def test_contamination_overlap_sf01_timed(spark, capsys):
     assert sum(1 for r in got if r[1] < 4 and r[5] == 1.0) >= 4
     assert not any(r[1] >= 8 for r in got)
     assert spark_s < 60, f"plan regression: spark leg took {spark_s:.1f}s"
+
+
+def test_global_shuffle_parity_and_properties(spark, duck):
+    """global_shuffle: ORDERED parity with the DuckDB twin (same hash,
+    same total order), permutation property, seed independence,
+    partitioning invariance, and shard semantics."""
+    from dwca_parquet_spark.operators.sampling import (
+        global_shuffle,
+        sql_global_shuffle,
+    )
+
+    docs = spark.read.parquet(f"{SF_T2}/documents.parquet")
+    got = [
+        (r["doc_id"], r["shuffle_key"], r["shard"])
+        for r in global_shuffle(docs, "doc_id", seed="s1", n_shards=4)
+        .select("doc_id", "shuffle_key", "shard")
+        .collect()
+    ]
+    want = duck.execute(
+        sql_global_shuffle(
+            "documents", "doc_id", cols="doc_id", seed="s1", n_shards=4
+        )
+    ).fetchall()
+    assert got == [tuple(r) for r in want]  # ORDER included in the compare
+
+    ids_in = sorted(r["doc_id"] for r in docs.select("doc_id").collect())
+    assert sorted(g[0] for g in got) == ids_in  # a permutation, no loss
+    assert got != [(i, k, s) for i, k, s in sorted(got)]  # actually shuffled
+
+    # repartitioning must not change the permutation; a new seed must
+    got_rep = [
+        r["doc_id"]
+        for r in global_shuffle(docs.repartition(13), "doc_id", seed="s1")
+        .select("doc_id")
+        .collect()
+    ]
+    assert got_rep == [g[0] for g in got]
+    got_s2 = [
+        r["doc_id"]
+        for r in global_shuffle(docs, "doc_id", seed="s2")
+        .select("doc_id")
+        .collect()
+    ]
+    assert got_s2 != [g[0] for g in got]
+    assert sorted(got_s2) == ids_in
+
+    # shards: mod of the hash, all present, roughly balanced (hash-random)
+    from collections import Counter
+
+    shards = Counter(s for _, _, s in got)
+    assert set(shards) == {0, 1, 2, 3}
+    assert all(k == h % 4 for _, h, k in [(g[0], g[1], g[2]) for g in got])
+    n = len(got)
+    assert all(abs(c - n / 4) < n * 0.15 for c in shards.values())
