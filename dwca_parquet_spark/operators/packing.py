@@ -212,6 +212,38 @@ def mix_sources(
     )
 
 
+def temperature_weights(
+    df: DataFrame,
+    source_col: str,
+    text_col: str,
+    tau: float = 2.0,
+) -> dict[str, float]:
+    """Temperature-sampling target weights from the corpus itself —
+    ``w_s ∝ p_s^(1/τ)`` over the observed per-source token shares
+    ``p_s`` (the standard multilingual/multi-source rebalancing rule:
+    τ > 1 upweights low-resource sources toward uniform, τ = 1
+    reproduces the natural mix, τ → ∞ → uniform).
+
+    Returns a weights dict for :func:`mix_plan`/:func:`mix_sources`.
+    Driver-side floats never cross an engine boundary: mix_plan floors
+    the resulting fractions to ppm, and the sampling itself is the
+    integer-threshold stratified filter — so an oracle reproduces
+    membership exactly from the same plan. One map-side-combinable
+    aggregate, one row per source.
+    """
+    if tau <= 0:
+        raise ValueError("tau must be > 0")
+    totals = {
+        r["s"]: r["toks"]
+        for r in df.groupBy(F.col(source_col).alias("s"))
+        .agg(F.sum(T.token_count(F.col(text_col))).alias("toks"))
+        .collect()
+        if r["toks"]
+    }
+    grand = sum(totals.values())
+    return {s: (t / grand) ** (1.0 / tau) for s, t in totals.items()}
+
+
 def pack_sequences(
     df: DataFrame,
     id_col: str,

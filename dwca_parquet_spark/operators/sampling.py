@@ -278,3 +278,74 @@ def sql_global_shuffle(
         f"FROM (SELECT *, {h} AS _gh FROM {source}) "
         f"ORDER BY shuffle_key, {key_col}"
     )
+
+
+def group_sample_k(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    k: int,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic k-per-group sample — the distribution-safe stand-in
+    for per-group reservoir sampling (RNG reservoirs depend on encounter
+    order; this depends only on row identity).
+
+    Rank rows inside each group by the MIXED hash (quadratic mix — see
+    :func:`global_shuffle`: the raw polynomial hash of sequential ids is
+    nearly monotonic, which would make "first k" mean "lowest k ids"),
+    tie-break by key, keep rank ≤ k. Properties that fall out: stable
+    under any partitioning, a smaller k picks a PREFIX of a larger k's
+    sample (nesting), and a fresh ``salt`` draws an independent sample.
+
+    One shuffle on the group key (the window). At 100 TB group skew is
+    the hazard: a window over a hot group serializes its partition —
+    for heavy groups pre-filter with :func:`hash_sample` at a fraction
+    that overshoots k, then rank the survivors.
+    """
+    h = H.poly_hash(F.concat(F.col(key_col).cast("string"), F.lit(salt)))
+    from pyspark.sql import Window
+
+    out = df.withColumn("_gh", h).withColumn(
+        "_mix",
+        F.pmod(
+            F.col("_gh") * F.col("_gh")
+            + F.lit(SAMPLE_A) * F.col("_gh")
+            + F.lit(SAMPLE_B),
+            F.lit(H.HASH_MOD),
+        ),
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("_mix").asc(), F.col(key_col).asc()
+    )
+    return (
+        out.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_gh", "_mix", "_rk")
+    )
+
+
+def sql_group_sample_k(
+    source: str,
+    group_col: str,
+    key_col: str,
+    k: int,
+    cols: str = "*",
+    salt: str = "",
+) -> str:
+    """DuckDB twin of :func:`group_sample_k` (identical hash, mix, rank)."""
+    esc = salt.replace("'", "''")
+    keyed = (
+        f"(CAST({key_col} AS VARCHAR) || '{esc}')"
+        if salt
+        else f"CAST({key_col} AS VARCHAR)"
+    )
+    h = H.sql_poly_hash(keyed)
+    mixed = f"((_gh * _gh + {SAMPLE_A} * _gh + {SAMPLE_B}) % {H.HASH_MOD})"
+    return (
+        f"SELECT {cols} FROM ("
+        f"SELECT *, row_number() OVER "
+        f"(PARTITION BY {group_col} ORDER BY {mixed} ASC, {key_col} ASC) AS _rk "
+        f"FROM (SELECT *, {h} AS _gh FROM {source})"
+        f") WHERE _rk <= {k}"
+    )

@@ -857,3 +857,105 @@ def test_global_shuffle_parity_and_properties(spark, duck):
     assert all(k == h % 4 for _, h, k in [(g[0], g[1], g[2]) for g in got])
     n = len(got)
     assert all(abs(c - n / 4) < n * 0.15 for c in shards.values())
+
+
+def test_group_sample_k_parity_and_properties(spark, duck):
+    from dwca_parquet_spark.operators.sampling import (
+        group_sample_k,
+        sql_group_sample_k,
+    )
+
+    docs = spark.read.parquet(f"{SF_T2}/documents.parquet").withColumn(
+        "grp", F.col("doc_id") % 7
+    )
+    got = sorted(
+        (r["grp"], r["doc_id"])
+        for r in group_sample_k(docs, "grp", "doc_id", 5, salt="gs")
+        .select("grp", "doc_id")
+        .collect()
+    )
+    want = sorted(
+        duck.execute(
+            sql_group_sample_k(
+                "(SELECT *, doc_id % 7 AS grp FROM documents)",
+                "grp",
+                "doc_id",
+                5,
+                cols="grp, doc_id",
+                salt="gs",
+            )
+        ).fetchall()
+    )
+    assert got == [tuple(r) for r in want]
+    from collections import Counter
+
+    per_group = Counter(g for g, _ in got)
+    assert all(c == 5 for c in per_group.values())  # every group filled
+    # nesting: k=3 is a prefix of k=5 per group
+    got3 = set(
+        (r["grp"], r["doc_id"])
+        for r in group_sample_k(docs, "grp", "doc_id", 3, salt="gs")
+        .select("grp", "doc_id")
+        .collect()
+    )
+    assert got3 < set(got)
+    # partitioning invariance
+    got_rep = sorted(
+        (r["grp"], r["doc_id"])
+        for r in group_sample_k(docs.repartition(11), "grp", "doc_id", 5, salt="gs")
+        .select("grp", "doc_id")
+        .collect()
+    )
+    assert got_rep == got
+    # the sample is not just the lowest ids (the mix actually mixes)
+    lowest = sorted(
+        (r["grp"], r["doc_id"])
+        for r in docs.select("grp", "doc_id").collect()
+    )
+    by_grp = {}
+    for g, i in lowest:
+        by_grp.setdefault(g, []).append(i)
+    naive = sorted((g, i) for g, ids in by_grp.items() for i in sorted(ids)[:5])
+    assert got != naive
+
+
+def test_temperature_weights_mixing(spark):
+    from dwca_parquet_spark.operators.packing import (
+        mix_sources,
+        temperature_weights,
+    )
+    from dwca_parquet_spark.operators.text import token_count
+
+    rows = []
+    # three sources with very different token volumes
+    for i in range(300):
+        rows.append((i, "web", "w " * 20))
+    for i in range(300, 360):
+        rows.append((i, "books", "b " * 20))
+    for i in range(360, 372):
+        rows.append((i, "code", "c " * 20))
+    df = spark.createDataFrame(rows, "id long, src string, text string")
+
+    # tau=1 reproduces the natural mix -> every fraction is 1.0 (keep all)
+    w1 = temperature_weights(df, "src", "text", tau=1.0)
+    kept1 = mix_sources(df, "src", "id", "text", w1)
+    assert kept1.count() == len(rows)
+
+    # tau=3 flattens: the rare source binds at 1.0, the big one is cut
+    w3 = temperature_weights(df, "src", "text", tau=3.0)
+    kept3 = mix_sources(df, "src", "id", "text", w3)
+    toks = {
+        r["src"]: r["t"]
+        for r in kept3.groupBy("src")
+        .agg(F.sum(token_count(F.col("text"))).alias("t"))
+        .collect()
+    }
+    assert set(toks) == {"web", "books", "code"}
+    assert toks["code"] == 12 * 20  # binding source kept whole
+    # achieved shares approach the temperature targets (doc-quantized)
+    total = sum(toks.values())
+    wsum = sum(w3.values())
+    for s in toks:
+        assert abs(toks[s] / total - w3[s] / wsum) < 0.12
+    # flatter than natural: web's share dropped well below its 83%
+    assert toks["web"] / total < 0.6
