@@ -65,6 +65,7 @@ def kmeans_fit(
     vec_col: str,
     k_cells: int = 16,
     iters: int = 2,
+    prepped: DataFrame | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Deterministic full-vector k-means: (cell_ids, centroid matrix).
 
@@ -78,8 +79,14 @@ def kmeans_fit(
     One corpus scan per round against the PERSISTED prep table; the
     per-round shuffle is a combinable groupBy(cell, component) whose
     result (≤ k·dim rows) is the only collect.
+
+    ``prepped``: pass an already-persisted prep table (id, svec, sdot) to
+    share it with the caller (semantic_dedup does — one prep scan, not
+    two); ownership stays with the caller then.
     """
-    prepped = _prepped(df, id_col, vec_col).persist()
+    own = prepped is None
+    if own:
+        prepped = _prepped(df, id_col, vec_col).persist()
     seed_rows = (
         prepped.orderBy(F.col(id_col)).limit(k_cells).select(id_col, "svec").collect()
     )
@@ -103,7 +110,8 @@ def kmeans_fit(
         for r in sums:
             new_mat[idx[r["cell"]], r["pos"]] = int(round(r["s"] / r["n"]))
         cent_mat = new_mat
-    prepped.unpersist()
+    if own:
+        prepped.unpersist()
     return cent_ids, cent_mat
 
 
@@ -128,8 +136,10 @@ def semantic_dedup(
     from dwca_parquet_spark.operators.dedup import connected_components
 
     spark = df.sparkSession
-    cent_ids, cent_mat = kmeans_fit(df, id_col, vec_col, k_cells, iters)
     prepped = persist_tracked(_prepped(df, id_col, vec_col))
+    cent_ids, cent_mat = kmeans_fit(
+        df, id_col, vec_col, k_cells, iters, prepped=prepped
+    )
     assign = _cells_udf(cent_ids, cent_mat, 1)
     assigned = persist_tracked(
         prepped.withColumn("cell", assign(F.col("svec")).getItem(0))
