@@ -376,6 +376,86 @@ def registrable_domain(
     return tmp.withColumn(out_col, reg).drop(*drop)
 
 
+# query-param prefixes that never affect content identity (tracking)
+TRACKING_PARAM_PREFIXES: tuple[str, ...] = (
+    "utm_", "fbclid=", "gclid=", "msclkid=", "ref=", "mc_cid=", "mc_eid=",
+)
+
+
+def canonical_url(url: Column) -> Column:
+    """Canonical form of an http(s) URL — the crawl-dedup key.
+
+    Deterministic, engine-portable normalization (each step is a regex or
+    array op with identical semantics in Java regex and RE2):
+
+    1. lowercase scheme + host (ONLY that span — paths are case-sensitive)
+    2. strip default ports (http :80, https :443)
+    3. drop the fragment
+    4. drop tracking query params (``TRACKING_PARAM_PREFIXES``), sort the
+       survivors (param order is not content identity), drop an
+       empty ``?``
+    5. empty path → ``/``
+
+    ``www.`` is deliberately KEPT: www and apex are distinct origins
+    often serving different content; collapse at the registrable-domain
+    level (:func:`registrable_domain`) when grouping publishers.
+    """
+    prefix = F.regexp_extract(url, r"(?i)^(https?://[^/?#]*)", 1)
+    rest = url.substr(F.length(prefix) + 1, F.lit(2**31 - 1))
+    p = F.lower(prefix)
+    p = F.regexp_replace(p, r"^(http://[^/?#]*):80$", "$1")
+    p = F.regexp_replace(p, r"^(https://[^/?#]*):443$", "$1")
+    r = F.regexp_replace(rest, r"#.*$", "")
+    path = F.regexp_replace(r, r"\?.*$", "")
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    q = F.regexp_extract(r, r"\?(.*)$", 1)
+    def _keep(x: Column) -> Column:
+        tracked = x.startswith(TRACKING_PARAM_PREFIXES[0])
+        for pfx in TRACKING_PARAM_PREFIXES[1:]:
+            tracked = tracked | x.startswith(pfx)
+        return (F.length(x) > 0) & ~tracked
+
+    keep = F.filter(F.split(q, "&"), _keep)
+    qnorm = F.array_join(F.array_sort(keep), "&")
+    return F.concat(
+        p, path, F.when(qnorm == "", F.lit("")).otherwise(F.concat(F.lit("?"), qnorm))
+    )
+
+
+def sql_canonical_url(expr: str) -> str:
+    """DuckDB twin of :func:`canonical_url` (RE2 replacements use \\1;
+    DuckDB regexp_extract yields NULL on no-match where Spark yields ''
+    — coalesce, or the final || cascade nulls the whole URL)."""
+    prefix = (
+        f"coalesce(regexp_extract({expr}, '(?i)^(https?://[^/?#]*)', 1), '')"
+    )
+    rest = f"{expr}[length({prefix}) + 1:]"
+    p = f"lower({prefix})"
+    p = f"regexp_replace({p}, '^(http://[^/?#]*):80$', '\\1')"
+    p = f"regexp_replace({p}, '^(https://[^/?#]*):443$', '\\1')"
+    r = f"regexp_replace({rest}, '#.*$', '')"
+    path = f"regexp_replace({r}, '\\?.*$', '')"
+    path = f"(CASE WHEN {path} = '' THEN '/' ELSE {path} END)"
+    q = f"coalesce(regexp_extract({r}, '\\?(.*)$', 1), '')"
+    drop = " OR ".join(
+        f"starts_with(x, '{pfx}')" for pfx in TRACKING_PARAM_PREFIXES
+    )
+    keep = f"list_filter(string_split({q}, '&'), x -> len(x) > 0 AND NOT ({drop}))"
+    # array_to_string([]) is NULL in DuckDB ('' in Spark's array_join)
+    qn = f"coalesce(array_to_string(list_sort({keep}), '&'), '')"
+    return (
+        f"({p} || {path} || "
+        f"(CASE WHEN {qn} = '' THEN '' ELSE '?' || {qn} END))"
+    )
+
+
+def canonicalize_urls(df: DataFrame, url_col: str) -> DataFrame:
+    """Adds ``canonical_url`` — group/dedup crawl records by it (exact
+    dedup then reuses the one combinable hash shuffle, q29-shaped).
+    Zero-shuffle projection."""
+    return df.withColumn("canonical_url", canonical_url(F.col(url_col)))
+
+
 def find_contaminated(
     df: DataFrame, id_col: str, text_col: str, probes: list[str]
 ) -> DataFrame:

@@ -959,3 +959,45 @@ def test_temperature_weights_mixing(spark):
         assert abs(toks[s] / total - w3[s] / wsum) < 0.12
     # flatter than natural: web's share dropped well below its 83%
     assert toks["web"] / total < 0.6
+
+
+CANON_URLS = [
+    (1, "HTTP://Example.COM:80/Path/Page?b=2&utm_source=x&a=1#frag"),
+    (2, "https://example.com:443/"),
+    (3, "https://example.com"),
+    (4, "https://example.com/?utm_campaign=spring&fbclid=abc"),
+    (5, "http://sub.Example.org:8080/CaseSensitive?z=1&y=2"),
+    (6, "https://example.com/p?a=1&b=2"),
+    (7, "https://example.com/p?b=2&a=1"),  # same canonical as 6
+    (8, "http://example.com/p?ref=tw&gclid=g&a=1"),
+]
+
+
+def test_canonical_url_parity_and_semantics(spark, duck):
+    from dwca_parquet_spark.operators.text import (
+        canonicalize_urls,
+        sql_canonical_url,
+    )
+
+    df = spark.createDataFrame(CANON_URLS, "id long, url string")
+    got = {
+        r["id"]: r["canonical_url"]
+        for r in canonicalize_urls(df, "url").collect()
+    }
+    duck.execute("CREATE OR REPLACE TABLE canon_urls (id BIGINT, url VARCHAR)")
+    duck.executemany("INSERT INTO canon_urls VALUES (?, ?)", CANON_URLS)
+    want = dict(
+        duck.execute(
+            f"SELECT id, {sql_canonical_url('url')} FROM canon_urls"
+        ).fetchall()
+    )
+    assert got == want
+    # semantics
+    assert got[1] == "http://example.com/Path/Page?a=1&b=2"  # port, case,
+    # tracking param, fragment all normalized; path case preserved
+    assert got[2] == "https://example.com/"
+    assert got[3] == "https://example.com/"  # empty path -> /
+    assert got[4] == "https://example.com/"  # all params tracking -> no ?
+    assert got[5] == "http://sub.example.org:8080/CaseSensitive?y=2&z=1"
+    assert got[6] == got[7] == "https://example.com/p?a=1&b=2"
+    assert got[8] == "http://example.com/p?a=1"
