@@ -91,3 +91,100 @@ def test_pretraining_pipeline_composes(spark):
     ).collect()[0].t
     chunk_tokens = chunks.agg(F.sum("n_chunk_tokens").alias("t")).collect()[0].t
     assert raw_tokens <= chunk_tokens <= raw_tokens + stats.n_chunks * 8
+
+
+def test_crawl_pipeline_composes(spark, tmp_path):
+    """The crawl chain, end-to-end on synthetic WARC archives:
+
+        WARC → decode → html_extract_text → canonical-URL dedup →
+        quality stats → BPE encode
+
+    Pins composition: payload bytes survive the reader, markup never
+    reaches the text operators, URL variants that canonicalize equal
+    collapse to one document, and the kept corpus tokenizes losslessly.
+    """
+    import gzip
+
+    from dwca_parquet_spark.operators.bpe import bpe_encode, bpe_fit
+    from dwca_parquet_spark.operators.html import clean_text_col
+    from dwca_parquet_spark.operators.text import (
+        canonicalize_urls,
+        text_stats,
+    )
+    from dwca_parquet_spark.sources.warc import read_warc
+
+    def record(uri: str, body: str) -> bytes:
+        payload = (
+            "<html><head><title>t</title><script>no()</script></head>"
+            f"<body><nav><a href='/'>nav</a></nav><p>{body}</p>"
+            "<!-- boilerplate --></body></html>"
+        ).encode()
+        head = (
+            f"WARC/1.0\r\nWARC-Type: response\r\n"
+            f"WARC-Target-URI: {uri}\r\n"
+            f"WARC-Date: 2026-08-14T00:00:00Z\r\n"
+            f"Content-Length: {len(payload)}\r\n\r\n"
+        ).encode()
+        return head + payload + b"\r\n\r\n"
+
+    # two URL variants of the SAME page (tracking param, default port,
+    # host case) + two genuinely distinct pages
+    arc = (
+        record("http://A.example.com:80/page?utm_source=x", "same page body here")
+        + record("http://a.example.com/page", "same page body here")
+        + record("https://b.example.org/other", "a different page entirely")
+        + record("https://c.example.net/third", "the third page text runs long "
+                 "enough to matter for quality statistics and packing")
+    )
+    d = tmp_path / "crawl"
+    d.mkdir()
+    (d / "a.warc").write_bytes(arc)
+    (d / "b.warc.gz").write_bytes(gzip.compress(arc))  # a replayed copy
+
+    raw = read_warc(spark, d)
+    assert raw.count() == 8  # 4 responses × 2 files
+
+    pages = raw.select(
+        F.col("target_uri").alias("url"),
+        F.decode(F.col("payload"), "UTF-8").alias("html"),
+    )
+    # the column-level extraction composes without a join (the operator
+    # wrapper projects to its own schema; here url must ride along)
+    extracted = canonicalize_urls(
+        pages.select("url", clean_text_col(F.col("html")).alias("text")),
+        "url",
+    )
+
+    # markup and boilerplate never reach the corpus
+    texts = [r["text"] for r in extracted.collect()]
+    assert all("<" not in t and "nav" not in t and "no()" not in t for t in texts)
+
+    # canonical dedup: keep the lexicographically-first raw URL per key
+    w = Window.partitionBy("canonical_url").orderBy("url", "text")
+    kept = (
+        extracted.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    kept_rows = kept.collect()
+    # 8 raw → 3 canonical pages (variants + replay all collapse)
+    assert len(kept_rows) == 3
+    canon = sorted(r["canonical_url"] for r in kept_rows)
+    assert canon == [
+        "http://a.example.com/page",
+        "https://b.example.org/other",
+        "https://c.example.net/third",
+    ]
+
+    # quality stats flow; token accounting is lossless through BPE
+    stats = text_stats(kept, "canonical_url", "text")
+    assert stats.filter(F.col("n_tokens") <= 0).count() == 0
+    model = bpe_fit(kept, "text", n_merges=8)
+    enc = bpe_encode(kept, "canonical_url", "text", model)
+    from dwca_parquet_spark.functions.hashing import normalize_text_py
+
+    by_url = {r["canonical_url"]: r for r in enc.collect()}
+    for r in kept_rows:
+        toks = by_url[r["canonical_url"]]["bpe_tokens"]
+        rebuilt = "".join(toks).replace("</w>", " ").strip()
+        assert rebuilt == " ".join(normalize_text_py(r["text"]).split())
