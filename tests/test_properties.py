@@ -340,3 +340,53 @@ def test_pair_jaccard_length_filter_lossless(spark):
     }
     release_caches()
     assert via_api == unpruned
+
+
+# HTML-ish fragments: tags (known + unknown, mixed case, unclosed),
+# entities (incl. the &amp; double-decode trap), comments, text runs.
+_HTML_BITS = st.one_of(
+    st.sampled_from(
+        [
+            "<p>", "</p>", "<DIV>", "</div>", "<br>", "<script>", "</script>",
+            "<style>", "</style>", "<nav>", "</nav>", "<a href='x'>", "</a>",
+            "<span>", "</span>", "<title>", "</title>", "<!--", "-->",
+            "&amp;", "&lt;", "&gt;", "&quot;", "&nbsp;", "&amp;lt;",
+            "<weird>", "</weird>", "< notatag", "<p", ">",
+        ]
+    ),
+    st.text(
+        alphabet=st.characters(min_codepoint=0x20, max_codepoint=0x7E),
+        min_size=1,
+        max_size=12,
+    ),
+)
+
+
+@SETTINGS
+@given(st.lists(st.lists(_HTML_BITS, max_size=20), min_size=1, max_size=6))
+def test_html_extract_fuzz_parity(spark, frags):
+    """Random HTML-ish soup: Spark and DuckDB must produce the identical
+    (text, title, n_links) for EVERY input — the pass sequence is the
+    contract, even on malformed markup."""
+    import duckdb
+
+    from dwca_parquet_spark.operators.html import (
+        html_extract_text,
+        sql_html_extract_text,
+    )
+
+    rows = [(i, "".join(bits)) for i, bits in enumerate(frags)]
+    df = spark.createDataFrame(rows, "id long, html string")
+    got = sorted(
+        tuple(r) for r in html_extract_text(df, "id", "html").collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE h (id BIGINT, html VARCHAR)")
+    con.executemany("INSERT INTO h VALUES (?, ?)", rows)
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            sql_html_extract_text("h", "id", "html")
+        ).fetchall()
+    )
+    assert got == want
