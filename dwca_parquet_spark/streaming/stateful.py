@@ -65,6 +65,31 @@ def stream_dedup_exact(
     ).select(id_col, "text_hash", "event_time")
 
 
+def stream_dedup_canonical_url(
+    stream: DataFrame,
+    url_col: str,
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """First-seen crawl record per CANONICAL URL within the watermark —
+    the streaming face of the crawl-dedup key (operators/text.py
+    canonical_url is a pure column expression, so it composes with
+    Structured Streaming unchanged; that is the point of expression-level
+    operators). State is one entry per distinct canonical URL inside the
+    watermark, evicted as it passes — the recrawl-suppression contract a
+    continuous crawler needs."""
+    from dwca_parquet_spark.operators.text import canonical_url
+
+    keyed = with_event_time(stream, ts_col).withColumn(
+        "canonical_url", canonical_url(F.col(url_col))
+    )
+    return (
+        keyed.withWatermark("event_time", watermark)
+        .dropDuplicatesWithinWatermark(["canonical_url"])
+        .select(url_col, "canonical_url", "event_time")
+    )
+
+
 USER_STATS_SCHEMA = StructType(
     [
         StructField("user_id", LongType()),

@@ -203,3 +203,53 @@ def test_stream_stream_attribution_join(spark, event_schema, events_dir):
     brows = sorted(tuple(r) for r in batch.collect())
     assert len(brows) > 0, "fixture produced no click→purchase pairs"
     assert srows == brows
+
+
+def test_stream_dedup_canonical_url_matches_batch(spark, tmp_path):
+    """Streaming canonical-URL dedup keeps one record per canonical key —
+    equal to the batch canonicalize_urls + distinct count, on a stream
+    containing tracking-param/port/case variants of the same pages."""
+    from dwca_parquet_spark.operators.text import canonicalize_urls
+    from dwca_parquet_spark.streaming.stateful import (
+        stream_dedup_canonical_url,
+    )
+
+    urls = [
+        "http://A.example.com:80/page?utm_source=x",
+        "http://a.example.com/page",
+        "https://b.example.org/other?b=2&a=1",
+        "https://b.example.org/other?a=1&b=2",
+        "https://c.example.net/third",
+        "https://c.example.net/third#frag",
+        "https://d.example.io/fresh?q=1",
+    ]
+    staged = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(urls)], "rid long, url string"
+    ).selectExpr(
+        "rid", "url",
+        "1700000000000000000 + CAST(rid AS LONG) * 1000000000 AS ts",
+    )
+    d = tmp_path / "urls_stream"
+    staged.write.parquet(str(d))
+    stream = (
+        spark.readStream.schema(staged.schema).format("parquet").load(str(d))
+    )
+    out_q = (
+        stream_dedup_canonical_url(stream, "url")
+        .writeStream.format("memory")
+        .queryName("canon_mem")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    out_q.awaitTermination(120)
+    out = spark.sql("SELECT * FROM canon_mem")
+    batch_keys = (
+        canonicalize_urls(staged, "url")
+        .select("canonical_url")
+        .distinct()
+        .count()
+    )
+    assert batch_keys == 4
+    assert out.count() == 4
+    assert out.select("canonical_url").distinct().count() == 4
