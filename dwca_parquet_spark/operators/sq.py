@@ -1,0 +1,199 @@
+"""Scalar quantization (SQ8) for embedding columns — the 4× memory lever
+(SURVEY §2 round-5 extension).
+
+The other point on the PQ trade-off curve (FAISS's SQ8; Jégou et al.'s
+baseline): quantize each DIMENSION independently to one byte against the
+corpus per-dimension min/max. 4× smaller than float32 (vs PQ's 32×) but
+near-lossless — reconstruction error is bounded per dimension by
+(max−min)/510 (half a quantization step), so approximate cosine ranking
+barely moves and a small exact rerank recovers the rest.
+
+Determinism protocol: everything runs on the exact-integer scaled vectors
+(similarity.py VEC_SCALE). The fit is a per-dimension integer min/max —
+associative, exact under any partitioning. Encoding is pure integer
+arithmetic: code = round_half_up((v−min)·255 / (max−min)) computed as
+(2·255·(v−min) + (max−min)) div (2·(max−min)) — no float ever enters, so
+codes are bit-identical across engines and runs. Decoding back to
+integer space (min + code·(max−min)/255, same half-up division) gives a
+deterministic approximate vector for scoring with the existing exact
+integer-cosine machinery.
+
+Shape at 100 TB: the fit is ONE map-side-combinable aggregate collecting
+2·dim integers; encode/decode are scan-stage array transforms (zero
+shuffle); approximate top-k reuses knn_bruteforce's broadcast-bounded
+query contract over the DECODED codes — the float32 table is read once
+at encode time and never again; rerank joins true vectors back for the
+top candidates only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from dwca_parquet_spark.operators.similarity import (
+    _cosine_scaled,
+    _prepped,
+    scaled_vec,
+    self_dot,
+)
+
+
+def sq8_fit(df: DataFrame, vec_col: str, dim: int) -> dict:
+    """Per-dimension (min, max) over the scaled integer components.
+
+    One combinable shuffle (groupBy(pos) over the posexploded scaled
+    vectors), one 2·dim-integer collect. Dimensions with max == min get
+    span 1 so encode/decode stay total (all codes 0, decode = min).
+    """
+    rows = (
+        df.select(F.posexplode(scaled_vec(F.col(vec_col))).alias("pos", "v"))
+        .groupBy("pos")
+        .agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+        .collect()
+    )
+    lo = [0] * dim
+    hi = [0] * dim
+    for r in rows:
+        lo[r["pos"]], hi[r["pos"]] = r["lo"], r["hi"]
+    return {"lo": lo, "hi": [max(h, l + 1) for l, h in zip(lo, hi)]}
+
+
+def _span(model: dict) -> list[int]:
+    return [h - l for l, h in zip(model["lo"], model["hi"])]
+
+
+def sq8_encode(
+    df: DataFrame, id_col: str, vec_col: str, model: dict
+) -> DataFrame:
+    """(id, codes array<int> in [0, 255]) — integer half-up quantization;
+    zero shuffle (scan-stage zip_with against the literal bounds)."""
+    lo = F.array(*[F.lit(x).cast("long") for x in model["lo"]])
+    span = F.array(*[F.lit(x).cast("long") for x in _span(model)])
+    clamped = F.zip_with(
+        scaled_vec(F.col(vec_col)),
+        lo,
+        lambda v, l: F.greatest(v - l, F.lit(0).cast("long")),
+    )
+    # Spark's / is double division; floor() restores exact integer div
+    # (numerators < 2^33 ≪ 2^53, so the double quotient is exact at every
+    # integer boundary — the rational's denominator 2d bounds how close a
+    # non-integer value can sit to an integer, far above double eps)
+    codes = F.zip_with(
+        clamped,
+        span,
+        lambda n, d: F.least(
+            F.floor(
+                (F.lit(510).cast("long") * n + d)
+                / (F.lit(2).cast("long") * d)
+            ),
+            F.lit(255).cast("long"),
+        ).cast("int"),
+    )
+    return df.select(F.col(id_col), codes.alias("codes"))
+
+
+def sq8_decode_scaled(codes: Column, model: dict) -> Column:
+    """codes → deterministic approximate scaled-integer vector
+    (min + round_half_up(code·span/255))."""
+    lo = F.array(*[F.lit(x).cast("long") for x in model["lo"]])
+    span = F.array(*[F.lit(x).cast("long") for x in _span(model)])
+    stepped = F.zip_with(
+        codes.cast("array<long>"),
+        span,
+        lambda c, d: F.floor(
+            (F.lit(2).cast("long") * c * d + F.lit(255).cast("long"))
+            / F.lit(510).cast("long")
+        ),
+    )
+    return F.zip_with(stepped, lo, lambda s, l: (s + l).cast("long"))
+
+
+def sq8_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_ids_below: int,
+    k: int = 5,
+    rerank: int = 0,
+) -> DataFrame:
+    """Approximate cosine top-k over SQ8 codes (+ optional exact rerank).
+
+    Queries (the bounded ``id < query_ids_below`` set, knn_bruteforce's
+    contract) broadcast with their TRUE vectors; candidates are scored
+    from their DECODED codes only. ``rerank > 0`` keeps the top
+    ``rerank`` approximate candidates per query and re-scores them with
+    true vectors (one semi-join back to the float table) — the standard
+    two-stage retrieval.
+    """
+    model = sq8_fit(df, vec_col, _dim_of(df, vec_col))
+    codes = sq8_encode(df, id_col, vec_col, model)
+    approx = codes.select(
+        F.col(id_col).alias("cand_id"),
+        sq8_decode_scaled(F.col("codes"), model).alias("svec_c"),
+    ).withColumn("sdot_c", self_dot(F.col("svec_c")))
+    q = (
+        _prepped(df, id_col, vec_col)
+        .filter(F.col(id_col) < query_ids_below)
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col("svec").alias("svec_q"),
+            F.col("sdot").alias("sdot_q"),
+        )
+    )
+    pairs = F.broadcast(q).join(approx, F.col("query_id") != F.col("cand_id"))
+    scored = pairs.select(
+        "query_id",
+        "cand_id",
+        F.round(
+            _cosine_scaled(
+                F.col("svec_q"), F.col("svec_c"), F.col("sdot_q"), F.col("sdot_c")
+            ),
+            4,
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("cand_id").asc()
+    )
+    if not rerank:
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .drop("rn")
+        )
+    shortlist = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= max(rerank, k))
+        .select("query_id", "cand_id")
+    )
+    true_c = _prepped(df, id_col, vec_col).select(
+        F.col(id_col).alias("cand_id"),
+        F.col("svec").alias("svec_c"),
+        F.col("sdot").alias("sdot_c"),
+    )
+    exact = (
+        shortlist.join(true_c, "cand_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "cand_id",
+            F.round(
+                _cosine_scaled(
+                    F.col("svec_q"),
+                    F.col("svec_c"),
+                    F.col("sdot_q"),
+                    F.col("sdot_c"),
+                ),
+                4,
+            ).alias("cosine"),
+        )
+    )
+    return (
+        exact.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
+def _dim_of(df: DataFrame, vec_col: str) -> int:
+    return df.select(F.size(F.col(vec_col)).alias("d")).first()["d"]

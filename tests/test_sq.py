@@ -1,0 +1,115 @@
+"""SQ8 scalar quantization (operators/sq.py): codes bit-equal to an
+independent integer reference, per-dimension reconstruction bound,
+partition-invariant fit, and recall vs the exact baseline with and
+without rerank."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from dwca_parquet_spark.operators.similarity import VEC_SCALE, knn_bruteforce
+from dwca_parquet_spark.operators.sq import (
+    sq8_decode_scaled,
+    sq8_encode,
+    sq8_fit,
+    sq8_topk,
+)
+from tests.conftest import SF_T2
+
+
+def _half_up(x):
+    return np.where(x >= 0, np.floor(x + 0.5), np.ceil(x - 0.5))
+
+
+def _ref_scaled(vecs: np.ndarray) -> np.ndarray:
+    return _half_up(vecs.astype(np.float64) * VEC_SCALE).astype(np.int64)
+
+
+def _ref_fit(sv: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    lo = sv.min(axis=0)
+    hi = np.maximum(sv.max(axis=0), lo + 1)
+    return lo, hi
+
+
+def _ref_encode(sv, lo, hi):
+    n = np.maximum(sv - lo, 0)
+    d = hi - lo
+    return np.minimum((510 * n + d) // (2 * d), 255).astype(np.int64)
+
+
+def _ref_decode(codes, lo, hi):
+    d = hi - lo
+    return lo + (2 * codes * d + 255) // 510
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_T2}/embeddings.parquet")
+
+
+def test_sq8_codes_match_reference_and_bound(spark, emb):
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    sv = _ref_scaled(np.array([r["embedding"] for r in rows], np.float32))
+    order = np.argsort(ids)
+    ids, sv = ids[order], sv[order]
+    lo, hi = _ref_fit(sv)
+
+    model = sq8_fit(emb, "embedding", sv.shape[1])
+    assert model["lo"] == [int(x) for x in lo]
+    assert model["hi"] == [int(x) for x in hi]
+
+    got = {
+        r["vec_id"]: np.array(r["codes"])
+        for r in sq8_encode(emb, "vec_id", "embedding", model).collect()
+    }
+    want = _ref_encode(sv, lo, hi)
+    for i, vid in enumerate(ids):
+        assert (got[vid] == want[i]).all()
+
+    # decode round-trip: reconstruction error ≤ half a quantization step
+    dec = {
+        r["vec_id"]: np.array(r["d"])
+        for r in sq8_encode(emb, "vec_id", "embedding", model)
+        .select(
+            "vec_id", sq8_decode_scaled(F.col("codes"), model).alias("d")
+        )
+        .collect()
+    }
+    step = (hi - lo) / 255.0
+    for i, vid in enumerate(ids):
+        assert (np.abs(dec[vid] - sv[i]) <= np.ceil(step / 2) + 1).all()
+        assert (dec[vid] == _ref_decode(want[i], lo, hi)).all()
+
+
+def test_sq8_fit_partition_invariant(spark, emb):
+    m1 = sq8_fit(emb, "embedding", 64)
+    m2 = sq8_fit(emb.repartition(13), "embedding", 64)
+    assert m1 == m2
+
+
+def test_sq8_topk_recall_and_rerank(spark, emb):
+    """SQ8 is near-lossless: approximate top-10 recall vs exact must be
+    high, and exact rerank can only help."""
+    k, nq = 10, 30
+    exact = {
+        (r["query_id"], r["cand_id"])
+        for r in knn_bruteforce(emb, "vec_id", "embedding", nq, k).collect()
+    }
+    approx = {
+        (r["query_id"], r["cand_id"])
+        for r in sq8_topk(emb, "vec_id", "embedding", nq, k).collect()
+    }
+    rer = {
+        (r["query_id"], r["cand_id"])
+        for r in sq8_topk(
+            emb, "vec_id", "embedding", nq, k, rerank=3 * k
+        ).collect()
+    }
+    recall = len(approx & exact) / len(exact)
+    recall_r = len(rer & exact) / len(exact)
+    assert recall >= 0.9  # 8-bit per-dim quantization barely moves cosine
+    assert recall_r >= recall
+    assert recall_r >= 0.97
