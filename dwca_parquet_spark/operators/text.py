@@ -376,6 +376,87 @@ def registrable_domain(
     return tmp.withColumn(out_col, reg).drop(*drop)
 
 
+def c4_clean(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """The C4 cleaning heuristics (Raffel et al. 2020 §2.2; PAPERS.md) —
+    the line/page filter every web-corpus pipeline descends from:
+
+    line level (applied first, each line independently):
+      - keep only lines ending in terminal punctuation (. ! ? ")
+      - keep only lines with ≥ 5 whitespace words
+      - drop lines containing "javascript" (cookie/JS-warning boilerplate)
+    page level (on the SURVIVING lines):
+      - drop pages with < 3 kept lines
+      - drop pages whose ORIGINAL text contains "lorem ipsum" or "{"
+        (placeholder text / leaked code)
+
+    Output: (id, text = kept lines re-joined, n_lines_kept, keep) — one
+    row per input page, so callers can audit drops before filtering.
+    Zero shuffle: pure array higher-order functions in the scan stage;
+    the same list ops exist in DuckDB (:func:`sql_c4_clean`), so the
+    operator is differentially gated like the driver queries.
+
+    Deliberately NOT included from the paper: the 3-sentence-span corpus
+    dedup (that is :func:`~dwca_parquet_spark.operators.dedup.
+    duplicated_spans`' job) and the langdetect gate
+    (:func:`language_id`'s) — C4 composes from the engine's existing
+    operators; this function is the line/page rule set itself.
+    """
+    # \r is stripped explicitly: trim() removes spaces only (both
+    # engines), and a surviving \r diverges the $ anchor (Java's $
+    # matches before a trailing line terminator; RE2's does not)
+    lines = F.split(F.regexp_replace(F.col(text_col), "\r", ""), r"\n")
+
+    def line_ok(x: Column) -> Column:
+        t = F.trim(x)
+        return (
+            t.rlike('[.!?"]$')
+            & (F.size(F.split(t, r"\s+")) >= 5)
+            & ~F.lower(t).contains("javascript")
+        )
+
+    kept = F.filter(lines, line_ok)
+    kept = F.transform(kept, lambda x: F.trim(x))
+    low = F.lower(F.col(text_col))
+    page_ok = (
+        (F.size(kept) >= 3)
+        & ~low.contains("lorem ipsum")
+        & ~low.contains("{")
+    )
+    return df.select(
+        F.col(id_col),
+        F.array_join(kept, "\n").alias("text"),
+        F.size(kept).cast("long").alias("n_lines_kept"),
+        page_ok.alias("keep"),
+    )
+
+
+def sql_c4_clean(source: str, id_col: str, text_col: str) -> str:
+    """DuckDB twin of :func:`c4_clean` — identical line and page rules.
+
+    DuckDB's array_to_string([]) is NULL (Spark: '') — coalesced; its
+    regexp_matches anchors like RE2, and string_split_regex mirrors
+    Spark's split semantics on the patterns used here.
+    """
+    lines = f"string_split(replace({text_col}, chr(13), ''), chr(10))"
+    ok = (
+        "regexp_matches(trim(x), '[.!?\"]$') "
+        "AND len(string_split_regex(trim(x), '\\s+')) >= 5 "
+        "AND NOT contains(lower(trim(x)), 'javascript')"
+    )
+    kept = f"list_transform(list_filter({lines}, x -> {ok}), x -> trim(x))"
+    page_ok = (
+        f"len({kept}) >= 3 "
+        f"AND NOT contains(lower({text_col}), 'lorem ipsum') "
+        f"AND NOT contains(lower({text_col}), '{{')"
+    )
+    return (
+        f"SELECT {id_col}, "
+        f"coalesce(array_to_string({kept}, chr(10)), '') AS text, "
+        f"CAST(len({kept}) AS BIGINT) AS n_lines_kept, "
+        f"({page_ok}) AS keep FROM {source}"
+    )
+
+
 # query-param prefixes that never affect content identity (tracking)
 TRACKING_PARAM_PREFIXES: tuple[str, ...] = (
     "utm_", "fbclid=", "gclid=", "msclkid=", "ref=", "mc_cid=", "mc_eid=",

@@ -1001,3 +1001,66 @@ def test_canonical_url_parity_and_semantics(spark, duck):
     assert got[5] == "http://sub.example.org:8080/CaseSensitive?y=2&z=1"
     assert got[6] == got[7] == "https://example.com/p?a=1&b=2"
     assert got[8] == "http://example.com/p?a=1"
+
+
+C4_ROWS = [
+    (1, "This is a fine first sentence.\nShort line.\n"
+        "Another good line with plenty of words here!\n"
+        "Enable javascript to view this page properly.\n"
+        'A third quoted keeper line ends well."\n'
+        "and a fourth proper sentence line for the count?"),
+    (2, "Only one good sentence lives in this page.\nnope\nnah"),
+    (3, "Good line number one is right here today.\n"
+        "Good line number two is right here today.\n"
+        "Good line number three has lorem ipsum inside it."),
+    (4, "A page with code tokens { should be dropped entirely.\n"
+        "Even though this line is a fine sentence.\n"
+        "And this one also ends correctly.\n"
+        "And a third one ends correctly too."),
+    (5, ""),
+    (6, "CRLF line endings still count as terminal.\r\n"
+        "Second proper line of the crlf page arrives.\r\n"
+        "Third proper line of the crlf page lands."),
+]
+
+
+def test_c4_clean_parity_and_semantics(spark, duck):
+    from dwca_parquet_spark.operators.text import c4_clean, sql_c4_clean
+
+    df = spark.createDataFrame(C4_ROWS, "id long, t string")
+    got = {
+        r["id"]: (r["text"], r["n_lines_kept"], r["keep"])
+        for r in c4_clean(df, "id", "t").collect()
+    }
+    duck.execute("CREATE OR REPLACE TABLE c4_rows (id BIGINT, t VARCHAR)")
+    duck.executemany("INSERT INTO c4_rows VALUES (?, ?)", C4_ROWS)
+    want = {
+        row[0]: (row[1], row[2], row[3])
+        for row in duck.execute(sql_c4_clean("c4_rows", "id", "t")).fetchall()
+    }
+    assert got == want
+    # semantics
+    text1, n1, keep1 = got[1]
+    assert keep1 and n1 == 4
+    assert "Short line." not in text1  # < 5 words
+    assert "javascript" not in text1  # boilerplate line dropped
+    assert got[2][2] is False  # < 3 kept lines
+    assert got[3][2] is False  # lorem ipsum page
+    assert got[4][2] is False  # curly-brace page
+    assert got[5] == ("", 0, False)
+    assert got[6][2] is True and got[6][1] == 3  # CRLF handled
+
+    # corpus-scale parity on the documents table
+    got_docs = sorted(
+        tuple(r)
+        for r in c4_clean(
+            spark.read.parquet(f"{SF_T2}/documents.parquet"), "doc_id", "text"
+        ).collect()
+    )
+    want_docs = sorted(
+        tuple(r)
+        for r in duck.execute(
+            sql_c4_clean("documents", "doc_id", "text")
+        ).fetchall()
+    )
+    assert got_docs == want_docs
