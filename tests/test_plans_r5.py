@@ -1,0 +1,99 @@
+"""Physical-plan pins for the round-5 operator families (the
+test_plans_r4.py discipline): the zero-shuffle operators must show no
+Exchange, nothing may fall back to row-at-a-time Python, and the
+stated shuffle counts of the heavier operators are pinned so plan
+regressions surface as test failures, not bench drift."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_T2
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_T2}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_T2}/embeddings.parquet")
+
+
+def test_zero_shuffle_projections(spark, docs):
+    """c4_clean, canonical_url, html extraction, SQ8 encode/decode: pure
+    scan-stage projections — no Exchange, no Python anywhere."""
+    from dwca_parquet_spark.operators.html import html_extract_text
+    from dwca_parquet_spark.operators.text import c4_clean, canonicalize_urls
+
+    wrapped = docs.withColumn(
+        "html", F.concat(F.lit("<p>"), F.col("text"), F.lit("</p>"))
+    ).withColumn("url", F.concat(F.lit("http://x.com/"), F.col("doc_id")))
+    for out in [
+        c4_clean(docs, "doc_id", "text"),
+        canonicalize_urls(wrapped, "url"),
+        html_extract_text(wrapped, "doc_id", "html"),
+    ]:
+        plan = _plan(out)
+        assert "Exchange" not in plan
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_sq8_encode_zero_shuffle(spark, emb):
+    from dwca_parquet_spark.operators.sq import sq8_encode, sq8_fit
+
+    model = sq8_fit(emb, "embedding", 64)
+    plan = _plan(sq8_encode(emb, "vec_id", "embedding", model))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_group_sample_k_single_exchange(spark, docs):
+    """One shuffle: the window's hash partitioning on the group key."""
+    from dwca_parquet_spark.operators.sampling import group_sample_k
+
+    grouped = docs.withColumn("grp", F.col("doc_id") % 7)
+    plan = _plan(group_sample_k(grouped, "grp", "doc_id", 5))
+    assert plan.count("Exchange") == 1
+    assert "BatchEvalPython" not in plan
+
+
+def test_global_shuffle_single_range_exchange(spark, docs):
+    """One range exchange (the total-order sort) and the staged hash is
+    evaluated once — the poly-hash fold appears once in the plan."""
+    from dwca_parquet_spark.operators.sampling import global_shuffle
+
+    plan = _plan(global_shuffle(docs, "doc_id", seed="s", n_shards=4))
+    assert plan.count("Exchange") == 1
+    assert "rangepartitioning" in plan.lower()
+    assert plan.count("aggregate(") == 1  # the staged _gh fold, once
+
+
+def test_semantic_dedup_pair_stage_shape(spark, emb):
+    """The pair stage is one groupBy(cell) applyInPandas — Arrow allowed
+    there (per-group matmul is the design), never BatchEvalPython."""
+    from dwca_parquet_spark.operators.semdedup import semantic_dedup
+
+    plan = _plan(
+        semantic_dedup(emb, "vec_id", "embedding", k_cells=4, iters=1)
+    )
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bpe_word_count_is_combinable(spark, docs):
+    """The corpus-scale stage: partial aggregation before the single
+    exchange (map-side combine on the word count)."""
+    from dwca_parquet_spark.operators.bpe import word_counts
+
+    plan = _plan(word_counts(docs, "text"))
+    assert plan.count("Exchange") == 1
+    # partial_count before the exchange = map-side combine
+    assert "partial_count" in plan
