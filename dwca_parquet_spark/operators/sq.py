@@ -116,6 +116,7 @@ def sq8_topk(
     query_ids_below: int,
     k: int = 5,
     rerank: int = 0,
+    model: dict | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k over SQ8 codes (+ optional exact rerank).
 
@@ -126,7 +127,8 @@ def sq8_topk(
     true vectors (one semi-join back to the float table) — the standard
     two-stage retrieval.
     """
-    model = sq8_fit(df, vec_col, _dim_of(df, vec_col))
+    if model is None:  # pass a fitted model to amortize across calls
+        model = sq8_fit(df, vec_col, _dim_of(df, vec_col))
     codes = sq8_encode(df, id_col, vec_col, model)
     approx = codes.select(
         F.col(id_col).alias("cand_id"),

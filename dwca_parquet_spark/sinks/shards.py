@@ -59,9 +59,12 @@ def write_training_shards(
     returns the manifest DataFrame (shard, n_docs, n_tokens, checksum)."""
     out = str(out_dir)
     shuffled = global_shuffle(df, key_col, seed=seed, n_shards=n_shards)
-    staged = shuffled.withColumn(
-        "n_tokens", token_count(F.col(text_col))
-    ).withColumn("_chk", _row_check(F.col(key_col), F.col("n_tokens")))
+    staged = (
+        shuffled.withColumn("n_tokens", token_count(F.col(text_col)))
+        .withColumn("_chk", _row_check(F.col(key_col), F.col("n_tokens")))
+        .persist()  # referenced twice (write + manifest) — without this
+        # the manifest pass re-runs the whole sort + token count
+    )
     # one task set per shard; rows arrive in shuffle_key order per file
     (
         staged.repartition(n_shards, "shard")
@@ -80,7 +83,12 @@ def write_training_shards(
         .orderBy("shard")
     )
     manifest.coalesce(1).write.mode("overwrite").parquet(out + "/manifest")
-    return manifest
+    staged.unpersist()  # both actions have executed by here
+    return spark_read_manifest(df.sparkSession, out)
+
+
+def spark_read_manifest(spark: SparkSession, out_dir: str | Path) -> DataFrame:
+    return spark.read.parquet(str(out_dir) + "/manifest").orderBy("shard")
 
 
 def verify_shards(
