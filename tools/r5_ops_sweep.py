@@ -48,18 +48,37 @@ def make_blobs(spark, n: int, dim: int = 64, n_blobs: int = 32, dup_frac: float 
     dup_src = rng.integers(0, base, size=n - base)
     dups = vecs[dup_src] * (1 + 1e-5)
     allv = np.vstack([vecs, dups]).astype(np.float32)
-    rows = [(int(i), allv[i].tolist()) for i in range(n)]
-    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    if n <= 100_000:
+        rows = [(int(i), allv[i].tolist()) for i in range(n)]
+        return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    # past 100k, driver-side python rows are the bottleneck — stage via
+    # an arrow parquet file instead (still generated, never cloned)
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = tempfile.mkdtemp(prefix="blobs_") + "/blobs.parquet"
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(allv.reshape(-1), pa.float32()), dim
+            ).cast(pa.list_(pa.float32())),
+        }
+    )
+    pq.write_table(tbl, path)
+    return spark.read.parquet(path)
 
 
 def bench_semdedup(spark, quick: bool):
-    sizes = [20_000] if quick else [20_000, 100_000]
+    sizes = [20_000] if quick else [20_000, 100_000, 1_000_000]
     print("\n== semantic_dedup: cell-bounded candidates vs exact all-pairs ==")
     print("n | k_cells | cand_pairs | all_pairs | sem_dedup_s | exact_pairs_s")
     for n in sizes:
         df = make_blobs(spark, n).repartition(32).persist()
         df.count()
-        k_cells = max(16, n // 2500)  # keep |cell| ~ 2.5k
+        k_cells = min(max(16, n // 2500), 400)  # keep |cell| ~ 2.5k
         t0 = time.time()
         out = semantic_dedup(
             df, "vec_id", "embedding", k_cells=k_cells, iters=1, threshold=0.99
