@@ -325,6 +325,48 @@ def group_sample_k(
     )
 
 
+def quantile_bins(
+    df: DataFrame,
+    score_col: str,
+    key_col: str,
+    n_bins: int = 10,
+    out_col: str = "bin",
+) -> DataFrame:
+    """Equal-population quantile bins over ``score_col`` (deciles by
+    default) — the curriculum/quality-binning primitive: rank documents
+    by a quality score, then train on bins in order (or mix them with
+    :func:`~dwca_parquet_spark.operators.packing.mix_sources`).
+
+    ``ntile`` over a TOTAL order (score, then key — ties must break
+    deterministically or bin edges wander between runs/engines). Bins
+    are 1..n_bins, populations differ by at most one row — exactly the
+    ANSI ntile contract, so any SQL engine reproduces the assignment
+    bit-for-bit.
+
+    One range-ish shuffle (the unpartitioned window's sort). For a
+    corpus too large for a single sort, bin against sampled quantile
+    EDGES instead (approx_percentiles + a when-chain) — the documented
+    scale path; this operator is the exact contract that path is
+    measured against.
+    """
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col(score_col).asc(), F.col(key_col).asc())
+    return df.withColumn(out_col, F.ntile(n_bins).over(w))
+
+
+def sql_quantile_bins(
+    source: str, score_col: str, key_col: str, n_bins: int = 10,
+    cols: str = "*", out_col: str = "bin",
+) -> str:
+    """DuckDB twin of :func:`quantile_bins` (identical ANSI ntile)."""
+    return (
+        f"SELECT {cols}, ntile({n_bins}) OVER "
+        f"(ORDER BY {score_col} ASC, {key_col} ASC) AS {out_col} "
+        f"FROM {source}"
+    )
+
+
 def sql_group_sample_k(
     source: str,
     group_col: str,

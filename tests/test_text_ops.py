@@ -1064,3 +1064,36 @@ def test_c4_clean_parity_and_semantics(spark, duck):
         ).fetchall()
     )
     assert got_docs == want_docs
+
+
+def test_quantile_bins_parity(spark, duck):
+    from dwca_parquet_spark.operators.sampling import (
+        quantile_bins,
+        sql_quantile_bins,
+    )
+    from dwca_parquet_spark.operators.text import quality_score
+
+    docs = spark.read.parquet(f"{SF_T2}/documents.parquet")
+    scored = quality_score(docs, "doc_id", "text")
+    got = sorted(
+        (r["doc_id"], r["bin"])
+        for r in quantile_bins(scored, "quality_score", "doc_id").collect()
+    )
+    # scores feed the oracle as data (quality_score itself is q26's
+    # gated operator — this test gates the BINNING)
+    duck.execute("CREATE OR REPLACE TABLE qscores (doc_id BIGINT, s DOUBLE)")
+    duck.executemany(
+        "INSERT INTO qscores VALUES (?, ?)",
+        [(r["doc_id"], r["quality_score"]) for r in scored.collect()],
+    )
+    want = sorted(
+        duck.execute(
+            sql_quantile_bins("qscores", "s", "doc_id", cols="doc_id")
+        ).fetchall()
+    )
+    assert got == [tuple(r) for r in want]
+    # populations differ by at most one
+    from collections import Counter
+
+    sizes = Counter(b for _, b in got).values()
+    assert max(sizes) - min(sizes) <= 1
