@@ -734,3 +734,99 @@ def trim_duplicated_spans(
             "n_tokens_removed"
         ),
     )
+
+
+def dedup_paragraphs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Corpus-level exact paragraph dedup (SURVEY §2 op 103) — the
+    RefinedWeb/MassiveText "repeated boilerplate paragraph" remover that
+    operates BETWEEN documents where :func:`duplicated_spans` operates
+    within them. Paragraphs are ``\\n{2,}`` blocks (trimmed, non-empty);
+    every occurrence after the corpus-wide first (ordered by
+    ``(id, paragraph_index)``) is dropped, and survivors are re-joined
+    in document order. Emits one row per input document:
+    ``(id, text, n_paras_kept, n_paras)`` — docs whose every paragraph
+    was seen earlier come back with ``text = ''``, so callers can audit
+    before filtering.
+
+    Scale shape: posexplode → ONE map-side-combinable min-aggregate on
+    the portable paragraph hash (``functions/hashing.py:75`` — the same
+    engine-verified poly_hash the exact-dedup family uses, so the DuckDB
+    oracle computes identical keys) → semi-join winners back →
+    per-document fold. Keys are paragraph-hash-fine (no skew beyond
+    genuine duplicate mass, which the min-agg combines map-side); the
+    only per-document state is its own paragraph list. Never pairs, no
+    Python in the plan (pinned, test_plans_r5.py).
+    """
+    t = F.regexp_replace(F.col(text_col), "\r", "")
+    paras = F.filter(
+        F.transform(F.split(t, "\n{2,}"), lambda x: F.trim(x)),
+        lambda x: F.length(x) > 0,
+    )
+    ex = df.select(
+        F.col(id_col).alias("_id"), F.posexplode(paras).alias("_idx", "_p")
+    ).select("_id", "_idx", "_p", H.poly_hash(F.col("_p")).alias("_k"))
+    ex = persist_tracked(ex)
+    first = ex.groupBy("_k").agg(
+        F.min(F.struct("_id", "_idx")).alias("_f")
+    ).select("_k", F.col("_f._id").alias("_id"), F.col("_f._idx").alias("_idx"))
+    kept = ex.join(first, ["_k", "_id", "_idx"], "left_semi")
+    rebuilt = kept.groupBy("_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_idx", "_p"))),
+                lambda s: s["_p"],
+            ),
+            "\n\n",
+        ).alias("text"),
+        F.count(F.lit(1)).alias("n_paras_kept"),
+    )
+    orig = df.select(
+        F.col(id_col).alias("_id"), F.size(paras).cast("long").alias("n_paras")
+    )
+    return (
+        orig.join(rebuilt, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce("text", F.lit("")).alias("text"),
+            F.coalesce("n_paras_kept", F.lit(0)).cast("long").alias(
+                "n_paras_kept"
+            ),
+            F.col("n_paras"),
+        )
+    )
+
+
+def sql_dedup_paragraphs(source: str, id_col: str, text_col: str) -> str:
+    """DuckDB twin of :func:`dedup_paragraphs` — identical paragraph
+    split, identical portable hash keys, identical first-occurrence
+    order ``(id, idx)``."""
+    t = f"replace({text_col}, chr(13), '')"
+    paras = (
+        f"list_filter(list_transform(string_split_regex({t}, '\\n{{2,}}'),"
+        " x -> trim(x)), x -> len(x) > 0)"
+    )
+    return f"""
+    WITH src AS (SELECT {id_col} AS _id, {paras} AS ps FROM {source}),
+    ex AS (
+      SELECT _id,
+             unnest(generate_series(1, len(ps))) - 1 AS _idx,
+             unnest(ps) AS _p
+      FROM src
+    ), keyed AS (
+      SELECT _id, _idx, _p, {H.sql_poly_hash('_p')} AS _k FROM ex
+    ), ranked AS (
+      SELECT _id, _idx, _p,
+             row_number() OVER (PARTITION BY _k ORDER BY _id, _idx) AS rn
+      FROM keyed
+    ), rebuilt AS (
+      SELECT _id,
+             string_agg(_p, chr(10) || chr(10) ORDER BY _idx) AS text,
+             count(*) AS n_paras_kept
+      FROM ranked WHERE rn = 1 GROUP BY _id
+    )
+    SELECT s._id AS {id_col},
+           coalesce(r.text, '') AS text,
+           CAST(coalesce(r.n_paras_kept, 0) AS BIGINT) AS n_paras_kept,
+           CAST(len(s.ps) AS BIGINT) AS n_paras
+    FROM src s LEFT JOIN rebuilt r USING (_id)
+    """

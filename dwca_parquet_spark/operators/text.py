@@ -1325,3 +1325,366 @@ def sql_lm2_logprob_score(
            END AS lm2_logprob
     FROM t
     """
+
+
+# ---------------------------------------------------------------------------
+# Gopher / MassiveText quality rules (SURVEY §2 op 102)
+# ---------------------------------------------------------------------------
+
+# the eight required stop words of the Gopher rule set
+GOPHER_STOP_WORDS: tuple[str, ...] = (
+    "the", "be", "to", "of", "and", "that", "have", "with",
+)
+GOPHER_BULLETS: tuple[str, ...] = ("•", "‣", "▪", "-", "*")
+
+
+def gopher_quality(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """The Gopher/MassiveText document-quality rule set (Rae et al. 2021,
+    Appendix A; PAPERS.md) — the second canonical web-filter next to
+    :func:`c4_clean`'s line rules. Generalizes the reference's single
+    fixed query surface (``/root/reference/src/dwca_parquet/templates/
+    query.sql:1-5``) the same way the rest of the text family does.
+
+    Emits one row per document with every signal the paper thresholds,
+    plus the combined ``keep`` verdict, so callers can audit any single
+    rule before filtering:
+
+    - ``n_words``, ``mean_word_len`` — words = ``\\s+`` split of the
+      trimmed text ('' → 0 words)
+    - ``hash_word_ratio`` / ``ellipsis_word_ratio`` — ``#`` count and
+      non-overlapping ``...``/``…`` count per word
+    - ``alpha_word_frac`` — words containing ≥1 ``[A-Za-z]``
+    - ``n_stop_words`` — how many of the 8 required stop words appear
+    - ``bullet_line_frac`` / ``ellipsis_line_frac`` — over trimmed
+      non-empty lines (bullet set: ``GOPHER_BULLETS``)
+    - repetition: ``dup_line_frac`` (lines that are repeats of an
+      earlier line), ``dup_line_char_frac`` (chars in those repeats),
+      and the paragraph twins (paragraphs = ``\\n{2,}`` blocks)
+
+    ``keep`` = 50 ≤ n_words ≤ 100 000 ∧ 3 ≤ mean_word_len ≤ 10 ∧ both
+    symbol ratios ≤ 0.1 ∧ alpha_word_frac ≥ 0.8 ∧ n_stop_words ≥ 2 ∧
+    bullet_line_frac ≤ 0.9 ∧ ellipsis_line_frac ≤ 0.3 ∧ dup_line_frac,
+    dup_para_frac ≤ 0.3 ∧ dup_line_char_frac, dup_para_char_frac ≤ 0.2.
+
+    Zero shuffle: every signal is an array higher-order expression in
+    the scan stage (plan-pinned, test_plans_r5.py); the word n-gram
+    repetition signals — the one Gopher family that genuinely needs an
+    aggregation — live in :func:`gopher_ngram_stats`. All divisions are
+    int/int → double on identical integers in both engines, so the
+    DuckDB twin (:func:`sql_gopher_quality`) matches exactly.
+    """
+    import functools
+    import operator as _op
+
+    t = F.regexp_replace(F.col(text_col), "\r", "")
+    words = F.filter(F.split(F.trim(t), r"\s+"), lambda x: x != "")
+    n_words = F.size(words)
+    nw = n_words.cast("double")
+    word_chars = F.aggregate(
+        words, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+    )
+    mean_wl = F.when(n_words > 0, word_chars / nw).otherwise(F.lit(0.0))
+    n_hash = F.length(t) - F.length(F.regexp_replace(t, "#", ""))
+    n_ell = (
+        (F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit("")))) / 3
+        + (F.length(t) - F.length(F.replace(t, F.lit("…"), F.lit(""))))
+    ).cast("long")
+    hash_ratio = F.when(n_words > 0, n_hash / nw).otherwise(F.lit(0.0))
+    ell_ratio = F.when(n_words > 0, n_ell / nw).otherwise(F.lit(0.0))
+    n_alpha = F.size(F.filter(words, lambda x: x.rlike("[A-Za-z]")))
+    alpha_frac = F.when(n_words > 0, n_alpha / nw).otherwise(F.lit(0.0))
+    words_lower = F.transform(words, F.lower)
+    n_stop = functools.reduce(
+        _op.add,
+        [
+            F.array_contains(words_lower, s).cast("int")
+            for s in GOPHER_STOP_WORDS
+        ],
+    ).cast("long")
+
+    def _block_stats(arr, prefix):
+        """(dup_frac, dup_char_frac) for a line/paragraph array."""
+        n = F.size(arr)
+        chars = F.aggregate(
+            arr, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+        )
+        dist = F.array_distinct(arr)
+        n_d = F.size(dist)
+        chars_d = F.aggregate(
+            dist, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+        )
+        dup_frac = F.when(n > 0, (n - n_d) / n.cast("double")).otherwise(
+            F.lit(0.0)
+        )
+        dup_char = F.when(
+            chars > 0, (chars - chars_d) / chars.cast("double")
+        ).otherwise(F.lit(0.0))
+        return dup_frac.alias(f"dup_{prefix}_frac"), dup_char.alias(
+            f"dup_{prefix}_char_frac"
+        )
+
+    lines = F.transform(
+        F.filter(F.split(t, "\n"), lambda x: F.length(F.trim(x)) > 0),
+        lambda x: F.trim(x),
+    )
+    paras = F.transform(
+        F.filter(F.split(t, "\n{2,}"), lambda x: F.length(F.trim(x)) > 0),
+        lambda x: F.trim(x),
+    )
+    n_lines = F.size(lines)
+    bullet_n = F.size(
+        F.filter(
+            lines,
+            lambda x: functools.reduce(
+                _op.or_, [x.startswith(b) for b in GOPHER_BULLETS]
+            ),
+        )
+    )
+    ell_n = F.size(
+        F.filter(
+            lines, lambda x: x.endswith("...") | x.endswith("…")
+        )
+    )
+    bullet_frac = F.when(
+        n_lines > 0, bullet_n / n_lines.cast("double")
+    ).otherwise(F.lit(0.0))
+    ell_line_frac = F.when(
+        n_lines > 0, ell_n / n_lines.cast("double")
+    ).otherwise(F.lit(0.0))
+    dl_frac, dl_char = _block_stats(lines, "line")
+    dp_frac, dp_char = _block_stats(paras, "para")
+
+    out = df.select(
+        F.col(id_col),
+        n_words.cast("long").alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        hash_ratio.alias("hash_word_ratio"),
+        ell_ratio.alias("ellipsis_word_ratio"),
+        alpha_frac.alias("alpha_word_frac"),
+        n_stop.alias("n_stop_words"),
+        bullet_frac.alias("bullet_line_frac"),
+        ell_line_frac.alias("ellipsis_line_frac"),
+        dl_frac,
+        dl_char,
+        dp_frac,
+        dp_char,
+    )
+    keep = (
+        F.col("n_words").between(50, 100000)
+        & F.col("mean_word_len").between(3.0, 10.0)
+        & (F.col("hash_word_ratio") <= 0.1)
+        & (F.col("ellipsis_word_ratio") <= 0.1)
+        & (F.col("alpha_word_frac") >= 0.8)
+        & (F.col("n_stop_words") >= 2)
+        & (F.col("bullet_line_frac") <= 0.9)
+        & (F.col("ellipsis_line_frac") <= 0.3)
+        & (F.col("dup_line_frac") <= 0.3)
+        & (F.col("dup_para_frac") <= 0.3)
+        & (F.col("dup_line_char_frac") <= 0.2)
+        & (F.col("dup_para_char_frac") <= 0.2)
+    )
+    return out.withColumn("keep", keep)
+
+
+def sql_gopher_quality(source: str, id_col: str, text_col: str) -> str:
+    """DuckDB twin of :func:`gopher_quality` — identical signals and
+    thresholds on identical integer numerators/denominators."""
+    t = f"replace({text_col}, chr(13), '')"
+    words = f"list_filter(string_split_regex(trim({t}), '\\s+'), x -> x <> '')"
+    bullets = " OR ".join(
+        f"starts_with(x, '{b}')" for b in GOPHER_BULLETS
+    )
+    stops = " + ".join(
+        f"CAST(list_contains(lw, '{s}') AS INT)" for s in GOPHER_STOP_WORDS
+    )
+    return f"""
+    WITH base AS (
+      SELECT {id_col},
+             {t} AS t,
+             {words} AS w,
+             list_transform(
+               list_filter(string_split({t}, chr(10)),
+                           x -> len(trim(x)) > 0), x -> trim(x)) AS ls,
+             list_transform(
+               list_filter(string_split_regex({t}, '\\n{{2,}}'),
+                           x -> len(trim(x)) > 0), x -> trim(x)) AS ps
+      FROM {source}
+    ), sig AS (
+      SELECT {id_col},
+        len(w) AS n_words,
+        coalesce(list_sum(list_transform(w, x -> len(x))), 0) AS wc,
+        (len(t) - len(replace(t, '#', ''))) AS n_hash,
+        CAST((len(t) - len(replace(t, '...', ''))) / 3
+             + (len(t) - len(replace(t, chr(8230), ''))) AS BIGINT) AS n_ell,
+        len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha,
+        list_transform(w, x -> lower(x)) AS lw,
+        len(ls) AS n_lines,
+        len(list_filter(ls, x -> {bullets})) AS n_bullet,
+        len(list_filter(ls, x -> ends_with(x, '...')
+                              OR ends_with(x, chr(8230)))) AS n_ell_line,
+        len(list_distinct(ls)) AS n_dl,
+        coalesce(list_sum(list_transform(ls, x -> len(x))), 0) AS lc,
+        coalesce(list_sum(list_transform(list_distinct(ls),
+                                         x -> len(x))), 0) AS dlc,
+        len(ps) AS n_para,
+        len(list_distinct(ps)) AS n_dp,
+        coalesce(list_sum(list_transform(ps, x -> len(x))), 0) AS pc,
+        coalesce(list_sum(list_transform(list_distinct(ps),
+                                         x -> len(x))), 0) AS dpc
+      FROM base
+    ), frac AS (
+      SELECT {id_col},
+        CAST(n_words AS BIGINT) AS n_words,
+        CASE WHEN n_words > 0 THEN wc / CAST(n_words AS DOUBLE)
+             ELSE 0.0 END AS mean_word_len,
+        CASE WHEN n_words > 0 THEN n_hash / CAST(n_words AS DOUBLE)
+             ELSE 0.0 END AS hash_word_ratio,
+        CASE WHEN n_words > 0 THEN n_ell / CAST(n_words AS DOUBLE)
+             ELSE 0.0 END AS ellipsis_word_ratio,
+        CASE WHEN n_words > 0 THEN n_alpha / CAST(n_words AS DOUBLE)
+             ELSE 0.0 END AS alpha_word_frac,
+        CAST(({stops}) AS BIGINT) AS n_stop_words,
+        CASE WHEN n_lines > 0 THEN n_bullet / CAST(n_lines AS DOUBLE)
+             ELSE 0.0 END AS bullet_line_frac,
+        CASE WHEN n_lines > 0 THEN n_ell_line / CAST(n_lines AS DOUBLE)
+             ELSE 0.0 END AS ellipsis_line_frac,
+        CASE WHEN n_lines > 0 THEN (n_lines - n_dl) / CAST(n_lines AS DOUBLE)
+             ELSE 0.0 END AS dup_line_frac,
+        CASE WHEN lc > 0 THEN (lc - dlc) / CAST(lc AS DOUBLE)
+             ELSE 0.0 END AS dup_line_char_frac,
+        CASE WHEN n_para > 0 THEN (n_para - n_dp) / CAST(n_para AS DOUBLE)
+             ELSE 0.0 END AS dup_para_frac,
+        CASE WHEN pc > 0 THEN (pc - dpc) / CAST(pc AS DOUBLE)
+             ELSE 0.0 END AS dup_para_char_frac
+      FROM sig
+    )
+    SELECT *,
+      (n_words BETWEEN 50 AND 100000
+       AND mean_word_len BETWEEN 3.0 AND 10.0
+       AND hash_word_ratio <= 0.1
+       AND ellipsis_word_ratio <= 0.1
+       AND alpha_word_frac >= 0.8
+       AND n_stop_words >= 2
+       AND bullet_line_frac <= 0.9
+       AND ellipsis_line_frac <= 0.3
+       AND dup_line_frac <= 0.3
+       AND dup_para_frac <= 0.3
+       AND dup_line_char_frac <= 0.2
+       AND dup_para_char_frac <= 0.2) AS keep
+    FROM frac
+    """
+
+
+def gopher_ngram_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    ns: tuple[int, ...] = (2, 3, 4, 5, 6, 7, 8, 9, 10),
+) -> DataFrame:
+    """Gopher word-n-gram repetition signals (Rae et al. 2021 App. A):
+    per (document, n): ``top_ngram_char_frac`` — the largest
+    count×len(gram) mass any single n-gram holds — and
+    ``dup_ngram_char_frac`` — the mass held by n-grams occurring ≥ 2
+    times — both over total n-gram character mass. The paper thresholds
+    top at n∈{2,3,4} (0.20/0.18/0.16) and dup at n∈{5..10}
+    (0.15…0.10); this emits the raw fractions for every requested n so
+    callers pick their own cut.
+
+    Char mass = Σ count(g)·len(g) (a mergeable exact statistic); this
+    deliberately over-counts overlapping occurrences vs the
+    position-coverage variant — documented contract, mirrored exactly
+    by the DuckDB twin (:func:`sql_gopher_ngram_stats`).
+
+    Scale shape: ONE scan builds every (n, gram) pair as an array
+    higher-order expression (no per-n rescans), then exactly two
+    map-side-combinable shuffles — groupBy(id, n, gram) count and
+    groupBy(id, n) fold. Keys are (doc, gram)-fine so there is no skew;
+    no Python in the plan (pinned, test_plans_r5.py). Docs with < n
+    words produce no (doc, n) row.
+    """
+    t = F.regexp_replace(F.col(text_col), "\r", "")
+    words = F.filter(F.split(F.trim(t), r"\s+"), lambda x: x != "")
+
+    def _pairs_for(n: int):
+        sz = F.size(F.col("_ws"))
+        idx = F.when(
+            sz >= n, F.sequence(F.lit(1), sz - F.lit(n - 1))
+        ).otherwise(F.array().cast("array<int>"))
+        return F.transform(
+            idx,
+            lambda i: F.struct(
+                F.lit(n).alias("n"),
+                F.array_join(
+                    F.slice(F.col("_ws"), i, n), " "
+                ).alias("g"),
+            ),
+        )
+
+    pairs = df.select(F.col(id_col), words.alias("_ws")).select(
+        F.col(id_col),
+        F.explode(
+            F.flatten(F.array(*[_pairs_for(n) for n in ns]))
+        ).alias("_p"),
+    )
+    cnt = (
+        pairs.select(
+            id_col, F.col("_p.n").alias("n"), F.col("_p.g").alias("g")
+        )
+        .groupBy(id_col, "n", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    mass = (F.col("c") * F.length("g")).cast("long")
+    return (
+        cnt.groupBy(id_col, "n")
+        .agg(
+            F.max(mass).alias("_top"),
+            F.sum(mass).alias("_tot"),
+            F.coalesce(
+                F.sum(F.when(F.col("c") >= 2, mass)), F.lit(0)
+            ).alias("_dup"),
+        )
+        .select(
+            id_col,
+            F.col("n").cast("int").alias("n"),
+            (F.col("_top") / F.col("_tot").cast("double")).alias(
+                "top_ngram_char_frac"
+            ),
+            (F.col("_dup") / F.col("_tot").cast("double")).alias(
+                "dup_ngram_char_frac"
+            ),
+        )
+    )
+
+
+def sql_gopher_ngram_stats(
+    source: str,
+    id_col: str,
+    text_col: str,
+    ns: tuple[int, ...] = (2, 3, 4, 5, 6, 7, 8, 9, 10),
+) -> str:
+    """DuckDB twin of :func:`gopher_ngram_stats` (identical n-gram
+    construction, counts, and char-mass fractions)."""
+    t = f"replace({text_col}, chr(13), '')"
+    words = f"list_filter(string_split_regex(trim({t}), '\\s+'), x -> x <> '')"
+    ns_list = ", ".join(str(n) for n in ns)
+    return f"""
+    WITH w AS (SELECT {id_col}, {words} AS ws FROM {source}),
+    pairs AS (
+      SELECT {id_col}, nn.n AS n,
+             unnest(list_transform(
+               generate_series(1, len(ws) - nn.n + 1),
+               i -> array_to_string(ws[i:i + nn.n - 1], ' '))) AS g
+      FROM w, (SELECT unnest([{ns_list}]) AS n) nn
+      WHERE len(ws) >= nn.n
+    ),
+    cnt AS (
+      SELECT {id_col}, n, g, count(*) AS c
+      FROM pairs GROUP BY 1, 2, 3
+    )
+    SELECT {id_col}, CAST(n AS INT) AS n,
+           max(c * len(g)) / CAST(sum(c * len(g)) AS DOUBLE)
+             AS top_ngram_char_frac,
+           coalesce(sum(CASE WHEN c >= 2 THEN c * len(g) END), 0)
+             / CAST(sum(c * len(g)) AS DOUBLE) AS dup_ngram_char_frac
+    FROM cnt GROUP BY 1, 2
+    """

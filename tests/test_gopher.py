@@ -1,0 +1,184 @@
+"""Differential tests for the Gopher/MassiveText quality rules and the
+corpus paragraph dedup (SURVEY §2 ops 102-103) — DuckDB computes the
+identical semantics (same split/trim/threshold rules, same portable
+hashes), the driver-gate discipline hosted in pytest because the
+50-entry registry is full.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from dwca_parquet_spark.operators.text import (
+    gopher_ngram_stats,
+    gopher_quality,
+    sql_gopher_ngram_stats,
+    sql_gopher_quality,
+)
+from dwca_parquet_spark.operators.dedup import (
+    dedup_paragraphs,
+    sql_dedup_paragraphs,
+)
+from tests.conftest import SF_T2
+
+GOOD = (
+    "The quick brown fox jumps over the lazy dog near the river bank today. "
+    "It would often be seen there with friends of that kind, and everyone "
+    "would have agreed that the fox was quick. "
+) * 3
+ROWS = [
+    (1, GOOD),
+    (2, "- one\n- two\n- three\n- four\n" + GOOD),  # bullet lines + body
+    (3, "spam spam\n\nspam spam\n\nspam spam\n\n" + GOOD),  # dup paragraphs
+    (4, "too short to keep."),  # < 50 words
+    (5, "#tag " * 60),  # hash spam, no stop words
+    (6, ""),  # empty
+    (7, "wait...\nreally...\nno...\n" + GOOD),  # ellipsis lines
+    (8, "a\r\nb\r\n" + GOOD),  # CRLF normalization
+]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF_T2}/documents.parquet')"
+    )
+    con.execute("CREATE TABLE rows (id BIGINT, t VARCHAR)")
+    con.executemany("INSERT INTO rows VALUES (?, ?)", ROWS)
+    return con
+
+
+def _round_row(row, nd=12):
+    return tuple(
+        round(v, nd) if isinstance(v, float) else v for v in row
+    )
+
+
+def test_gopher_quality_parity_and_semantics(spark, duck):
+    df = spark.createDataFrame(ROWS, "id long, t string")
+    got = {r["id"]: _round_row(tuple(r)[1:]) for r in
+           gopher_quality(df, "id", "t").collect()}
+    cols = [d[0] for d in
+            duck.execute(sql_gopher_quality("rows", "id", "t")).description]
+    want = {row[0]: _round_row(row[1:]) for row in
+            duck.execute(sql_gopher_quality("rows", "id", "t")).fetchall()}
+    assert cols[1:] == [
+        "n_words", "mean_word_len", "hash_word_ratio",
+        "ellipsis_word_ratio", "alpha_word_frac", "n_stop_words",
+        "bullet_line_frac", "ellipsis_line_frac", "dup_line_frac",
+        "dup_line_char_frac", "dup_para_frac", "dup_para_char_frac",
+        "keep",
+    ]
+    assert got == want
+
+    by_id = {r["id"]: r for r in gopher_quality(df, "id", "t").collect()}
+    assert by_id[1]["keep"] is True
+    assert by_id[2]["bullet_line_frac"] > 0.3
+    assert by_id[3]["dup_para_frac"] > 0.3 and by_id[3]["keep"] is False
+    assert by_id[4]["keep"] is False  # word-count floor
+    assert by_id[5]["hash_word_ratio"] >= 1.0
+    assert by_id[5]["n_stop_words"] == 0 and by_id[5]["keep"] is False
+    assert by_id[6]["n_words"] == 0 and by_id[6]["keep"] is False
+    assert by_id[7]["ellipsis_line_frac"] > 0.3 and by_id[7]["keep"] is False
+
+
+def test_gopher_quality_corpus_parity(spark, duck):
+    docs = spark.read.parquet(f"{SF_T2}/documents.parquet")
+    got = sorted(
+        (r["doc_id"],) + _round_row(tuple(r)[1:])
+        for r in gopher_quality(docs, "doc_id", "text").collect()
+    )
+    want = sorted(
+        (row[0],) + _round_row(row[1:])
+        for row in duck.execute(
+            sql_gopher_quality("documents", "doc_id", "text")
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_gopher_ngram_stats_parity(spark, duck):
+    ns = (2, 3, 5, 10)
+    df = spark.createDataFrame(ROWS, "id long, t string")
+    got = sorted(
+        (r["id"], r["n"], round(r["top_ngram_char_frac"], 12),
+         round(r["dup_ngram_char_frac"], 12))
+        for r in gopher_ngram_stats(df, "id", "t", ns=ns).collect()
+    )
+    want = sorted(
+        (row[0], row[1], round(row[2], 12), round(row[3], 12))
+        for row in duck.execute(
+            sql_gopher_ngram_stats("rows", "id", "t", ns=ns)
+        ).fetchall()
+    )
+    assert got == want
+    # semantics: "spam spam" repeated -> high dup mass at n=2 for id 3
+    d = {(i, n): (top, dup) for i, n, top, dup in got}
+    assert d[(3, 2)][1] > 0.15
+    # a doc with < n words emits no row for that n
+    assert (4, 10) not in d and (4, 2) in d
+    # empty doc emits nothing
+    assert not any(i == 6 for i, _ in d)
+
+
+def test_gopher_ngram_stats_corpus_parity(spark, duck):
+    ns = (2, 3, 4)
+    docs = spark.read.parquet(f"{SF_T2}/documents.parquet")
+    got = sorted(
+        (r["doc_id"], r["n"], round(r["top_ngram_char_frac"], 12),
+         round(r["dup_ngram_char_frac"], 12))
+        for r in gopher_ngram_stats(docs, "doc_id", "text", ns=ns).collect()
+    )
+    want = sorted(
+        (row[0], row[1], round(row[2], 12), round(row[3], 12))
+        for row in duck.execute(
+            sql_gopher_ngram_stats("documents", "doc_id", "text", ns=ns)
+        ).fetchall()
+    )
+    assert got == want
+
+
+PARA_ROWS = [
+    (1, "shared header\n\nunique one\n\nshared footer"),
+    (2, "shared header\n\nunique two\n\nshared footer"),  # loses both shared
+    (3, "shared header"),  # fully duplicated -> empty
+    (4, "unique three\r\n\r\nunique four"),  # CRLF paragraphs
+    (5, ""),  # no paragraphs
+    (6, "unique one"),  # dup of doc 1's paragraph
+]
+
+
+def test_dedup_paragraphs_parity_and_semantics(spark, duck):
+    duck.execute("CREATE TABLE paras (id BIGINT, t VARCHAR)")
+    duck.executemany("INSERT INTO paras VALUES (?, ?)", PARA_ROWS)
+    df = spark.createDataFrame(PARA_ROWS, "id long, t string")
+    got = {r["id"]: (r["text"], r["n_paras_kept"], r["n_paras"])
+           for r in dedup_paragraphs(df, "id", "t").collect()}
+    want = {row[0]: (row[1], row[2], row[3]) for row in duck.execute(
+        sql_dedup_paragraphs("paras", "id", "t")).fetchall()}
+    assert got == want
+    assert got[1] == (
+        "shared header\n\nunique one\n\nshared footer", 3, 3)
+    assert got[2] == ("unique two", 1, 3)
+    assert got[3] == ("", 0, 1)
+    assert got[4] == ("unique three\n\nunique four", 2, 2)
+    assert got[5] == ("", 0, 0)
+    assert got[6] == ("", 0, 1)
+
+
+def test_dedup_paragraphs_corpus_parity(spark, duck):
+    docs = spark.read.parquet(f"{SF_T2}/documents.parquet")
+    got = sorted(
+        tuple(r)
+        for r in dedup_paragraphs(docs, "doc_id", "text").collect()
+    )
+    want = sorted(
+        tuple(row)
+        for row in duck.execute(
+            sql_dedup_paragraphs("documents", "doc_id", "text")
+        ).fetchall()
+    )
+    assert got == want

@@ -97,3 +97,38 @@ def test_bpe_word_count_is_combinable(spark, docs):
     assert plan.count("Exchange") == 1
     # partial_count before the exchange = map-side combine
     assert "partial_count" in plan
+
+
+def test_gopher_quality_zero_shuffle(spark, docs):
+    """Every doc-level Gopher signal is a scan-stage array expression —
+    no Exchange, no Python."""
+    from dwca_parquet_spark.operators.text import gopher_quality
+
+    plan = _plan(gopher_quality(docs, "doc_id", "text"))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_gopher_ngram_stats_two_shuffles(spark, docs):
+    """Exactly the two stated map-side-combinable shuffles — (id,n,gram)
+    count then (id,n) fold — one scan for all n, no Python."""
+    from dwca_parquet_spark.operators.text import gopher_ngram_stats
+
+    out = gopher_ngram_stats(docs, "doc_id", "text", ns=(2, 3, 5))
+    plan = _plan(out)
+    assert plan.count("Exchange") == 2
+    assert "BatchEvalPython" not in plan
+    assert plan.count("FileScan") == 1
+
+
+def test_dedup_paragraphs_plan_shape(spark, docs):
+    """min-agg first-occurrence + semi-join + per-doc fold: combinable
+    shuffles only, no Cartesian, no Python, no row-number window over
+    the full corpus."""
+    from dwca_parquet_spark.operators.dedup import dedup_paragraphs
+
+    plan = _plan(dedup_paragraphs(docs, "doc_id", "text"))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "Window" not in plan  # first-occurrence is a min-agg, not a window
