@@ -736,7 +736,12 @@ def trim_duplicated_spans(
     )
 
 
-def dedup_paragraphs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+_DEDUP_UNITS = {"paragraph": ("\n{2,}", "\n\n"), "line": ("\n", "\n")}
+
+
+def dedup_paragraphs(
+    df: DataFrame, id_col: str, text_col: str, unit: str = "paragraph"
+) -> DataFrame:
     """Corpus-level exact paragraph dedup (SURVEY §2 op 103) — the
     RefinedWeb/MassiveText "repeated boilerplate paragraph" remover that
     operates BETWEEN documents where :func:`duplicated_spans` operates
@@ -756,10 +761,14 @@ def dedup_paragraphs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     genuine duplicate mass, which the min-agg combines map-side); the
     only per-document state is its own paragraph list. Never pairs, no
     Python in the plan (pinned, test_plans_r5.py).
+
+    ``unit="line"`` switches the block boundary to single newlines (the
+    RefinedWeb line-level variant) with identical machinery.
     """
+    split_pat, sep = _DEDUP_UNITS[unit]
     t = F.regexp_replace(F.col(text_col), "\r", "")
     paras = F.filter(
-        F.transform(F.split(t, "\n{2,}"), lambda x: F.trim(x)),
+        F.transform(F.split(t, split_pat), lambda x: F.trim(x)),
         lambda x: F.length(x) > 0,
     )
     ex = df.select(
@@ -776,7 +785,7 @@ def dedup_paragraphs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
                 F.array_sort(F.collect_list(F.struct("_idx", "_p"))),
                 lambda s: s["_p"],
             ),
-            "\n\n",
+            sep,
         ).alias("text"),
         F.count(F.lit(1)).alias("n_paras_kept"),
     )
@@ -796,13 +805,17 @@ def dedup_paragraphs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def sql_dedup_paragraphs(source: str, id_col: str, text_col: str) -> str:
+def sql_dedup_paragraphs(
+    source: str, id_col: str, text_col: str, unit: str = "paragraph"
+) -> str:
     """DuckDB twin of :func:`dedup_paragraphs` — identical paragraph
     split, identical portable hash keys, identical first-occurrence
     order ``(id, idx)``."""
+    split_pat, sep = _DEDUP_UNITS[unit]
+    sql_sep = " || ".join("chr(10)" for _ in sep.split("\n")[1:]) or "chr(10)"
     t = f"replace({text_col}, chr(13), '')"
     paras = (
-        f"list_filter(list_transform(string_split_regex({t}, '\\n{{2,}}'),"
+        f"list_filter(list_transform(string_split_regex({t}, '{split_pat}'),"
         " x -> trim(x)), x -> len(x) > 0)"
     )
     return f"""
@@ -820,7 +833,7 @@ def sql_dedup_paragraphs(source: str, id_col: str, text_col: str) -> str:
       FROM keyed
     ), rebuilt AS (
       SELECT _id,
-             string_agg(_p, chr(10) || chr(10) ORDER BY _idx) AS text,
+             string_agg(_p, {sql_sep} ORDER BY _idx) AS text,
              count(*) AS n_paras_kept
       FROM ranked WHERE rn = 1 GROUP BY _id
     )

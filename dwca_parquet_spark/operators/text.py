@@ -1377,97 +1377,126 @@ def gopher_quality(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     import operator as _op
 
     t = F.regexp_replace(F.col(text_col), "\r", "")
-    words = F.filter(F.split(F.trim(t), r"\s+"), lambda x: x != "")
-    n_words = F.size(words)
-    nw = n_words.cast("double")
-    word_chars = F.aggregate(
-        words, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
-    )
-    mean_wl = F.when(n_words > 0, word_chars / nw).otherwise(F.lit(0.0))
-    n_hash = F.length(t) - F.length(F.regexp_replace(t, "#", ""))
-    n_ell = (
-        (F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit("")))) / 3
-        + (F.length(t) - F.length(F.replace(t, F.lit("…"), F.lit(""))))
-    ).cast("long")
-    hash_ratio = F.when(n_words > 0, n_hash / nw).otherwise(F.lit(0.0))
-    ell_ratio = F.when(n_words > 0, n_ell / nw).otherwise(F.lit(0.0))
-    n_alpha = F.size(F.filter(words, lambda x: x.rlike("[A-Za-z]")))
-    alpha_frac = F.when(n_words > 0, n_alpha / nw).otherwise(F.lit(0.0))
-    words_lower = F.transform(words, F.lower)
-    n_stop = functools.reduce(
-        _op.add,
-        [
-            F.array_contains(words_lower, s).cast("int")
-            for s in GOPHER_STOP_WORDS
-        ],
-    ).cast("long")
-
-    def _block_stats(arr, prefix):
-        """(dup_frac, dup_char_frac) for a line/paragraph array."""
-        n = F.size(arr)
-        chars = F.aggregate(
-            arr, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
-        )
-        dist = F.array_distinct(arr)
-        n_d = F.size(dist)
-        chars_d = F.aggregate(
-            dist, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
-        )
-        dup_frac = F.when(n > 0, (n - n_d) / n.cast("double")).otherwise(
-            F.lit(0.0)
-        )
-        dup_char = F.when(
-            chars > 0, (chars - chars_d) / chars.cast("double")
-        ).otherwise(F.lit(0.0))
-        return dup_frac.alias(f"dup_{prefix}_frac"), dup_char.alias(
-            f"dup_{prefix}_char_frac"
-        )
-
-    lines = F.transform(
-        F.filter(F.split(t, "\n"), lambda x: F.length(F.trim(x)) > 0),
-        lambda x: F.trim(x),
-    )
-    paras = F.transform(
-        F.filter(F.split(t, "\n{2,}"), lambda x: F.length(F.trim(x)) > 0),
-        lambda x: F.trim(x),
-    )
-    n_lines = F.size(lines)
-    bullet_n = F.size(
-        F.filter(
-            lines,
-            lambda x: functools.reduce(
-                _op.or_, [x.startswith(b) for b in GOPHER_BULLETS]
-            ),
-        )
-    )
-    ell_n = F.size(
-        F.filter(
-            lines, lambda x: x.endswith("...") | x.endswith("…")
-        )
-    )
-    bullet_frac = F.when(
-        n_lines > 0, bullet_n / n_lines.cast("double")
-    ).otherwise(F.lit(0.0))
-    ell_line_frac = F.when(
-        n_lines > 0, ell_n / n_lines.cast("double")
-    ).otherwise(F.lit(0.0))
-    dl_frac, dl_char = _block_stats(lines, "line")
-    dp_frac, dp_char = _block_stats(paras, "para")
-
-    out = df.select(
+    # Staged projections: every array is materialized ONCE per row as a
+    # named attribute before the signals consume it — inlining them
+    # re-evaluates the split/trim pipeline per consuming expression
+    # (CollapseProject keeps the stages because the expressions are
+    # non-cheap; the q29 staging lesson, functions/hashing.py). The
+    # remaining cost is one interpreted HOF pass per signal — measured
+    # per-signal in tools/gopher_sweep.py; the stop-word intersect
+    # below collapsed the worst one (8 passes -> 1).
+    s0 = df.select(F.col(id_col), t.alias("_t"))
+    tc = F.col("_t")
+    s1 = s0.select(
         F.col(id_col),
-        n_words.cast("long").alias("n_words"),
-        mean_wl.alias("mean_word_len"),
-        hash_ratio.alias("hash_word_ratio"),
-        ell_ratio.alias("ellipsis_word_ratio"),
-        alpha_frac.alias("alpha_word_frac"),
-        n_stop.alias("n_stop_words"),
-        bullet_frac.alias("bullet_line_frac"),
-        ell_line_frac.alias("ellipsis_line_frac"),
-        dl_frac,
-        dl_char,
-        dp_frac,
-        dp_char,
+        tc.alias("_t"),
+        F.filter(
+            F.split(F.trim(tc), r"\s+"), lambda x: x != ""
+        ).alias("_w"),
+        F.transform(
+            F.filter(F.split(tc, "\n"), lambda x: F.length(F.trim(x)) > 0),
+            lambda x: F.trim(x),
+        ).alias("_ls"),
+        F.transform(
+            F.filter(
+                F.split(tc, "\n{2,}"), lambda x: F.length(F.trim(x)) > 0
+            ),
+            lambda x: F.trim(x),
+        ).alias("_ps"),
+    )
+    s1b = s1.select(
+        F.col(id_col),
+        "_t",
+        "_w",
+        "_ls",
+        "_ps",
+        F.transform(F.col("_w"), F.lower).alias("_lw"),
+        F.array_distinct("_ls").alias("_dls"),
+        F.array_distinct("_ps").alias("_dps"),
+    )
+
+    def _char_sum(c):
+        return F.aggregate(
+            F.col(c), F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+        )
+
+    # one intersect pass, not 8 array_contains scans (measured 5x)
+    n_stop = F.size(
+        F.array_intersect(
+            F.array(*[F.lit(s) for s in GOPHER_STOP_WORDS]),
+            F.col("_lw"),
+        )
+    ).cast("long")
+    s2 = s1b.select(
+        F.col(id_col),
+        F.size("_w").alias("_nw"),
+        _char_sum("_w").alias("_wc"),
+        (
+            F.length(tc) - F.length(F.regexp_replace(tc, "#", ""))
+        ).alias("_nh"),
+        (
+            (
+                F.length(tc)
+                - F.length(F.replace(tc, F.lit("..."), F.lit("")))
+            )
+            / 3
+            + (
+                F.length(tc)
+                - F.length(F.replace(tc, F.lit("\u2026"), F.lit("")))
+            )
+        )
+        .cast("long")
+        .alias("_ne"),
+        F.size(
+            F.filter(F.col("_w"), lambda x: x.rlike("[A-Za-z]"))
+        ).alias("_na"),
+        n_stop.alias("_ns"),
+        F.size("_ls").alias("_nl"),
+        F.size(
+            F.filter(
+                F.col("_ls"),
+                lambda x: functools.reduce(
+                    _op.or_, [x.startswith(b) for b in GOPHER_BULLETS]
+                ),
+            )
+        ).alias("_nb"),
+        F.size(
+            F.filter(
+                F.col("_ls"),
+                lambda x: x.endswith("...") | x.endswith("\u2026"),
+            )
+        ).alias("_nel"),
+        F.size("_dls").alias("_ndl"),
+        _char_sum("_ls").alias("_lc"),
+        _char_sum("_dls").alias("_dlc"),
+        F.size("_ps").alias("_np"),
+        F.size("_dps").alias("_ndp"),
+        _char_sum("_ps").alias("_pc"),
+        _char_sum("_dps").alias("_dpc"),
+    )
+
+    def _frac(num, den):
+        return F.when(
+            den > 0, num / den.cast("double")
+        ).otherwise(F.lit(0.0))
+
+    nw, nl, np_, lc, pc = (
+        F.col("_nw"), F.col("_nl"), F.col("_np"), F.col("_lc"), F.col("_pc")
+    )
+    out = s2.select(
+        F.col(id_col),
+        nw.cast("long").alias("n_words"),
+        _frac(F.col("_wc"), nw).alias("mean_word_len"),
+        _frac(F.col("_nh"), nw).alias("hash_word_ratio"),
+        _frac(F.col("_ne"), nw).alias("ellipsis_word_ratio"),
+        _frac(F.col("_na"), nw).alias("alpha_word_frac"),
+        F.col("_ns").alias("n_stop_words"),
+        _frac(F.col("_nb"), nl).alias("bullet_line_frac"),
+        _frac(F.col("_nel"), nl).alias("ellipsis_line_frac"),
+        _frac(nl - F.col("_ndl"), nl).alias("dup_line_frac"),
+        _frac(lc - F.col("_dlc"), lc).alias("dup_line_char_frac"),
+        _frac(np_ - F.col("_ndp"), np_).alias("dup_para_frac"),
+        _frac(pc - F.col("_dpc"), pc).alias("dup_para_char_frac"),
     )
     keep = (
         F.col("n_words").between(50, 100000)
@@ -1494,9 +1523,8 @@ def sql_gopher_quality(source: str, id_col: str, text_col: str) -> str:
     bullets = " OR ".join(
         f"starts_with(x, '{b}')" for b in GOPHER_BULLETS
     )
-    stops = " + ".join(
-        f"CAST(list_contains(lw, '{s}') AS INT)" for s in GOPHER_STOP_WORDS
-    )
+    stops_list = ", ".join(f"'{s}'" for s in GOPHER_STOP_WORDS)
+    stops = f"len(list_intersect(lw, [{stops_list}]))"
     return f"""
     WITH base AS (
       SELECT {id_col},

@@ -20,7 +20,11 @@ from pyspark.sql import functions as F
 
 from dwca_parquet_spark.operators.dedup import dedup_exact
 from dwca_parquet_spark.operators.rollup import log_hist_partial
-from dwca_parquet_spark.operators.text import text_stats
+from dwca_parquet_spark.operators.text import (
+    c4_clean,
+    gopher_quality,
+    text_stats,
+)
 
 
 def corpus_card(
@@ -53,6 +57,17 @@ def corpus_card(
         for r in log_hist_partial(stats, "n_tokens").collect()
     )
 
+    # the two canonical web filters' verdicts (ops 99 and 102), each one
+    # zero-shuffle scan reduced to scalars
+    c4 = c4_clean(df, id_col, text_col).agg(
+        F.sum(F.col("keep").cast("long")).alias("kept")
+    ).first()
+    gq = gopher_quality(df, id_col, text_col).agg(
+        F.sum(F.col("keep").cast("long")).alias("kept"),
+        F.avg("alpha_word_frac").alias("alpha"),
+        F.avg("dup_line_frac").alias("dup_lines"),
+    ).first()
+
     lines = [
         f"# Datasheet: {name}",
         "",
@@ -67,6 +82,14 @@ def corpus_card(
         f"- redundant documents (exact copies beyond the first): "
         f"{dup['redundant_docs']:,} "
         f"({dup['redundant_docs'] / max(totals['docs'], 1):.2%})",
+        "",
+        "## Quality filters",
+        f"- C4 line/page rules pass: {c4['kept']:,} "
+        f"({c4['kept'] / max(totals['docs'], 1):.2%})",
+        f"- Gopher rules pass: {gq['kept']:,} "
+        f"({gq['kept'] / max(totals['docs'], 1):.2%})",
+        f"- mean alpha-word fraction: {gq['alpha']:.3f}; "
+        f"mean duplicate-line fraction: {gq['dup_lines']:.3f}",
         "",
         "## Document length (log2 token buckets)",
         "| bucket (tokens ≥) | documents |",

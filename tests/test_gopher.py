@@ -169,6 +169,23 @@ def test_dedup_paragraphs_parity_and_semantics(spark, duck):
     assert got[6] == ("", 0, 1)
 
 
+def test_dedup_lines_unit_parity(spark, duck):
+    """unit='line' — the RefinedWeb line-level variant — same machinery,
+    single-newline boundaries, single-newline reassembly."""
+    rows = [(1, "a\nb\nc"), (2, "b\nd\n\ne"), (3, "x")]
+    duck.execute("CREATE TABLE line_rows (id BIGINT, t VARCHAR)")
+    duck.executemany("INSERT INTO line_rows VALUES (?, ?)", rows)
+    df = spark.createDataFrame(rows, "id long, t string")
+    got = {r["id"]: tuple(r)[1:]
+           for r in dedup_paragraphs(df, "id", "t", unit="line").collect()}
+    want = {row[0]: row[1:] for row in duck.execute(
+        sql_dedup_paragraphs("line_rows", "id", "t", unit="line")
+    ).fetchall()}
+    assert got == want
+    assert got[1] == ("a\nb\nc", 3, 3)
+    assert got[2] == ("d\ne", 2, 3)  # 'b' seen in doc 1; blank line dropped
+
+
 def test_dedup_paragraphs_corpus_parity(spark, duck):
     docs = spark.read.parquet(f"{SF_T2}/documents.parquet")
     got = sorted(

@@ -37,8 +37,15 @@ def test_corpus_card_numbers_and_determinism(spark):
     assert f"- distinct normalized texts: {distinct:,}" in card
 
     # structure: all sections present; mixes list every source/language
-    for section in ("## Size", "## Exact duplication",
+    for section in ("## Size", "## Exact duplication", "## Quality filters",
                     "## Document length", "## Source mix", "## Language mix"):
         assert section in card
+
+    from dwca_parquet_spark.operators.text import gopher_quality
+
+    gq_kept = (
+        gopher_quality(docs, "doc_id", "text").filter("keep").count()
+    )
+    assert f"- Gopher rules pass: {gq_kept:,}" in card
     for r in docs.select("lang").distinct().collect():
         assert f"| {r['lang']} |" in card
