@@ -843,3 +843,92 @@ def sql_dedup_paragraphs(
            CAST(len(s.ps) AS BIGINT) AS n_paras
     FROM src s LEFT JOIN rebuilt r USING (_id)
     """
+
+
+def paragraph_state(
+    df: DataFrame, id_col: str, text_col: str, unit: str = "paragraph"
+) -> DataFrame:
+    """The stored state for incremental paragraph dedup: the DISTINCT
+    portable hashes of every block the corpus has ever contained, one
+    row per hash (column ``_k``). Write as parquet (bucketed on ``_k``
+    for the co-located probe); advancing the state after an accepted
+    batch is appending the batch's own distinct hashes — the same table
+    this function computes for the batch."""
+    split_pat, _ = _DEDUP_UNITS[unit]
+    t = F.regexp_replace(F.col(text_col), "\r", "")
+    paras = F.filter(
+        F.transform(F.split(t, split_pat), lambda x: F.trim(x)),
+        lambda x: F.length(x) > 0,
+    )
+    return (
+        df.select(F.explode(paras).alias("_p"))
+        .select(H.poly_hash(F.col("_p")).alias("_k"))
+        .distinct()
+    )
+
+
+def dedup_paragraphs_incremental(
+    batch: DataFrame,
+    state: DataFrame,
+    id_col: str,
+    text_col: str,
+    unit: str = "paragraph",
+) -> DataFrame:
+    """Incremental corpus paragraph dedup — the recrawl/boilerplate
+    suppressor for a continuously-fed corpus: drop every batch block
+    whose hash is in the stored history (:func:`paragraph_state`), then
+    first-occurrence-dedup the survivors WITHIN the batch, exactly as
+    :func:`dedup_paragraphs` would. Output schema is identical to
+    :func:`dedup_paragraphs`. Proved ≡ running the from-scratch operator
+    over history ∪ batch and keeping the batch rows, whenever history
+    ids order before batch ids (test_gopher.py).
+
+    Scale shape: history text is NEVER re-split or re-hashed — only its
+    bounded hash table is probed; the anti-join is an equi-join on the
+    16-byte hash costing batch-proportional work, and with the state
+    bucketed on ``_k`` it shuffles only the batch (the write_bucketed
+    lever, same as CDC/LSH-state). Everything after the probe is the
+    op-103 machinery on batch-sized data.
+    """
+    split_pat, sep = _DEDUP_UNITS[unit]
+    t = F.regexp_replace(F.col(text_col), "\r", "")
+    paras = F.filter(
+        F.transform(F.split(t, split_pat), lambda x: F.trim(x)),
+        lambda x: F.length(x) > 0,
+    )
+    ex = batch.select(
+        F.col(id_col).alias("_id"), F.posexplode(paras).alias("_idx", "_p")
+    ).select("_id", "_idx", "_p", H.poly_hash(F.col("_p")).alias("_k"))
+    fresh = persist_tracked(
+        ex.join(state.select("_k"), "_k", "left_anti")
+    )
+    first = fresh.groupBy("_k").agg(
+        F.min(F.struct("_id", "_idx")).alias("_f")
+    ).select(
+        "_k", F.col("_f._id").alias("_id"), F.col("_f._idx").alias("_idx")
+    )
+    kept = fresh.join(first, ["_k", "_id", "_idx"], "left_semi")
+    rebuilt = kept.groupBy("_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_idx", "_p"))),
+                lambda s: s["_p"],
+            ),
+            sep,
+        ).alias("text"),
+        F.count(F.lit(1)).alias("n_paras_kept"),
+    )
+    orig = batch.select(
+        F.col(id_col).alias("_id"), F.size(paras).cast("long").alias("n_paras")
+    )
+    return (
+        orig.join(rebuilt, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce("text", F.lit("")).alias("text"),
+            F.coalesce("n_paras_kept", F.lit(0)).cast("long").alias(
+                "n_paras_kept"
+            ),
+            F.col("n_paras"),
+        )
+    )

@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import duckdb
 import pytest
+from pyspark.sql import functions as F
 
 from dwca_parquet_spark.operators.text import (
     gopher_ngram_stats,
@@ -199,3 +200,53 @@ def test_dedup_paragraphs_corpus_parity(spark, duck):
         ).fetchall()
     )
     assert got == want
+
+
+def test_dedup_paragraphs_incremental_equivalence(spark, duck):
+    """Incremental ≡ from-scratch over history ∪ batch restricted to the
+    batch (history ids order first), on a corpus with cross-batch,
+    within-batch, and history-internal duplicate paragraphs."""
+    from dwca_parquet_spark.operators.dedup import (
+        dedup_paragraphs_incremental,
+        paragraph_state,
+    )
+
+    history = [
+        (1, "boiler\n\nalpha"),
+        (2, "boiler\n\nbeta"),  # history-internal dup of 'boiler'
+    ]
+    batch = [
+        (10, "boiler\n\ngamma\n\nnew one"),   # history dup + fresh
+        (11, "gamma\n\nnew two"),             # within-batch dup of gamma
+        (12, "alpha"),                        # entirely history -> empty
+        (13, ""),                             # empty doc
+    ]
+    h_df = spark.createDataFrame(history, "id long, t string")
+    b_df = spark.createDataFrame(batch, "id long, t string")
+    state = paragraph_state(h_df, "id", "t")
+    got = {r["id"]: tuple(r)[1:] for r in
+           dedup_paragraphs_incremental(b_df, state, "id", "t").collect()}
+
+    both = spark.createDataFrame(history + batch, "id long, t string")
+    want = {r["id"]: tuple(r)[1:]
+            for r in dedup_paragraphs(both, "id", "t").collect()
+            if r["id"] >= 10}
+    assert got == want
+    assert got[10] == ("gamma\n\nnew one", 2, 3)
+    assert got[11] == ("new two", 1, 2)
+    assert got[12] == ("", 0, 1)
+    assert got[13] == ("", 0, 0)
+
+    # corpus-scale: split the documents table into halves by id parity
+    docs = spark.read.parquet(f"{SF_T2}/documents.parquet")
+    lo = docs.filter("doc_id % 2 = 0")
+    hi = docs.filter("doc_id % 2 = 1").withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000
+    )
+    inc = {r["doc_id"]: tuple(r)[1:] for r in dedup_paragraphs_incremental(
+        hi, paragraph_state(lo, "doc_id", "text"), "doc_id", "text"
+    ).collect()}
+    scratch = {r["doc_id"]: tuple(r)[1:] for r in dedup_paragraphs(
+        lo.unionByName(hi), "doc_id", "text").collect()
+        if r["doc_id"] >= 1_000_000}
+    assert inc == scratch
