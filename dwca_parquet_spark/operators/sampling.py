@@ -391,3 +391,118 @@ def sql_group_sample_k(
         f"FROM (SELECT *, {h} AS _gh FROM {source})"
         f") WHERE _rk <= {k}"
     )
+
+
+def select_to_token_budget(
+    df: DataFrame,
+    id_col: str,
+    score_col: str,
+    tokens_col: str,
+    budget_tokens: int,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Token-budget corpus selection (SURVEY §2 op 105) — the standard
+    data-selection step: walk documents best-score-first and keep each
+    one whose FIRST token still fits under ``budget_tokens`` (documents
+    are never split — same placement rule as packing.pack_documents).
+    The canonical order is (score DESC, id ASC), so selection is exactly
+    deterministic and engine-portable. Output: one row per input doc —
+    ``(id, score, doc_tokens, cum_tokens, selected)`` where
+    ``cum_tokens`` is the INCLUSIVE prefix sum over the canonical order,
+    so callers audit the cut line instead of losing it.
+
+    Scale shape: a naive rank-everything window is a single-partition
+    sort — a non-starter. This uses the packing module's two-level
+    prefix sum, ordered by SCORE: bucket edges from a percentile_approx
+    aggregate (a bounded driver collect; edge placement only affects
+    balance, never
+    the result, because buckets are score-monotone and the in-bucket
+    window re-orders exactly), in-bucket cumsums across ``n_buckets``
+    parallel reducers, then an O(buckets) offset table broadcast back.
+    Heavily-tied score distributions collapse buckets (ties must share
+    one) — the same caveat as quantile_bins, and AQE's skew handling is
+    the mitigation.
+    """
+    sc, tc = F.col(score_col), F.col(tokens_col)
+    if n_buckets <= 1:
+        edges = []
+    else:
+        edges = (
+            df.select(
+                F.percentile_approx(
+                    score_col,
+                    [i / n_buckets for i in range(1, n_buckets)],
+                    10_000,
+                ).alias("_e")
+            ).first()["_e"]
+            or []
+        )
+    # bucket 0 = best scores; equal scores always share a bucket
+    asc = sum(
+        (sc > F.lit(e)).cast("int") for e in sorted(set(edges))
+    )
+    base = df.select(
+        F.col(id_col),
+        sc.alias(score_col),
+        tc.cast("long").alias("doc_tokens"),
+        (F.lit(len(set(edges))) - asc).alias("_bucket"),
+    )
+    from pyspark.sql import Window
+
+    w_in = (
+        Window.partitionBy("_bucket")
+        .orderBy(F.desc(score_col), F.asc(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = base.withColumn("_cum_in", F.sum("doc_tokens").over(w_in))
+    offsets = (
+        base.groupBy("_bucket")
+        .agg(F.sum("doc_tokens").alias("_btot"))
+        .withColumn(
+            "_offset",
+            F.coalesce(
+                F.sum("_btot").over(
+                    Window.orderBy("_bucket").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("_bucket", "_offset")
+    )
+    cumt = F.col("_offset") + F.col("_cum_in")
+    return (
+        cum.join(F.broadcast(offsets), "_bucket")
+        .select(
+            id_col,
+            score_col,
+            "doc_tokens",
+            cumt.cast("long").alias("cum_tokens"),
+            ((cumt - F.col("doc_tokens")) < budget_tokens).alias(
+                "selected"
+            ),
+        )
+    )
+
+
+def sql_select_to_token_budget(
+    source: str,
+    id_col: str,
+    score_expr: str,
+    tokens_expr: str,
+    budget_tokens: int,
+) -> str:
+    """DuckDB twin of :func:`select_to_token_budget` — one window over
+    the identical canonical order (score DESC, id ASC)."""
+    return f"""
+    SELECT {id_col},
+           {score_expr} AS score,
+           CAST({tokens_expr} AS BIGINT) AS doc_tokens,
+           CAST(sum({tokens_expr}) OVER w AS BIGINT) AS cum_tokens,
+           (sum({tokens_expr}) OVER w - {tokens_expr})
+               < {budget_tokens} AS selected
+    FROM {source}
+    WINDOW w AS (ORDER BY {score_expr} DESC, {id_col} ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """

@@ -250,3 +250,100 @@ def test_dedup_paragraphs_incremental_equivalence(spark, duck):
         lo.unionByName(hi), "doc_id", "text").collect()
         if r["doc_id"] >= 1_000_000}
     assert inc == scratch
+
+
+def test_filter_chain_composes(spark):
+    """The web-filter chain composes lazily end-to-end:
+    c4_clean → gopher_quality audit → corpus paragraph dedup, with
+    paragraph accounting consistent at each stage and no collect
+    between stages (one DataFrame chain)."""
+    from dwca_parquet_spark.operators.text import c4_clean
+
+    docs = spark.read.parquet(f"{SF_T2}/documents.parquet")
+    cleaned = c4_clean(docs, "doc_id", "text")
+    survivors = cleaned.filter("keep").select("doc_id", "text")
+
+    gq = gopher_quality(survivors, "doc_id", "text")
+    assert gq.count() == survivors.count()
+
+    deduped = dedup_paragraphs(survivors, "doc_id", "text")
+    # paragraph accounting: n_paras of the dedup stage equals the
+    # paragraph count of its input text, computed independently
+    audit = (
+        survivors.select(
+            "doc_id",
+            F.size(
+                F.filter(
+                    F.split(F.regexp_replace("text", "\r", ""), "\n{2,}"),
+                    lambda x: F.length(F.trim(x)) > 0,
+                )
+            ).cast("long").alias("expect_paras"),
+        )
+        .join(deduped, "doc_id")
+        .filter(F.col("expect_paras") != F.col("n_paras"))
+    )
+    assert audit.count() == 0
+    # kept text is never longer than input text
+    joined = survivors.select("doc_id", F.length("text").alias("in_len")).join(
+        deduped.select("doc_id", F.length("text").alias("out_len")), "doc_id"
+    )
+    assert joined.filter("out_len > in_len").count() == 0
+
+
+def test_select_to_token_budget_parity(spark, duck):
+    """Token-budget selection ≡ the DuckDB single-window oracle on real
+    scores/token counts, including tied scores; bucket count never
+    changes the result."""
+    from dwca_parquet_spark.operators.sampling import (
+        select_to_token_budget,
+        sql_select_to_token_budget,
+    )
+    from dwca_parquet_spark.operators.text import quality_score, text_stats
+
+    docs = spark.read.parquet(f"{SF_T2}/documents.parquet")
+    scored = (
+        quality_score(docs, "doc_id", "text")
+        .join(
+            text_stats(docs, "doc_id", "text").select(
+                "doc_id", "n_tokens"
+            ),
+            "doc_id",
+        )
+        .select("doc_id", F.col("quality_score").alias("score"), "n_tokens")
+    )
+    budget = 15_000
+    got = sorted(
+        tuple(r)
+        for r in select_to_token_budget(
+            scored, "doc_id", "score", "n_tokens", budget
+        ).collect()
+    )
+    duck.execute(
+        "CREATE OR REPLACE TABLE scored (doc_id BIGINT, s DOUBLE, t BIGINT)"
+    )
+    duck.executemany(
+        "INSERT INTO scored VALUES (?, ?, ?)",
+        [(r["doc_id"], r["score"], r["n_tokens"]) for r in scored.collect()],
+    )
+    want = sorted(
+        tuple(row)
+        for row in duck.execute(
+            sql_select_to_token_budget("scored", "doc_id", "s", "t", budget)
+        ).fetchall()
+    )
+    assert got == want
+
+    # bucket count is an execution knob, not a semantics knob
+    one_bucket = sorted(
+        tuple(r)
+        for r in select_to_token_budget(
+            scored, "doc_id", "score", "n_tokens", budget, n_buckets=1
+        ).collect()
+    )
+    assert one_bucket == got
+
+    # the greedy invariant: every selected doc STARTS under budget, and
+    # dropping any selected doc's tokens stays under budget + max_doc
+    sel = [r for r in got if r[4]]
+    assert sel and all(r[3] - r[2] < budget for r in sel)
+    assert all(not (r[3] - r[2] < budget) or r[4] for r in got)
