@@ -390,3 +390,84 @@ def test_html_extract_fuzz_parity(spark, frags):
         ).fetchall()
     )
     assert got == want
+
+
+_GOPHER_BITS = st.one_of(
+    st.sampled_from(
+        [
+            "the ", "be ", "to ", "of ", "and ", "that ", "have ", "with ",
+            "#", "...", "…", "• x", "- y", "* z", "\n", "\n\n", "\r\n",
+            " ", "\t", "word ", "spam spam ", '"', ".", "!", "?",
+            "a1 ", "42 ", "#tag ",
+        ]
+    ),
+    st.text(
+        alphabet=st.characters(min_codepoint=0x20, max_codepoint=0x7E),
+        min_size=1,
+        max_size=12,
+    ),
+)
+
+
+@SETTINGS
+@given(st.lists(st.lists(_GOPHER_BITS, max_size=25), min_size=1, max_size=6))
+def test_gopher_quality_fuzz_parity(spark, frags):
+    """Random whitespace/bullet/ellipsis soup: every Gopher signal and
+    the keep verdict must match DuckDB exactly on EVERY input — the
+    split/trim rules are the contract."""
+    import duckdb
+
+    from dwca_parquet_spark.operators.text import (
+        gopher_quality,
+        sql_gopher_quality,
+    )
+
+    rows = [(i, "".join(bits)) for i, bits in enumerate(frags)]
+    df = spark.createDataFrame(rows, "id long, t string")
+    got = sorted(
+        tuple(round(v, 10) if isinstance(v, float) else v for v in r)
+        for r in gopher_quality(df, "id", "t").collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE g (id BIGINT, t VARCHAR)")
+    con.executemany("INSERT INTO g VALUES (?, ?)", rows)
+    want = sorted(
+        tuple(round(v, 10) if isinstance(v, float) else v for v in row)
+        for row in con.execute(sql_gopher_quality("g", "id", "t")).fetchall()
+    )
+    assert got == want
+
+
+@SETTINGS
+@given(st.lists(st.lists(_GOPHER_BITS, max_size=25), min_size=1, max_size=5))
+def test_dedup_paragraphs_fuzz_parity(spark, frags):
+    """Random paragraph soup incl. cross-doc repeats: first-occurrence
+    selection and reassembly must match the DuckDB window oracle on
+    every input (both units)."""
+    import duckdb
+
+    from dwca_parquet_spark.operators.dedup import (
+        dedup_paragraphs,
+        sql_dedup_paragraphs,
+    )
+
+    # force cross-document duplication pressure: append doc 0's text
+    rows = [(i, "".join(bits)) for i, bits in enumerate(frags)]
+    if len(rows) > 1:
+        rows.append((len(rows), rows[0][1]))
+    df = spark.createDataFrame(rows, "id long, t string")
+    con = duckdb.connect()
+    con.execute("CREATE TABLE p (id BIGINT, t VARCHAR)")
+    con.executemany("INSERT INTO p VALUES (?, ?)", rows)
+    for unit in ("paragraph", "line"):
+        got = sorted(
+            tuple(r)
+            for r in dedup_paragraphs(df, "id", "t", unit=unit).collect()
+        )
+        want = sorted(
+            tuple(row)
+            for row in con.execute(
+                sql_dedup_paragraphs("p", "id", "t", unit=unit)
+            ).fetchall()
+        )
+        assert got == want
