@@ -506,3 +506,96 @@ def sql_select_to_token_budget(
     WINDOW w AS (ORDER BY {score_expr} DESC, {id_col} ASC
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
     """
+
+
+def realize_mixture(
+    df: DataFrame,
+    id_col: str,
+    source_col: str,
+    score_col: str,
+    tokens_col: str,
+    total_budget: int,
+    weights: dict[str, float],
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Mixture realization (SURVEY §2 op 106) — turn target source
+    weights (e.g. :func:`~dwca_parquet_spark.operators.packing.
+    temperature_weights`) into an actual document selection: each source
+    gets ``floor(total_budget · w_s / Σw)`` tokens and fills it
+    best-score-first via :func:`select_to_token_budget`. The bridge
+    between "what mixture do we want" (op 95) and "which documents do we
+    take" (op 105). Sources absent from ``weights`` contribute nothing.
+
+    Output: op-105 schema + ``(source, budget_tokens)`` so both the cut
+    line and the per-source budget are auditable.
+
+    Scale shape: a bounded driver loop over |sources| (mixtures have
+    dozens of sources, not millions — the same bounded-driver contract
+    as mix_plan); every iteration is the fully-distributed op-105 plan
+    behind a pushed ``source = s`` filter, so a table partitioned or
+    bucketed by source prunes to its own files. Budgets are floored to
+    integers so the selection stays engine-exact.
+    """
+    wsum = sum(weights.values())
+    if wsum <= 0:
+        raise ValueError("weights must have positive mass")
+    from dwca_parquet_spark.cache import persist_tracked
+
+    # one narrow materialization; every source branch then reads the
+    # cached projection instead of re-executing the upstream plan
+    # (scored corpora are usually join trees) once per source
+    narrow = persist_tracked(
+        df.select(id_col, source_col, score_col, tokens_col)
+    )
+    out = None
+    for s, w in sorted(weights.items()):
+        b = int(total_budget * w / wsum)
+        part = (
+            select_to_token_budget(
+                narrow.filter(F.col(source_col) == s),
+                id_col,
+                score_col,
+                tokens_col,
+                b,
+                n_buckets,
+            )
+            .withColumn(source_col, F.lit(s))
+            .withColumn("budget_tokens", F.lit(b).cast("long"))
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+def sql_realize_mixture(
+    source: str,
+    id_col: str,
+    source_col: str,
+    score_expr: str,
+    tokens_expr: str,
+    total_budget: int,
+    weights: dict[str, float],
+) -> str:
+    """DuckDB twin of :func:`realize_mixture` — one window per source
+    partition over the identical canonical order, identical floored
+    integer budgets."""
+    wsum = sum(weights.values())
+    cases = " ".join(
+        f"WHEN {source_col} = '{s}' THEN {int(total_budget * w / wsum)}"
+        for s, w in sorted(weights.items())
+    )
+    srcs = ", ".join(f"'{s}'" for s in sorted(weights))
+    return f"""
+    SELECT {id_col},
+           {score_expr} AS score,
+           CAST({tokens_expr} AS BIGINT) AS doc_tokens,
+           CAST(sum({tokens_expr}) OVER w AS BIGINT) AS cum_tokens,
+           (sum({tokens_expr}) OVER w - {tokens_expr})
+               < (CASE {cases} END) AS selected,
+           {source_col},
+           CAST((CASE {cases} END) AS BIGINT) AS budget_tokens
+    FROM {source}
+    WHERE {source_col} IN ({srcs})
+    WINDOW w AS (PARTITION BY {source_col}
+                 ORDER BY {score_expr} DESC, {id_col} ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """

@@ -347,3 +347,73 @@ def test_select_to_token_budget_parity(spark, duck):
     sel = [r for r in got if r[4]]
     assert sel and all(r[3] - r[2] < budget for r in sel)
     assert all(not (r[3] - r[2] < budget) or r[4] for r in got)
+
+
+def test_realize_mixture_parity(spark, duck):
+    """Mixture realization ≡ the DuckDB per-source-window oracle with
+    identical floored budgets; per-source selections respect budget +
+    one straddling doc; weights come from the real temperature op."""
+    from dwca_parquet_spark.operators.packing import temperature_weights
+    from dwca_parquet_spark.operators.sampling import (
+        realize_mixture,
+        sql_realize_mixture,
+    )
+    from dwca_parquet_spark.operators.text import quality_score, text_stats
+
+    docs = spark.read.parquet(f"{SF_T2}/documents.parquet")
+    weights = temperature_weights(docs, "source", "text", tau=2.0)
+    assert len(weights) > 1
+    scored = (
+        quality_score(docs, "doc_id", "text")
+        .join(
+            text_stats(docs, "doc_id", "text").select("doc_id", "n_tokens"),
+            "doc_id",
+        )
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .select(
+            "doc_id", "source",
+            F.col("quality_score").alias("score"), "n_tokens",
+        )
+    )
+    budget = 30_000
+    got = sorted(
+        tuple(r)
+        for r in realize_mixture(
+            scored, "doc_id", "source", "score", "n_tokens", budget, weights
+        ).collect()
+    )
+    duck.execute(
+        "CREATE OR REPLACE TABLE mix_scored "
+        "(doc_id BIGINT, source VARCHAR, s DOUBLE, t BIGINT)"
+    )
+    duck.executemany(
+        "INSERT INTO mix_scored VALUES (?, ?, ?, ?)",
+        [(r["doc_id"], r["source"], r["score"], r["n_tokens"])
+         for r in scored.collect()],
+    )
+    want = sorted(
+        tuple(row)
+        for row in duck.execute(
+            sql_realize_mixture(
+                "mix_scored", "doc_id", "source", "s", "t", budget, weights
+            )
+        ).fetchall()
+    )
+    assert got == want
+
+    # per-source budget discipline: selected mass ∈ (budget - max_doc,
+    # budget + max_doc) whenever the source had enough supply
+    import collections
+
+    by_src = collections.defaultdict(list)
+    for r in got:
+        by_src[r[5]].append(r)
+    for s, rows in by_src.items():
+        b = rows[0][6]
+        sel_toks = sum(r[2] for r in rows if r[4])
+        supply = sum(r[2] for r in rows)
+        max_doc = max(r[2] for r in rows)
+        if supply >= b:
+            assert b - max_doc < sel_toks < b + max_doc
+        else:
+            assert sel_toks == supply  # took everything it had
