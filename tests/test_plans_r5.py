@@ -132,3 +132,49 @@ def test_dedup_paragraphs_plan_shape(spark, docs):
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
     assert "Window" not in plan  # first-occurrence is a min-agg, not a window
+
+
+def test_select_to_token_budget_plan_shape(spark, docs):
+    """Two-level prefix sum: the corpus window is partitioned by the
+    score bucket (parallel reducers); the ONLY SinglePartition exchange
+    is the n_buckets-row offset table, which comes back as a broadcast
+    join. No Python, no Cartesian, no global sort of the data."""
+    from dwca_parquet_spark.operators.sampling import select_to_token_budget
+
+    scored = docs.select(
+        "doc_id",
+        (F.length("text") % 97 / 97.0).alias("score"),
+        F.length("text").cast("long").alias("n_tokens"),
+    )
+    plan = _plan(
+        select_to_token_budget(scored, "doc_id", "score", "n_tokens", 10_000)
+    )
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("Exchange SinglePartition") == 1  # offsets only
+    assert "windowspecdefinition(_bucket" in plan  # data window bucketed
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_realize_mixture_reads_cached_projection(spark, docs):
+    """Every source branch must read the persisted narrow projection —
+    the upstream plan executes once, not once per source."""
+    from dwca_parquet_spark.cache import release_caches
+    from dwca_parquet_spark.operators.sampling import realize_mixture
+
+    scored = docs.select(
+        "doc_id", "source",
+        (F.length("text") % 97 / 97.0).alias("score"),
+        F.length("text").cast("long").alias("n_tokens"),
+    )
+    out = realize_mixture(
+        scored, "doc_id", "source", "score", "n_tokens", 20_000,
+        {"src1": 1.0, "src2": 2.0}, n_buckets=4,
+    )
+    plan = _plan(out)
+    try:
+        assert "InMemoryTableScan" in plan
+        assert "BatchEvalPython" not in plan
+        assert "CartesianProduct" not in plan
+    finally:
+        release_caches()
