@@ -74,3 +74,68 @@ def stream_ingest_dedup(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_ingest_paragraph_dedup(
+    stream: DataFrame,
+    doc_store: str,
+    state_store: str,
+    id_col: str,
+    text_col: str,
+    checkpoint: str,
+    unit: str = "paragraph",
+):
+    """Streaming lift of incremental paragraph dedup (SURVEY §2 op 104):
+    each micro-batch is cleaned against the stored paragraph-hash state
+    (``state_store``, seeded with the initial corpus's
+    ``paragraph_state`` — or an empty ``_k bigint`` table), surviving
+    documents land in ``doc_store`` partitioned by batch id, and the
+    batch's fresh hashes are appended to the state. Returns the
+    StreamingQuery.
+
+    Idempotency is BY WRITE ORDER, proof by cases (test_streaming_ingest):
+    docs first via dynamic-partition overwrite keyed on ``_batch`` (a
+    replayed batch overwrites its own partition with identical rows; an
+    all-duplicate replay produces zero rows, and dynamic overwrite with
+    zero partitions touches nothing), THEN the hash append (a replay's
+    fresh set is empty once the hashes landed; duplicate hashes from a
+    crash between the two writes are harmless — the probe is an
+    anti-join, for which state multiplicity is irrelevant).
+    """
+    from dwca_parquet_spark.cache import persist_tracked
+    from dwca_parquet_spark.operators.dedup import (
+        dedup_paragraphs_incremental,
+        paragraph_state,
+    )
+    from dwca_parquet_spark.sinks.parquet import write_partitioned_dynamic
+
+    spark = stream.sparkSession
+
+    def body(batch: DataFrame, batch_id: int) -> None:
+        state = spark.read.parquet(state_store)
+        batch = persist_tracked(batch)
+        cleaned = dedup_paragraphs_incremental(
+            batch, state, id_col, text_col, unit
+        ).filter(F.col("n_paras_kept") > 0)
+        write_partitioned_dynamic(
+            cleaned.withColumn("_batch", F.lit(batch_id)),
+            doc_store,
+            ["_batch"],
+        )
+        # localCheckpoint (not persist: eviction would recompute against
+        # the already-extended dir) BEFORE the append — fresh_k reads the
+        # same files the append extends
+        fresh_k = paragraph_state(batch, id_col, text_col, unit).join(
+            state.select("_k"), "_k", "left_anti"
+        ).localCheckpoint(eager=True)
+        fresh_k.write.mode("append").option("compression", "zstd").parquet(
+            state_store
+        )
+        release_caches()
+
+    return (
+        stream.writeStream.foreachBatch(body)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

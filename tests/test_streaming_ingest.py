@@ -71,3 +71,57 @@ def test_stream_ingest_dedups_and_is_idempotent(spark, tmp_path):
     )
     q2.awaitTermination(180)
     assert spark.read.parquet(store).count() == n_before
+
+
+def test_stream_paragraph_dedup_and_replay(spark, tmp_path):
+    """Streaming paragraph dedup: the doc store carries each distinct
+    paragraph once (first arrival wins), and a full replay over the same
+    source — fresh checkpoint, the post-checkpoint-loss worst case —
+    changes neither store."""
+    from dwca_parquet_spark.operators.dedup import paragraph_state
+    from dwca_parquet_spark.streaming.ingest import (
+        stream_ingest_paragraph_dedup,
+    )
+
+    rows = [
+        (1, "boiler\n\nalpha"),
+        (2, "boiler\n\nbeta\n\nboiler"),   # cross-doc + within-doc dup
+        (3, "alpha"),                       # fully duplicated -> dropped
+        (4, "gamma\n\ndelta"),
+    ]
+    seed = [(100, "seeded\n\ngamma")]       # 'gamma' already in history
+
+    schema = "doc_id long, text string"
+    doc_store = str(tmp_path / "docs")
+    state_store = str(tmp_path / "state")
+    src = str(tmp_path / "src")
+    spark.createDataFrame(rows, schema).coalesce(2).write.parquet(src)
+    paragraph_state(
+        spark.createDataFrame(seed, schema), "doc_id", "text"
+    ).write.parquet(state_store)
+
+    def run(ckpt):
+        q = stream_ingest_paragraph_dedup(
+            spark.readStream.schema(
+                spark.createDataFrame(rows, schema).schema
+            ).format("parquet").load(src),
+            doc_store, state_store, "doc_id", "text",
+            checkpoint=str(tmp_path / ckpt),
+        )
+        q.awaitTermination(180)
+
+    run("ckpt1")
+    got = {r["doc_id"]: r["text"] for r in
+           spark.read.parquet(doc_store).collect()}
+    # every surviving paragraph appears exactly once corpus-wide
+    all_paras = [p for t in got.values() for p in t.split("\n\n")]
+    assert sorted(all_paras) == sorted(set(all_paras))
+    assert "gamma" not in all_paras  # seeded history suppressed it
+    assert 3 not in got              # fully-duplicated doc dropped
+    assert got[1] == "boiler\n\nalpha"
+    n_docs = spark.read.parquet(doc_store).count()
+    n_state = spark.read.parquet(state_store).count()
+
+    run("ckpt2")  # full replay, fresh checkpoint
+    assert spark.read.parquet(doc_store).count() == n_docs
+    assert spark.read.parquet(state_store).count() == n_state
