@@ -199,3 +199,174 @@ def sq8_topk(
 
 def _dim_of(df: DataFrame, vec_col: str) -> int:
     return df.select(F.size(F.col(vec_col)).alias("d")).first()["d"]
+
+
+# ---------------------------------------------------------------------------
+# Binary quantization (1-bit) — the 32x point on the same ladder
+# (SURVEY §2 op 108)
+# ---------------------------------------------------------------------------
+
+BQ_WORD = 32  # bits packed per int64 word; 32 keeps every sum < 2^32
+
+
+def bq_fit(df: DataFrame, vec_col: str, dim: int) -> dict:
+    """Per-dimension integer-mean threshold over the scaled components —
+    ``thr_d = floor(Σv_d / n)``. One combinable shuffle, a 2·dim-integer
+    collect; exact integer arithmetic so the fit is partition-invariant
+    and engine-portable (same protocol as sq8_fit)."""
+    rows = (
+        df.select(F.posexplode(scaled_vec(F.col(vec_col))).alias("pos", "v"))
+        .groupBy("pos")
+        .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    thr = [0] * dim
+    for r in rows:
+        thr[r["pos"]] = r["s"] // r["n"]
+    return {"thr": thr}
+
+
+def bq_encode(df: DataFrame, id_col: str, vec_col: str, model: dict) -> DataFrame:
+    """(id, bcode array<long>) — bit d = (scaled_v_d > thr_d), packed
+    little-endian BQ_WORD bits per word (⌈dim/32⌉ words: a 32× shrink
+    at 64 float32 dims → 2 longs). Zero shuffle; the bit array is
+    staged once per row before the word folds consume it."""
+    dim = len(model["thr"])
+    nw = (dim + BQ_WORD - 1) // BQ_WORD
+    thr = F.array(*[F.lit(x).cast("long") for x in model["thr"]])
+    bits = F.zip_with(
+        scaled_vec(F.col(vec_col)),
+        thr,
+        lambda v, t: (v > t).cast("long"),
+    )
+    staged = df.select(F.col(id_col), bits.alias("_bits"))
+    pow_arr = F.array(*[F.lit(1 << j).cast("long") for j in range(BQ_WORD)])
+
+    def word(w: int):
+        return F.aggregate(
+            F.zip_with(
+                F.slice(F.col("_bits"), w * BQ_WORD + 1, BQ_WORD),
+                pow_arr,
+                lambda b, p: b * p,
+            ),
+            F.lit(0).cast("long"),
+            lambda a, x: a + F.coalesce(x, F.lit(0).cast("long")),
+        )
+
+    return staged.select(
+        F.col(id_col), F.array(*[word(w) for w in range(nw)]).alias("bcode")
+    )
+
+
+def sql_bq_encode(
+    source: str, id_col: str, vec_col: str, model: dict, dim: int
+) -> str:
+    """DuckDB twin of :func:`bq_encode` — identical thresholds (model
+    literals), identical little-endian packing."""
+    from dwca_parquet_spark.operators.similarity import sql_scaled_vec
+
+    nw = (dim + BQ_WORD - 1) // BQ_WORD
+    thr = "[" + ", ".join(str(x) for x in model["thr"]) + "]"
+    pows = "[" + ", ".join(str(1 << j) for j in range(BQ_WORD)) + "]"
+    sv = sql_scaled_vec(vec_col, dim)
+    words = ", ".join(
+        "list_sum(list_transform(generate_series(1, {w}), j -> "
+        "CASE WHEN {off} + j <= {dim} AND b[{off} + j] = 1 "
+        "THEN ({pows})[j] ELSE 0 END))".format(
+            w=BQ_WORD, off=w * BQ_WORD, dim=dim, pows=pows
+        )
+        for w in range(nw)
+    )
+    return f"""
+    WITH s AS (SELECT {id_col}, {sv} AS sv FROM {source}),
+    bt AS (SELECT {id_col},
+             list_transform(generate_series(1, {dim}),
+               d -> CASE WHEN sv[d] > ({thr})[d] THEN 1 ELSE 0 END) AS b
+           FROM s)
+    SELECT {id_col}, [{words}] AS bcode FROM bt
+    """
+
+
+def bq_hamming_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_ids_below: int,
+    k: int = 5,
+    rerank: int = 0,
+    model: dict | None = None,
+) -> DataFrame:
+    """Approximate top-k by Hamming distance over 1-bit codes
+    (+ optional exact cosine rerank) — the flat-scan regime where the
+    candidate table is 32× smaller and the distance is a handful of
+    XOR+popcount word ops instead of a dim-long dot product.
+
+    Same bounded-query broadcast contract as knn_bruteforce/sq8_topk;
+    ties break on (distance ASC, cand_id ASC) so results are exact-
+    deterministic and the DuckDB twin reproduces them bit-for-bit.
+    """
+    if model is None:
+        model = bq_fit(df, vec_col, _dim_of(df, vec_col))
+    codes = bq_encode(df, id_col, vec_col, model)
+    q = codes.filter(F.col(id_col) < query_ids_below).select(
+        F.col(id_col).alias("query_id"), F.col("bcode").alias("bq")
+    )
+    c = codes.select(
+        F.col(id_col).alias("cand_id"), F.col("bcode").alias("bc")
+    )
+    pairs = F.broadcast(q).join(c, F.col("query_id") != F.col("cand_id"))
+    dist = F.aggregate(
+        F.zip_with(
+            F.col("bq"), F.col("bc"), lambda a, b: F.bit_count(a.bitwiseXOR(b))
+        ),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    scored = pairs.select(
+        "query_id", "cand_id", dist.cast("long").alias("hamming")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("hamming").asc(), F.col("cand_id").asc()
+    )
+    ranked = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= max(rerank, k))
+        .drop("rn")
+    )
+    if not rerank:
+        return ranked
+    true_t = _prepped(df, id_col, vec_col)
+    true_c = true_t.select(
+        F.col(id_col).alias("cand_id"),
+        F.col("svec").alias("svec_c"),
+        F.col("sdot").alias("sdot_c"),
+    )
+    true_q = true_t.filter(F.col(id_col) < query_ids_below).select(
+        F.col(id_col).alias("query_id"),
+        F.col("svec").alias("svec_q"),
+        F.col("sdot").alias("sdot_q"),
+    )
+    exact = (
+        ranked.select("query_id", "cand_id")
+        .join(true_c, "cand_id")
+        .join(F.broadcast(true_q), "query_id")
+        .select(
+            "query_id",
+            "cand_id",
+            F.round(
+                _cosine_scaled(
+                    F.col("svec_q"), F.col("svec_c"),
+                    F.col("sdot_q"), F.col("sdot_c"),
+                ),
+                4,
+            ).alias("cosine"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("cand_id").asc()
+    )
+    return (
+        exact.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
