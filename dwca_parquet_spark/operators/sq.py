@@ -370,3 +370,99 @@ def bq_hamming_topk(
         .filter(F.col("rn") <= k)
         .drop("rn")
     )
+
+
+def bq_hamming_neighbors_mih(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    radius: int,
+    model: dict | None = None,
+    n_chunks: int = 8,
+) -> DataFrame:
+    """All pairs within Hamming ``radius`` over the 1-bit codes via
+    multi-index hashing (Norouzi et al. 2012; PAPERS.md) — the
+    sub-quadratic scale path for op 108's flat scan: split each code
+    into ``n_chunks`` bit chunks; by pigeonhole, two codes at distance
+    ≤ radius < n_chunks agree EXACTLY on at least one chunk, so the
+    candidate set is an equi-join on (chunk_index, chunk_value) and the
+    guarantee is exact — every pair within ``radius`` is found
+    (asserted against the brute-force scan, test_sq.py).
+
+    Output: (id_a, id_b, hamming) with id_a < id_b, hamming ≤ radius.
+
+    Scale shape: explode to n_chunks rows/vector → ONE equi-join on the
+    chunk key (candidates = Σ_bucket |bucket|² like every LSH in this
+    repo, never n²) → distinct pair → exact XOR+popcount verify on the
+    codes carried through. Requires radius < n_chunks (raises
+    otherwise — a silent recall loss is not an option).
+    """
+    if radius >= n_chunks:
+        raise ValueError(
+            f"pigeonhole guarantee needs radius < n_chunks "
+            f"({radius} >= {n_chunks})"
+        )
+    if model is None:
+        model = bq_fit(df, vec_col, _dim_of(df, vec_col))
+    dim = len(model["thr"])
+    nw = (dim + BQ_WORD - 1) // BQ_WORD
+    total_bits = nw * BQ_WORD
+    chunk_bits = (total_bits + n_chunks - 1) // n_chunks
+    if chunk_bits > 62:
+        raise ValueError("chunk too wide for a signed long key")
+
+    codes = bq_encode(df, id_col, vec_col, model)
+
+    # chunk c covers bits [c*chunk_bits, (c+1)*chunk_bits) of the
+    # little-endian concatenation of the 32-bit words
+    def chunk_val(c: int):
+        val = F.lit(0).cast("long")
+        for b in range(chunk_bits):
+            bit = c * chunk_bits + b
+            if bit >= total_bits:
+                break
+            w, off = bit // BQ_WORD, bit % BQ_WORD
+            val = val + F.when(
+                F.element_at("bcode", w + 1)
+                .bitwiseAND(F.lit(1 << off).cast("long")) != 0,
+                F.lit(1 << b).cast("long"),
+            ).otherwise(F.lit(0).cast("long"))
+        return val
+
+    chunked = codes.select(
+        F.col(id_col).alias("_id"),
+        F.col("bcode"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(c).alias("c"), chunk_val(c).alias("v")
+                )
+                for c in range(n_chunks)
+            ])
+        ).alias("_ch"),
+    ).select("_id", "bcode", F.col("_ch.c").alias("c"), F.col("_ch.v").alias("v"))
+
+    a = chunked.select(
+        F.col("_id").alias("id_a"), F.col("bcode").alias("ba"), "c", "v"
+    )
+    b = chunked.select(
+        F.col("_id").alias("id_b"), F.col("bcode").alias("bb"), "c", "v"
+    )
+    cand = (
+        a.join(b, ["c", "v"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "ba", "bb")
+        .distinct()
+    )
+    dist = F.aggregate(
+        F.zip_with(
+            F.col("ba"), F.col("bb"), lambda x, y: F.bit_count(x.bitwiseXOR(y))
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        cand.withColumn("hamming", dist.cast("long"))
+        .filter(F.col("hamming") <= radius)
+        .select("id_a", "id_b", "hamming")
+    )

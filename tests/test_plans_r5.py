@@ -178,3 +178,24 @@ def test_realize_mixture_reads_cached_projection(spark, docs):
         assert "CartesianProduct" not in plan
     finally:
         release_caches()
+
+
+def test_bq_encode_zero_shuffle_and_mih_shape(spark, emb):
+    """1-bit encode is a scan-stage projection; the multi-index search
+    is an equi-join on chunk keys — no Cartesian, no Python."""
+    from dwca_parquet_spark.operators.sq import (
+        bq_encode,
+        bq_fit,
+        bq_hamming_neighbors_mih,
+    )
+
+    model = bq_fit(emb, "embedding", 64)
+    plan = _plan(bq_encode(emb, "vec_id", "embedding", model))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    plan2 = _plan(
+        bq_hamming_neighbors_mih(emb, "vec_id", "embedding", 3, model=model)
+    )
+    assert "CartesianProduct" not in plan2
+    assert "BatchEvalPython" not in plan2

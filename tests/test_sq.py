@@ -208,3 +208,57 @@ def test_bq_hamming_topk_recall_and_rerank(spark, emb):
         for r in bq_hamming_topk(emb, "vec_id", "embedding", qb, k).collect()
     }
     assert again == approx
+
+
+def test_bq_mih_exact_within_radius(spark, emb):
+    """Multi-index candidates find EVERY pair within the radius — the
+    pigeonhole guarantee — verified against the brute-force scan on a
+    corpus with planted near-duplicates."""
+    from dwca_parquet_spark.operators.sq import (
+        bq_encode,
+        bq_fit,
+        bq_hamming_neighbors_mih,
+    )
+
+    rows = emb.orderBy("vec_id").collect()
+    vecs = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    # plant near-dups: tiny perturbations flip only a few sign bits
+    rng = np.random.default_rng(3)
+    n_dup = 40
+    src = rng.integers(0, len(vecs), size=n_dup)
+    dups = vecs[src] + rng.normal(0, 0.01, size=(n_dup, vecs.shape[1]))
+    allv = np.vstack([vecs, dups])
+    df = spark.createDataFrame(
+        [(int(i), allv[i].tolist()) for i in range(len(allv))],
+        "vec_id long, embedding array<float>",
+    )
+    radius = 7
+    model = bq_fit(df, "embedding", vecs.shape[1])
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in bq_hamming_neighbors_mih(
+            df, "vec_id", "embedding", radius, model=model
+        ).collect()
+    }
+
+    # brute force over the exact codes
+    codes = {r["vec_id"]: np.array(r["bcode"], dtype=np.uint64)
+             for r in bq_encode(df, "vec_id", "embedding", model).collect()}
+    ids = sorted(codes)
+    want = set()
+    mat = np.array([codes[i] for i in ids])
+    for i in range(len(ids)):
+        x = mat[i] ^ mat[i + 1:]
+        d = np.unpackbits(x.view(np.uint8), axis=1).sum(axis=1)
+        for j_off in np.nonzero(d <= radius)[0]:
+            want.add((ids[i], ids[i + 1 + j_off], int(d[j_off])))
+    assert want, "fixture must contain pairs within the radius"
+    assert got == want
+
+    # the guard: radius >= n_chunks must refuse, not silently lose recall
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        bq_hamming_neighbors_mih(
+            df, "vec_id", "embedding", 8, model=model, n_chunks=8
+        )
