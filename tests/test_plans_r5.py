@@ -199,3 +199,18 @@ def test_bq_encode_zero_shuffle_and_mih_shape(spark, emb):
     )
     assert "CartesianProduct" not in plan2
     assert "BatchEvalPython" not in plan2
+
+
+def test_edit_distance_pairs_plan_shape(spark):
+    """PassJoin candidates come from an equi-join on (segment, value);
+    the only non-equi join is the broadcast short-string bucket — no
+    CartesianProduct anywhere, no Python."""
+    from dwca_parquet_spark.operators.linkage import edit_distance_pairs
+
+    df = spark.createDataFrame(
+        [(i, f"name{i}") for i in range(50)], "id long, s string"
+    )
+    plan = _plan(edit_distance_pairs(df, "id", "s", 2))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the documented short bucket
+    assert "BatchEvalPython" not in plan
