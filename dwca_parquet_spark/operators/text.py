@@ -1716,3 +1716,147 @@ def sql_gopher_ngram_stats(
              / CAST(sum(c * len(g)) AS DOUBLE) AS dup_ngram_char_frac
     FROM cnt GROUP BY 1, 2
     """
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance scoring (SURVEY §2 op 112)
+# ---------------------------------------------------------------------------
+# Data Selection via Importance Resampling (Xie et al. 2023; PAPERS.md):
+# score every raw document by the log importance ratio of two hashed
+# n-gram bag models — one fitted on the TARGET distribution (the data you
+# want more of), one on the RAW pool — then resample proportionally. The
+# engine-deterministic instance follows the lm/nb protocol exactly: fits
+# are bounded integer aggregations, per-bucket log-probs are computed
+# driver-side and rounded so both engines only SUM identical doubles,
+# and scoring is a zero-shuffle literal-array fold in the scan stage.
+
+_DSIR_SEP = "\x1f"  # the lm2 pair separator — same portable hashing
+
+
+def _dsir_feats(vt: Column, n_buckets: int) -> Column:
+    """Hashed uni+bigram bucket array for a STAGED token-array column."""
+    uni = F.transform(vt, lambda t: F.pmod(H.poly_hash(t), F.lit(n_buckets)))
+    bi = F.when(
+        F.size(vt) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(vt) - 1),
+            lambda i: F.pmod(
+                H.poly_hash(
+                    F.concat(
+                        F.element_at(vt, i),
+                        F.lit(_DSIR_SEP),
+                        F.element_at(vt, i + 1),
+                    )
+                ),
+                F.lit(n_buckets),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    return F.concat(uni, bi)
+
+
+def dsir_fit(df: DataFrame, text_col: str, n_buckets: int = 1024) -> list[float]:
+    """Per-bucket add-one-smoothed log-probs of the hashed uni+bigram
+    features — the bounded model one ``dsir_logratio`` side needs. ONE
+    map-side-combinable shuffle over ≤ n_buckets keys; collects
+    n_buckets integers; log() runs driver-side only (rounded to 9
+    decimals → engine-identical literals, the lm protocol)."""
+    import math
+
+    staged = df.select(tokens(F.col(text_col)).alias("_vt"))
+    counts = (
+        staged.select(
+            F.explode(_dsir_feats(F.col("_vt"), n_buckets)).alias("b")
+        )
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    c = [0] * n_buckets
+    for r in counts:
+        c[r["b"]] = r["n"]
+    total = sum(c) + n_buckets
+    return [round(math.log((x + 1) / total), 9) for x in c]
+
+
+def dsir_logratio(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    target_logp: list[float],
+    raw_logp: list[float],
+) -> DataFrame:
+    """(id, n_feats, dsir_logratio) — the mean per-feature log importance
+    ratio log p_target(b) − p_raw(b), rounded to 6 decimals; docs with no
+    features score NULL. The per-bucket DELTA is precomputed driver-side
+    (each term rounded to 9), so the engines share every literal and the
+    only in-engine float op is the left-to-right sum — exact DuckDB
+    parity (:func:`sql_dsir_logratio`). Zero shuffle: staged token array
+    → feature buckets → one literal-array fold, all in the scan stage
+    (pinned, test_plans_r5.py). Compose with
+    :func:`~dwca_parquet_spark.operators.sampling.weighted_sample` for
+    the resampling step (weight ∝ a capped exp of the score)."""
+    if len(target_logp) != len(raw_logp):
+        raise ValueError("models must share n_buckets")
+    delta = [round(t - r, 9) for t, r in zip(target_logp, raw_logp)]
+    nb = len(delta)
+    darr = F.array(*[F.lit(x).cast("double") for x in delta])
+    staged = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_vt"))
+    staged = staged.select(
+        F.col(id_col), _dsir_feats(F.col("_vt"), nb).alias("_f")
+    )
+    score = F.round(
+        F.aggregate(
+            F.col("_f"),
+            F.lit(0.0),
+            lambda a, b: a + F.element_at(darr, (b + 1).cast("int")),
+        )
+        / F.size("_f"),
+        6,
+    )
+    return staged.select(
+        F.col(id_col),
+        F.size("_f").cast("long").alias("n_feats"),
+        F.when(F.size("_f") > 0, score).alias("dsir_logratio"),
+    )
+
+
+def sql_dsir_logratio(
+    id_expr: str,
+    text_expr: str,
+    target_logp: list[float],
+    raw_logp: list[float],
+    source: str = "documents",
+) -> str:
+    """DuckDB twin of :func:`dsir_logratio` — identical hashing, bucket
+    deltas, fold order, and rounding."""
+    delta = [round(t - r, 9) for t, r in zip(target_logp, raw_logp)]
+    nb = len(delta)
+    vals = ", ".join(f"CAST({x!r} AS DOUBLE)" for x in delta)
+    norm = H.sql_normalize_text(text_expr)
+    toks = (
+        f"CASE WHEN length({norm}) = 0 THEN CAST([] AS VARCHAR[]) "
+        f"ELSE string_split_regex({norm}, '\\s+') END"
+    )
+    uni = f"list_transform(vt, t -> ({H.sql_poly_hash('t')}) % {nb})"
+    # the outer loop var must not be `i`: sql_poly_hash's own inner
+    # comprehension binds `i`, and DuckDB scoping would shadow ours
+    pair = "vt[j] || chr(31) || vt[j + 1]"
+    bi = (
+        f"CASE WHEN len(vt) >= 2 THEN "
+        f"[({H.sql_poly_hash(pair)}) % {nb} "
+        f"for j in range(1, len(vt))] "
+        f"ELSE CAST([] AS BIGINT[]) END"
+    )
+    return f"""
+    WITH t AS (SELECT {id_expr} AS id, {toks} AS vt FROM {source}),
+    f AS (SELECT id, list_concat({uni}, {bi}) AS fs FROM t)
+    SELECT id AS {id_expr},
+           CAST(len(fs) AS BIGINT) AS n_feats,
+           CASE WHEN len(fs) > 0 THEN
+               round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                         [([{vals}])[b + 1] for b in fs]),
+                     (a, b) -> a + b) / len(fs), 6)
+           END AS dsir_logratio
+    FROM f
+    """

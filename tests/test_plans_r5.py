@@ -214,3 +214,15 @@ def test_edit_distance_pairs_plan_shape(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" in plan  # the documented short bucket
     assert "BatchEvalPython" not in plan
+
+
+def test_dsir_score_zero_shuffle(spark, docs):
+    """DSIR scoring is a scan-stage literal-array fold — no Exchange,
+    no Python (the lm/nb plan contract)."""
+    from dwca_parquet_spark.operators.text import dsir_logratio
+
+    tl = [round(-6.0 + i * 0.001, 9) for i in range(256)]
+    rl = [round(-6.5 + i * 0.001, 9) for i in range(256)]
+    plan = _plan(dsir_logratio(docs, "doc_id", "text", tl, rl))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -1097,3 +1097,49 @@ def test_quantile_bins_parity(spark, duck):
 
     sizes = Counter(b for _, b in got).values()
     assert max(sizes) - min(sizes) <= 1
+
+
+def test_dsir_logratio_parity_and_separation(spark, duck):
+    """DSIR importance scores (op 112): exact DuckDB parity on the corpus
+    with REAL fitted models, partition-invariant fits, and the semantic
+    contract — target-like documents outscore the rest."""
+    from pyspark.sql import functions as F
+
+    from dwca_parquet_spark.operators.text import (
+        dsir_fit,
+        dsir_logratio,
+        sql_dsir_logratio,
+    )
+
+    docs = spark.read.parquet(f"{SF_T2}/documents.parquet")
+    target = docs.filter(F.col("source") == "src1")
+    nb = 512
+    tl = dsir_fit(target, "text", n_buckets=nb)
+    rl = dsir_fit(docs, "text", n_buckets=nb)
+    assert len(tl) == nb == len(rl)
+    # fit is partition-invariant (exact integer counts + driver-side log)
+    assert dsir_fit(target.repartition(13), "text", n_buckets=nb) == tl
+
+    got = sorted(
+        tuple(r)
+        for r in dsir_logratio(docs, "doc_id", "text", tl, rl).collect()
+    )
+    want = sorted(
+        tuple(row)
+        for row in duck.execute(
+            sql_dsir_logratio("doc_id", "text", tl, rl, "documents")
+        ).fetchall()
+    )
+    assert got == want
+
+    # separation: the target source's mean score beats the corpus mean
+    scored = dsir_logratio(docs, "doc_id", "text", tl, rl).join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    means = {
+        r["src"]: r["m"]
+        for r in scored.groupBy(
+            (F.col("source") == "src1").alias("src")
+        ).agg(F.avg("dsir_logratio").alias("m")).collect()
+    }
+    assert means[True] > means[False]
