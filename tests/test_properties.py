@@ -471,3 +471,43 @@ def test_dedup_paragraphs_fuzz_parity(spark, frags):
             ).fetchall()
         )
         assert got == want
+
+
+_LINK_STR = st.text(alphabet="abc", min_size=0, max_size=10)
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(
+                prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)
+            ))
+        prev = cur
+    return prev[-1]
+
+
+@SETTINGS
+@given(
+    st.lists(_LINK_STR, min_size=2, max_size=25),
+    st.integers(min_value=1, max_value=3),
+)
+def test_edit_distance_pairs_fuzz_complete(spark, strs, d):
+    """PassJoin must equal the brute-force O(n²) DP on ANY input —
+    tiny alphabet maximizes collisions and boundary interactions."""
+    from dwca_parquet_spark.operators.linkage import edit_distance_pairs
+
+    rows = list(enumerate(strs))
+    df = spark.createDataFrame(rows, "id long, s string")
+    got = {
+        (r["id_a"], r["id_b"], r["dist"])
+        for r in edit_distance_pairs(df, "id", "s", d).collect()
+    }
+    want = {
+        (i, j, _lev(a, b))
+        for i, a in rows
+        for j, b in rows
+        if i < j and _lev(a, b) <= d
+    }
+    assert got == want
