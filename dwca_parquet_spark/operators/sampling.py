@@ -599,3 +599,38 @@ def sql_realize_mixture(
                  ORDER BY {score_expr} DESC, {id_col} ASC
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
     """
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    splits: tuple[tuple[str, int], ...] = DEFAULT_SPLITS,
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Dedup-aware train/val/test assignment (SURVEY §2 op 113) — the
+    eval-leakage guard: hash-splitting documents independently lets two
+    NEAR-DUPLICATES land on opposite sides of the train/test fence,
+    which silently inflates eval scores. This splits by near-dup
+    CLUSTER instead: MinHash-LSH clusters (op 21's dedup_clusters, same
+    knobs) are the split unit, and every member inherits the portable
+    hash-split of its cluster id — so a document and its near-copies
+    are in the same split BY CONSTRUCTION (property-tested: zero
+    straddling clusters, test_gopher.py).
+
+    Output: (id, cluster_id, split). Scale shape: the cluster pass is
+    the bounded LSH pipeline; the split itself is a pure projection on
+    the cluster id; the only addition is one id-keyed equi-join of the
+    (id, cluster_id) table back to nothing — the cluster table IS the
+    output spine. Singleton documents are their own cluster, so their
+    assignment matches plain hash_split on the id.
+    """
+    from dwca_parquet_spark.operators.dedup import dedup_clusters
+
+    clusters = dedup_clusters(df, id_col, text_col, k=k, threshold=threshold)
+    return clusters.select(
+        F.col(id_col),
+        F.col("cluster_id"),
+        split_label(F.col("cluster_id"), splits).alias("split"),
+    )
