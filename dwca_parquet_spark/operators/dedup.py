@@ -325,6 +325,22 @@ def connected_components(
         .withColumn("label", F.col("node"))
         .localCheckpoint()
     )
+    # Convergence checksum: for NUMERIC node ids the exact decimal label
+    # sum is strictly decreasing until the fixpoint (labels only take
+    # mins), so consecutive equality IS convergence, exactly. For
+    # non-numeric ids (string doc ids — the leakage_safe_split path) the
+    # sum doesn't exist; use the order-free sum of xxhash64(label)
+    # instead: the label multiset changes every non-converged round
+    # (some node's label strictly decreased), so equal checksums mean
+    # converged except with per-round collision probability ~2⁻⁶⁴ —
+    # and max_iter still bounds the loop regardless. xxhash64 is fine
+    # here because the checksum is internal control flow, never output.
+    from pyspark.sql.types import NumericType
+
+    if isinstance(labels.schema["label"].dataType, NumericType):
+        checksum = F.sum(F.col("label").cast("decimal(38,0)"))
+    else:
+        checksum = F.sum(F.xxhash64(F.col("label")).cast("decimal(38,0)"))
     prev_sum = None
     for it in range(max_iter):
         prop = edges.join(
@@ -344,9 +360,7 @@ def connected_components(
             .agg(F.min("label").alias("label"))
             .localCheckpoint()
         )
-        label_sum = new_labels.agg(
-            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
-        ).collect()[0]["s"]
+        label_sum = new_labels.agg(checksum.alias("s")).collect()[0]["s"]
         labels = new_labels
         if label_sum == prev_sum:
             break

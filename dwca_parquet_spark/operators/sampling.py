@@ -616,8 +616,10 @@ def leakage_safe_split(
     CLUSTER instead: MinHash-LSH clusters (op 21's dedup_clusters, same
     knobs) are the split unit, and every member inherits the portable
     hash-split of its cluster id — so a document and its near-copies
-    are in the same split BY CONSTRUCTION (property-tested: zero
-    straddling clusters, test_gopher.py).
+    are in the same split BY CONSTRUCTION. Property-tested in
+    test_leakage_split.py: zero straddling clusters on a fixture whose
+    planted near-dup trios PROVABLY straddle under plain hash_split,
+    plus singleton-≡-hash_split parity and one-row-per-id.
 
     Output: (id, cluster_id, split). Scale shape: the cluster pass is
     the bounded LSH pipeline; the split itself is a pure projection on
