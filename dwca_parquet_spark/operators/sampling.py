@@ -343,11 +343,12 @@ def quantile_bins(
     ANSI ntile contract, so any SQL engine reproduces the assignment
     bit-for-bit.
 
-    One range-ish shuffle (the unpartitioned window's sort). For a
-    corpus too large for a single sort, bin against sampled quantile
-    EDGES instead (approx_percentiles + a when-chain) — the documented
-    scale path; this operator is the exact contract that path is
-    measured against.
+    One range-ish shuffle (the unpartitioned window's sort) — this is
+    the EXACT contract, usable to the single-sort limit. For a corpus
+    past that, :func:`quantile_bins_approx` is the implemented scale
+    path (sampled quantile edges + a per-row projection, zero window),
+    gated against this operator on per-row assignment and bin
+    populations (test_sampling_r6.py).
     """
     from pyspark.sql import Window
 
@@ -365,6 +366,56 @@ def sql_quantile_bins(
         f"(ORDER BY {score_col} ASC, {key_col} ASC) AS {out_col} "
         f"FROM {source}"
     )
+
+
+def quantile_bins_approx(
+    df: DataFrame,
+    score_col: str,
+    key_col: str,
+    n_bins: int = 10,
+    out_col: str = "bin",
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """The 100 TB path for :func:`quantile_bins` — equal-population
+    quality bins WITHOUT the global sort. The exact operator's ntile
+    needs a total order over the corpus (an unpartitioned window =
+    single-partition sort, the canonical scale-killer); this one bins
+    against sampled quantile EDGES instead: one ``percentile_approx``
+    aggregate (map-side-combinable, a bounded n_bins-1 array collected
+    to the driver) and then a pure per-row projection
+    ``bin = 1 + #edges < score`` that codegens into the scan — ZERO
+    window, zero additional shuffle (plan-pinned, test_plans_r6.py).
+
+    Contract vs the exact operator (gated, test_sampling_r6.py):
+    bins are monotone in score, land in 1..n_bins, per-row assignment
+    differs from exact ntile by ≤1 bin on distinct scores at this
+    accuracy, and bin populations match n/n_bins within the GK-sketch
+    error bound (ε = 1/accuracy of the rank). What it gives up vs
+    exact: ties cannot be split across bins (ntile splits them by the
+    key tiebreak to equalize populations; an edge-based bin must put
+    every tied row on one side), so heavily-tied score distributions
+    collapse bins — same caveat the exact docstring states, now with
+    the scale-safe behavior actually implemented instead of documented.
+    ``key_col`` is accepted for signature parity and ignored (no
+    tiebreak exists without a total order).
+    """
+    if n_bins < 1:
+        raise ValueError("n_bins must be >= 1")
+    if n_bins == 1:
+        return df.withColumn(out_col, F.lit(1))
+    edges = (
+        df.select(
+            F.percentile_approx(
+                score_col,
+                [i / n_bins for i in range(1, n_bins)],
+                accuracy,
+            ).alias("_e")
+        ).first()["_e"]
+        or []
+    )
+    sc = F.col(score_col)
+    b = sum((sc > F.lit(e)).cast("int") for e in sorted(set(edges)))
+    return df.withColumn(out_col, (b + F.lit(1)).cast("int"))
 
 
 def sql_group_sample_k(
@@ -437,15 +488,22 @@ def select_to_token_budget(
             ).first()["_e"]
             or []
         )
-    # bucket 0 = best scores; equal scores always share a bucket
+    # bucket 0 = best scores; equal scores always share a bucket.
+    # NULL scores: (NULL > e) is NULL, so the sum is NULL — coalesce
+    # them into the WORST bucket, where the in-bucket (score DESC NULLS
+    # LAST, id ASC) window places them after every scored row: exactly
+    # the twin's global NULLS LAST order, so NULL-score docs are kept
+    # (one output row per input doc) and selected only if budget
+    # remains after all scored docs — never silently dropped.
     asc = sum(
         (sc > F.lit(e)).cast("int") for e in sorted(set(edges))
     )
+    worst = len(set(edges))
     base = df.select(
         F.col(id_col),
         sc.alias(score_col),
         tc.cast("long").alias("doc_tokens"),
-        (F.lit(len(set(edges))) - asc).alias("_bucket"),
+        F.coalesce(F.lit(worst) - asc, F.lit(worst)).alias("_bucket"),
     )
     from pyspark.sql import Window
 
