@@ -27,6 +27,17 @@ from pyspark.sql import functions as F
 HASH_BASE = 31
 HASH_MOD = 1_000_000_007
 
+# Second, independent polynomial hash for WIDE keys. A single poly_hash
+# has only ~2^30 values — birthday collisions reach 50% at ~37k distinct
+# inputs, so any operator that treats hash equality as TEXT equality
+# (the paragraph-dedup family) would silently merge distinct content at
+# corpus scale. Pairing it with this independent (base, modulus) makes
+# the effective key ~2^87: 50% collision at ~10^13 distinct inputs —
+# past any 100 TB corpus. 61·(2^57−13) + 0x10FFFF < 2^63 keeps every
+# intermediate ANSI-safe in Spark AND inside DuckDB's signed BIGINT.
+HASH_BASE2 = 61
+HASH_MOD2 = 144_115_188_075_855_859  # prime, 2^57 - 13
+
 # MinHash universal-hash family parameters: h_j(x) = (A_j * x + B_j) mod MINHASH_P.
 # A_j < P and x < HASH_MOD → product < 2**61 → ANSI-safe. Constants are fixed
 # (seeded by j) so signatures are reproducible across engines and runs.
@@ -85,6 +96,19 @@ def poly_hash(col: Column) -> Column:
             char_codes(col),
             F.lit(0).cast("long"),
             lambda acc, x: (acc * HASH_BASE + x) % HASH_MOD,
+        )
+    )
+
+
+def poly_hash2(col: Column) -> Column:
+    """Second independent rolling hash (HASH_BASE2/HASH_MOD2) — pair
+    with :func:`poly_hash` as a struct/composite key wherever hash
+    equality stands in for content equality. Empty → 0."""
+    return F.when(F.length(col) == 0, F.lit(0).cast("long")).otherwise(
+        F.aggregate(
+            char_codes(col),
+            F.lit(0).cast("long"),
+            lambda acc, x: (acc * HASH_BASE2 + x) % HASH_MOD2,
         )
     )
 
@@ -190,6 +214,16 @@ def sql_poly_hash(expr: str) -> str:
         f"list_reduce([CAST(ord(substr({expr}, i, 1)) AS BIGINT)"
         f" for i in range(1, length({expr}) + 1)],"
         f" (acc, x) -> (acc * {HASH_BASE} + x) % {HASH_MOD}) END)"
+    )
+
+
+def sql_poly_hash2(expr: str) -> str:
+    """DuckDB twin of :func:`poly_hash2` — same constants, same fold."""
+    return (
+        f"(CASE WHEN length({expr}) = 0 THEN 0 ELSE "
+        f"list_reduce([CAST(ord(substr({expr}, i, 1)) AS BIGINT)"
+        f" for i in range(1, length({expr}) + 1)],"
+        f" (acc, x) -> (acc * {HASH_BASE2} + x) % {HASH_MOD2}) END)"
     )
 
 

@@ -787,12 +787,19 @@ def dedup_paragraphs(
     )
     ex = df.select(
         F.col(id_col).alias("_id"), F.posexplode(paras).alias("_idx", "_p")
-    ).select("_id", "_idx", "_p", H.poly_hash(F.col("_p")).alias("_k"))
+    ).select(
+        "_id", "_idx", "_p",
+        H.poly_hash(F.col("_p")).alias("_k"),
+        H.poly_hash2(F.col("_p")).alias("_k2"),
+    )
     ex = persist_tracked(ex)
-    first = ex.groupBy("_k").agg(
+    first = ex.groupBy("_k", "_k2").agg(
         F.min(F.struct("_id", "_idx")).alias("_f")
-    ).select("_k", F.col("_f._id").alias("_id"), F.col("_f._idx").alias("_idx"))
-    kept = ex.join(first, ["_k", "_id", "_idx"], "left_semi")
+    ).select(
+        "_k", "_k2",
+        F.col("_f._id").alias("_id"), F.col("_f._idx").alias("_idx"),
+    )
+    kept = ex.join(first, ["_k", "_k2", "_id", "_idx"], "left_semi")
     rebuilt = kept.groupBy("_id").agg(
         F.array_join(
             F.transform(
@@ -840,10 +847,13 @@ def sql_dedup_paragraphs(
              unnest(ps) AS _p
       FROM src
     ), keyed AS (
-      SELECT _id, _idx, _p, {H.sql_poly_hash('_p')} AS _k FROM ex
+      SELECT _id, _idx, _p,
+             {H.sql_poly_hash('_p')} AS _k,
+             {H.sql_poly_hash2('_p')} AS _k2
+      FROM ex
     ), ranked AS (
       SELECT _id, _idx, _p,
-             row_number() OVER (PARTITION BY _k ORDER BY _id, _idx) AS rn
+             row_number() OVER (PARTITION BY _k, _k2 ORDER BY _id, _idx) AS rn
       FROM keyed
     ), rebuilt AS (
       SELECT _id,
@@ -863,11 +873,14 @@ def paragraph_state(
     df: DataFrame, id_col: str, text_col: str, unit: str = "paragraph"
 ) -> DataFrame:
     """The stored state for incremental paragraph dedup: the DISTINCT
-    portable hashes of every block the corpus has ever contained, one
-    row per hash (column ``_k``). Write as parquet (bucketed on ``_k``
-    for the co-located probe); advancing the state after an accepted
-    batch is appending the batch's own distinct hashes — the same table
-    this function computes for the batch."""
+    portable hash PAIRS of every block the corpus has ever contained,
+    one row per pair (columns ``_k``, ``_k2`` — two independent-modulus
+    poly hashes, ~2^87 effective key width; a single ~2^30 hash would
+    silently merge distinct paragraphs past ~37k of them, and state
+    makes the loss permanent). Write as parquet (bucketed on ``_k`` for
+    the co-located probe); advancing the state after an accepted batch
+    is appending the batch's own distinct pairs — the same table this
+    function computes for the batch."""
     split_pat, _ = _DEDUP_UNITS[unit]
     t = F.regexp_replace(F.col(text_col), "\r", "")
     paras = F.filter(
@@ -876,7 +889,10 @@ def paragraph_state(
     )
     return (
         df.select(F.explode(paras).alias("_p"))
-        .select(H.poly_hash(F.col("_p")).alias("_k"))
+        .select(
+            H.poly_hash(F.col("_p")).alias("_k"),
+            H.poly_hash2(F.col("_p")).alias("_k2"),
+        )
         .distinct()
     )
 
@@ -912,16 +928,21 @@ def dedup_paragraphs_incremental(
     )
     ex = batch.select(
         F.col(id_col).alias("_id"), F.posexplode(paras).alias("_idx", "_p")
-    ).select("_id", "_idx", "_p", H.poly_hash(F.col("_p")).alias("_k"))
-    fresh = persist_tracked(
-        ex.join(state.select("_k"), "_k", "left_anti")
+    ).select(
+        "_id", "_idx", "_p",
+        H.poly_hash(F.col("_p")).alias("_k"),
+        H.poly_hash2(F.col("_p")).alias("_k2"),
     )
-    first = fresh.groupBy("_k").agg(
+    fresh = persist_tracked(
+        ex.join(state.select("_k", "_k2"), ["_k", "_k2"], "left_anti")
+    )
+    first = fresh.groupBy("_k", "_k2").agg(
         F.min(F.struct("_id", "_idx")).alias("_f")
     ).select(
-        "_k", F.col("_f._id").alias("_id"), F.col("_f._idx").alias("_idx")
+        "_k", "_k2",
+        F.col("_f._id").alias("_id"), F.col("_f._idx").alias("_idx"),
     )
-    kept = fresh.join(first, ["_k", "_id", "_idx"], "left_semi")
+    kept = fresh.join(first, ["_k", "_k2", "_id", "_idx"], "left_semi")
     rebuilt = kept.groupBy("_id").agg(
         F.array_join(
             F.transform(

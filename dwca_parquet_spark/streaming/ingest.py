@@ -88,7 +88,8 @@ def stream_ingest_paragraph_dedup(
     """Streaming lift of incremental paragraph dedup (SURVEY §2 op 104):
     each micro-batch is cleaned against the stored paragraph-hash state
     (``state_store``, seeded with the initial corpus's
-    ``paragraph_state`` — or an empty ``_k bigint`` table), surviving
+    ``paragraph_state`` — or an empty ``_k bigint, _k2 bigint`` table),
+    surviving
     documents land in ``doc_store`` partitioned by batch id, and the
     batch's fresh hashes are appended to the state. Returns the
     StreamingQuery.
@@ -126,7 +127,7 @@ def stream_ingest_paragraph_dedup(
         # the already-extended dir) BEFORE the append — fresh_k reads the
         # same files the append extends
         fresh_k = paragraph_state(batch, id_col, text_col, unit).join(
-            state.select("_k"), "_k", "left_anti"
+            state.select("_k", "_k2"), ["_k", "_k2"], "left_anti"
         ).localCheckpoint(eager=True)
         fresh_k.write.mode("append").option("compression", "zstd").parquet(
             state_store

@@ -417,3 +417,55 @@ def test_realize_mixture_parity(spark, duck):
             assert b - max_doc < sel_toks < b + max_doc
         else:
             assert sel_toks == supply  # took everything it had
+
+
+def test_dedup_paragraphs_survives_polyhash_collision(spark):
+    """Round-6 regression (ADVICE): a single poly_hash key is ~2^30
+    wide — birthday collisions hit 50% at ~37k distinct paragraphs, and
+    with no text-equality verify the colliding later paragraph was
+    silently rewritten out of its document. The key is now the struct
+    of two independent-modulus hashes (~2^87). This test birthday-mines
+    a REAL poly_hash collision (two distinct strings, equal _k) and
+    asserts both paragraphs survive."""
+    from dwca_parquet_spark.functions.hashing import (
+        HASH_BASE,
+        HASH_BASE2,
+        HASH_MOD,
+        HASH_MOD2,
+    )
+    from dwca_parquet_spark.operators.dedup import dedup_paragraphs
+
+    def ph(s, base, mod):
+        h = 0
+        for ch in s:
+            h = (h * base + ord(ch)) % mod
+        return h
+
+    # deterministic birthday search over pseudo-random [a-z]{8} words
+    seen, pair, x = {}, None, 1
+    while pair is None:
+        x = (x * 1103515245 + 12345) % (1 << 31)
+        y, s = x, []
+        for _ in range(8):
+            s.append(chr(ord("a") + y % 26))
+            y //= 26
+        s = "".join(s)
+        h = ph(s, HASH_BASE, HASH_MOD)
+        if h in seen and seen[h] != s:
+            pair = (seen[h], s)
+        seen[h] = s
+    a, b = pair
+    assert a != b
+    assert ph(a, HASH_BASE, HASH_MOD) == ph(b, HASH_BASE, HASH_MOD)
+    assert ph(a, HASH_BASE2, HASH_MOD2) != ph(b, HASH_BASE2, HASH_MOD2)
+
+    df = spark.createDataFrame(
+        [(1, f"{a}\n\ncommon tail"), (2, f"{b}\n\ncommon tail")],
+        "id long, t string",
+    )
+    out = {r["id"]: r for r in dedup_paragraphs(df, "id", "t").collect()}
+    # both colliding-but-distinct paragraphs survive; the genuinely
+    # duplicated 'common tail' still dedups to its first occurrence
+    assert out[1]["text"] == f"{a}\n\ncommon tail"
+    assert out[2]["text"] == b
+    assert out[1]["n_paras_kept"] == 2 and out[2]["n_paras_kept"] == 1
