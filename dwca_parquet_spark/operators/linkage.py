@@ -83,11 +83,26 @@ def _probe_subs(s, length, d: int):
 
 
 def edit_distance_pairs(
-    df: DataFrame, id_col: str, str_col: str, d: int
+    df: DataFrame,
+    id_col: str,
+    str_col: str,
+    d: int,
+    short_bucket_limit: int = 100_000,
 ) -> DataFrame:
     """All pairs (id_a < id_b) with levenshtein ≤ ``d`` — exact and
     complete (proved against the brute-force cross join, test_linkage),
     via PassJoin segment blocking. See the module docstring for bounds.
+
+    ``short_bucket_limit`` guards the len ≤ 2d fallback bucket (where
+    the pigeonhole lapses and a broadcast nested-loop join runs): it is
+    tiny by construction only for LONG-string corpora. For short keys
+    (d=3 makes every ≤6-char string "short" — codes, abbreviations) the
+    bucket is the whole table: an O(n²) BNLJ and a broadcast OOM with
+    no warning. The guard counts the bucket (one bounded aggregate on
+    the already-persisted base) and refuses past the limit with the
+    actual count, instead of degenerating silently (round-6 ADVICE
+    fix). Raise the limit explicitly if you really want the quadratic
+    bucket — the cost is then a stated decision, not an ambush.
     """
     if d < 1:
         raise ValueError("d must be >= 1")
@@ -133,6 +148,15 @@ def edit_distance_pairs(
     # short bucket: pairs where BOTH strings are too short to donate d+1
     # segments — the pigeonhole lapses there; direct length-bounded join
     shorts = base.filter(F.col("_len") <= 2 * d)
+    n_short = shorts.count()
+    if n_short > short_bucket_limit:
+        raise ValueError(
+            f"short-string bucket (len <= {2 * d}) holds {n_short} rows "
+            f"> short_bucket_limit={short_bucket_limit}: the broadcast "
+            f"nested-loop fallback would be O(n²) over the bucket. "
+            f"Either the corpus is short-key (use a smaller d or a "
+            f"different blocking) or raise short_bucket_limit knowingly."
+        )
     sa = shorts.select(
         F.col("_id").alias("id_a"), F.col("_s").alias("s_a"),
         F.col("_len").alias("len_a"),

@@ -397,17 +397,28 @@ def bq_hamming_neighbors_mih(
     codes carried through. Requires radius < n_chunks (raises
     otherwise — a silent recall loss is not an option).
     """
-    if radius >= n_chunks:
-        raise ValueError(
-            f"pigeonhole guarantee needs radius < n_chunks "
-            f"({radius} >= {n_chunks})"
-        )
     if model is None:
         model = bq_fit(df, vec_col, _dim_of(df, vec_col))
     dim = len(model["thr"])
     nw = (dim + BQ_WORD - 1) // BQ_WORD
     total_bits = nw * BQ_WORD
     chunk_bits = (total_bits + n_chunks - 1) // n_chunks
+    # EFFECTIVE chunk count: asking for more chunks than the code has
+    # bits for leaves trailing chunks past the code — constant 0 for
+    # every row, i.e. one join bucket holding the whole corpus and a
+    # silent O(n²) degeneration; worse, those vacuous chunks also made
+    # the radius guard vacuous. Clamp and re-guard on the real count
+    # (round-6 ADVICE fix, tested: dim 64 / n_chunks 9 / radius 8 now
+    # raises instead of degenerating).
+    n_eff = (total_bits + chunk_bits - 1) // chunk_bits
+    if radius >= n_eff:
+        raise ValueError(
+            f"pigeonhole guarantee needs radius < effective chunks: "
+            f"{total_bits} bits / {chunk_bits}-bit chunks gives "
+            f"{n_eff} non-empty chunks (requested n_chunks={n_chunks}), "
+            f"radius {radius} >= {n_eff}"
+        )
+    n_chunks = n_eff
     if chunk_bits > 62:
         raise ValueError("chunk too wide for a signed long key")
 

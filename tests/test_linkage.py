@@ -99,3 +99,51 @@ def test_link_records_clusters(spark, corpus):
     assert got == want
     # sanity: at least one non-trivial cluster exists in the fixture
     assert any(v != k for k, v in want.items())
+
+
+def test_edit_distance_short_bucket_guard(spark):
+    """Round-6 ADVICE regression: for short-key corpora the len <= 2d
+    fallback bucket IS the table — an unguarded O(n²) broadcast BNLJ.
+    The guard must refuse past short_bucket_limit with the count, and a
+    knowing override must still produce the exact result."""
+    import pytest
+    from dwca_parquet_spark.operators.linkage import edit_distance_pairs
+
+    codes = [(i, f"{i % 7}{(i * 3) % 10}{i % 5}") for i in range(200)]
+    df = spark.createDataFrame(codes, "id long, s string")
+
+    with pytest.raises(ValueError, match="short-string bucket"):
+        edit_distance_pairs(df, "id", "s", d=3, short_bucket_limit=50)
+
+    # explicit override: exact vs brute force on the tiny corpus
+    got = {
+        (r["id_a"], r["id_b"], r["dist"])
+        for r in edit_distance_pairs(
+            df, "id", "s", d=1, short_bucket_limit=10_000
+        ).collect()
+    }
+
+    def lev(a, b):
+        import functools
+
+        @functools.lru_cache(maxsize=None)
+        def rec(i, j):
+            if i == 0:
+                return j
+            if j == 0:
+                return i
+            return min(
+                rec(i - 1, j) + 1,
+                rec(i, j - 1) + 1,
+                rec(i - 1, j - 1) + (a[i - 1] != b[j - 1]),
+            )
+
+        return rec(len(a), len(b))
+
+    want = set()
+    for i, (ia, sa) in enumerate(codes):
+        for ib, sb in codes[i + 1:]:
+            dd = lev(sa, sb)
+            if dd <= 1:
+                want.add((ia, ib, dd))
+    assert got == want

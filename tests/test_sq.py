@@ -262,3 +262,21 @@ def test_bq_mih_exact_within_radius(spark, emb):
         bq_hamming_neighbors_mih(
             df, "vec_id", "embedding", 8, model=model, n_chunks=8
         )
+
+    # round-6 ADVICE regression: n_chunks beyond the code's bit budget
+    # used to leave trailing all-zero chunks — one bucket holding the
+    # whole corpus (silent O(n²)) and a vacuous radius guard. Now the
+    # EFFECTIVE chunk count governs: 64 bits / 9 chunks -> ceil(64/8)=8
+    # real chunks, so radius 8 must refuse...
+    with _pytest.raises(ValueError):
+        bq_hamming_neighbors_mih(
+            df, "vec_id", "embedding", 8, model=model, n_chunks=9
+        )
+    # ...and radius 7 under the clamp still finds EVERY pair
+    got9 = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in bq_hamming_neighbors_mih(
+            df, "vec_id", "embedding", radius, model=model, n_chunks=9
+        ).collect()
+    }
+    assert got9 == want
