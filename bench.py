@@ -80,6 +80,110 @@ HEADLINE = [
 ]
 
 
+# --------------------------------------------------------------------------
+# Round-5 operator tier: the crawl-to-training ops have parity gates but
+# (pre-round-6) no wall-clock row, so a perf regression there was invisible
+# to the driver. Timed as a SEPARATE section ("r5_tier"/"r5_oracle") so the
+# headline total stays comparable round-over-round. Each entry: a Spark
+# callable over the sf documents table and (where a twin exists) the DuckDB
+# oracle SQL over the same parquet. Disable with SPARK_GRAFT_BENCH_R5=0.
+# --------------------------------------------------------------------------
+R5 = os.environ.get("SPARK_GRAFT_BENCH_R5", "1").lower() not in (
+    "0", "false", "no", "",
+)
+
+_HTML_WRAP_SPARK = None  # built lazily inside r5_tier_specs
+
+
+def r5_tier_specs():
+    from dwca_parquet_spark.operators.bpe import bpe_encode, bpe_fit
+    from dwca_parquet_spark.operators.dedup import (
+        dedup_paragraphs,
+        sql_dedup_paragraphs,
+    )
+    from dwca_parquet_spark.operators.html import (
+        html_extract_text,
+        sql_html_extract_text,
+    )
+    from dwca_parquet_spark.operators.sampling import (
+        global_shuffle,
+        select_to_token_budget,
+        sql_global_shuffle,
+        sql_select_to_token_budget,
+    )
+    from dwca_parquet_spark.operators.text import (
+        c4_clean,
+        gopher_quality,
+        sql_c4_clean,
+        sql_gopher_quality,
+    )
+
+    def docs(spark):
+        return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+    wrap = (
+        "'<html><body><p>' || replace(text, chr(10) || chr(10), "
+        "'</p><p>') || '</p></body></html>'"
+    )
+
+    def spark_html(spark):
+        d = docs(spark).select(
+            "doc_id",
+            F.concat(
+                F.lit("<html><body><p>"),
+                F.regexp_replace("text", "\n\n", "</p><p>"),
+                F.lit("</p></body></html>"),
+            ).alias("html"),
+        )
+        return html_extract_text(d, "doc_id", "html")
+
+    def spark_budget(spark):
+        d = docs(spark).select(
+            "doc_id",
+            F.length("text").cast("double").alias("score"),
+            (F.length("text") / 4 + 1).cast("long").alias("toks"),
+        )
+        return select_to_token_budget(d, "doc_id", "score", "toks", 10**6)
+
+    def spark_bpe(spark):
+        d = docs(spark)
+        model = bpe_fit(d, "text", n_merges=200, max_words=20_000)
+        return bpe_encode(d, "doc_id", "text", model)
+
+    budget_sql = sql_select_to_token_budget(
+        "(SELECT doc_id, CAST(length(text) AS DOUBLE) AS score, "
+        "CAST(length(text) / 4 + 1 AS BIGINT) AS toks FROM documents)",
+        "doc_id", "score", "toks", 10**6,
+    )
+    return {
+        "r5_html_extract": (
+            spark_html,
+            sql_html_extract_text(
+                f"(SELECT doc_id, {wrap} AS html FROM documents)",
+                "doc_id", "html",
+            ),
+        ),
+        "r5_gopher_quality": (
+            lambda s: gopher_quality(docs(s), "doc_id", "text"),
+            sql_gopher_quality("documents", "doc_id", "text"),
+        ),
+        "r5_dedup_paragraphs": (
+            lambda s: dedup_paragraphs(docs(s), "doc_id", "text"),
+            sql_dedup_paragraphs("documents", "doc_id", "text"),
+        ),
+        "r5_c4_clean": (
+            lambda s: c4_clean(docs(s), "doc_id", "text"),
+            sql_c4_clean("documents", "doc_id", "text"),
+        ),
+        "r5_global_shuffle": (
+            lambda s: global_shuffle(docs(s), "doc_id"),
+            sql_global_shuffle("documents", "doc_id"),
+        ),
+        "r5_token_budget": (spark_budget, budget_sql),
+        "r5_bpe_encode": (spark_bpe, None),  # no SQL twin: fit+encode
+    }
+
+
 def materialize(df: DataFrame) -> None:
     """Force full computation of every output column.
 
@@ -97,9 +201,12 @@ def main() -> None:
     # warm the JVM/codegen paths with a trivial action
     spark.read.parquet(f"{SF_DIR}/region.parquet").count()
 
+    skip_headline = os.environ.get(
+        "SPARK_GRAFT_BENCH_SKIP_HEADLINE", ""
+    ).lower() in ("1", "true", "yes")
     per_query: dict[str, float] = {}
     errors: dict[str, str] = {}
-    for name in HEADLINE:
+    for name in [] if skip_headline else HEADLINE:
         fn = Q.QUERIES[name]
         times = []
         try:
@@ -142,6 +249,59 @@ def main() -> None:
             out["vs_oracle"] = round(
                 sum(per_query[q] for q in common) / osum, 4
             )
+    if R5:
+        specs = r5_tier_specs()
+        r5_times: dict[str, float] = {}
+        r5_errors: dict[str, str] = {}
+        for name, (fn, _sql) in specs.items():
+            times = []
+            try:
+                for _ in range(RUNS):
+                    t0 = time.perf_counter()
+                    materialize(fn(spark))
+                    times.append(time.perf_counter() - t0)
+                    release_caches()
+                    spark.catalog.clearCache()
+                r5_times[name] = round(statistics.median(times), 4)
+                print(f"  {name}: {r5_times[name]}s", file=sys.stderr,
+                      flush=True)
+            except Exception as exc:
+                r5_errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+                traceback.print_exc(file=sys.stderr)
+        out["r5_tier"] = r5_times
+        out["r5_total"] = round(sum(r5_times.values()), 4)
+        if r5_errors:
+            out["r5_errors"] = r5_errors
+        if ORACLE:
+            import duckdb
+
+            con = duckdb.connect()
+            for t in TABLES:
+                con.execute(
+                    f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{SF_DIR}/{t}.parquet')"
+                )
+            r5_oracle: dict[str, float] = {}
+            for name, (_fn, sql) in specs.items():
+                if sql is None:
+                    continue
+                try:
+                    t0 = time.perf_counter()
+                    con.execute(sql).fetchall()
+                    r5_oracle[name] = round(time.perf_counter() - t0, 4)
+                    print(f"  oracle {name}: {r5_oracle[name]}s",
+                          file=sys.stderr, flush=True)
+                except Exception as exc:
+                    out.setdefault("r5_oracle_errors", {})[name] = (
+                        f"{type(exc).__name__}: {exc}"[:300]
+                    )
+            out["r5_oracle"] = r5_oracle
+            common = [q for q in r5_times if q in r5_oracle]
+            osum = sum(r5_oracle[q] for q in common)
+            if osum > 0:
+                out["r5_vs_oracle"] = round(
+                    sum(r5_times[q] for q in common) / osum, 4
+                )
     print(json.dumps(out))
     spark.stop()
 
