@@ -114,6 +114,26 @@ def jaccard(a: str, b: str) -> F.Column:
     )
 
 
+def _ids_packable(sh: DataFrame, id_col: str) -> bool:
+    """True iff ids are integral, non-negative, and < 2^33 — the domain
+    where ``(id << 30) | hash`` is an injective single-long key. One
+    column-pruned min/max aggregate over the doc-count-sized shingle
+    table (cheap, and usually served from the caller's persist)."""
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    if not isinstance(
+        sh.schema[id_col].dataType,
+        (ByteType, ShortType, IntegerType, LongType),
+    ):
+        return False
+    row = sh.agg(
+        F.min(id_col).alias("lo"), F.max(id_col).alias("hi")
+    ).collect()[0]
+    return (
+        row["lo"] is not None and row["lo"] >= 0 and row["hi"] < (1 << 33)
+    )
+
+
 def pair_jaccard(
     cand: DataFrame,
     sh: DataFrame,
@@ -154,6 +174,23 @@ def pair_jaccard(
     keeps pairs whose 6-dp-rounded jaccard could still reach the
     threshold, so output parity with the unpruned plan (and the DuckDB
     oracle) is exact, not approximate.
+
+    PACKED KEYS (round 6): when the id column is a non-negative
+    integer below 2^33 (checked by one column-pruned aggregate over
+    the doc-count-sized ``sh``), the second join's compound key (b, h)
+    is packed into ONE long — h < HASH_MOD < 2^30, so
+    ``(b << 30) | h`` is injective. The big (a, b, h) stream becomes
+    (a, packed): one fewer 8-byte slot per row through the verify's
+    dominant exchange, a single-long hash/compare on the hot key, and
+    a probe side narrow enough that AQE's runtime size measurement can
+    elect a broadcast it refuses for the two-column equivalent.
+    Measured on the sf0.3 generated fixture (tools/
+    q30_stream_experiment.py): 84.7 → 12.6 s with bit-identical output
+    checksums; the int32-hash lever measured FLAT (87 s) because
+    UnsafeRow gives fixed-width fields 8-byte slots regardless.
+    Ids outside the packable domain (strings, negatives, > 2^33) fall
+    back to the wide-key plan — same semantics, covered by the
+    string-id tests (test_leakage_split.py).
     """
     ex = sh.select(F.col(id_col).alias("_jid"), F.explode("hashes").alias("_jh"))
     sizes = sh.select(F.col(id_col).alias("_jid"), F.size("hashes").alias("_jn"))
@@ -167,14 +204,34 @@ def pair_jaccard(
             >= F.lit(float(threshold) - 1e-6)
         )
     ex_a = ex.select(F.col("_jid").alias(a), F.col("_jh"))
-    ex_b = ex.select(F.col("_jid").alias(b), F.col("_jh"))
-    inter = (
-        cand.select(a, b)
-        .join(ex_a, a)
-        .join(ex_b, [b, "_jh"])
-        .groupBy(a, b)
-        .agg(F.count(F.lit(1)).alias("_ji"))
-    )
+    if _ids_packable(sh, id_col):
+        ex_pb = ex.select(
+            (
+                F.shiftleft(F.col("_jid").cast("long"), 30) + F.col("_jh")
+            ).alias("_pbh")
+        )
+        inter = (
+            cand.select(a, b)
+            .join(ex_a, a)
+            .select(
+                F.col(a),
+                (
+                    F.shiftleft(F.col(b).cast("long"), 30) + F.col("_jh")
+                ).alias("_pbh"),
+            )
+            .join(ex_pb, "_pbh")
+            .groupBy(F.col(a), F.shiftright(F.col("_pbh"), 30).alias(b))
+            .agg(F.count(F.lit(1)).alias("_ji"))
+        )
+    else:
+        ex_b = ex.select(F.col("_jid").alias(b), F.col("_jh"))
+        inter = (
+            cand.select(a, b)
+            .join(ex_a, a)
+            .join(ex_b, [b, "_jh"])
+            .groupBy(a, b)
+            .agg(F.count(F.lit(1)).alias("_ji"))
+        )
     return (
         cand.join(inter, [a, b], "left")
         .withColumn("_ji", F.coalesce(F.col("_ji"), F.lit(0)))
