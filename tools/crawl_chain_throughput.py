@@ -152,7 +152,10 @@ def main() -> int:
     )
     extracted = html_extract_text(docs, "doc_id", "html")
     c4 = c4_clean(extracted, "doc_id", "text")
-    c4_kept = c4.filter(F.col("keep")).select("doc_id", "text")
+    # persist: consumed twice (the Gopher signal pass + the semi-join
+    # left side) — unpersisted, the WARC parse + extraction chain runs
+    # twice
+    c4_kept = c4.filter(F.col("keep")).select("doc_id", "text").persist()
     gq = gopher_quality(c4_kept, "doc_id", "text")
     # STAGE BOUNDARY: everything above is a zero-shuffle projection
     # chain over the Python WARC parse, but the consumers below fan out
