@@ -307,3 +307,99 @@ def heavy_hitters(
         .select(F.col("_item").alias("item"), "cnt")
     )
     return exact
+
+
+# ---------------------------------------------------------------------------
+# Bottom-k (KMV) sketch — mergeable distinct-sample state (SURVEY §2 op 114)
+# ---------------------------------------------------------------------------
+
+BOTTOMK_A = 2_654_435_761  # the sampling family's quadratic-mix constants —
+BOTTOMK_B = 104_729        # same values as global_shuffle, so the sketch's
+# order is the seeded-permutation order the export stack already proves
+
+
+def _bk_mixed(key: Column, salt: str) -> Column:
+    """Quadratic mix of the portable hash — see global_shuffle's docstring
+    for why affine is not enough (poly_hash of sequential keys is nearly
+    monotonic; a quadratic makes the stride position-dependent)."""
+    h = H.poly_hash(F.concat(key.cast("string"), F.lit(salt)))
+    return F.pmod(
+        h * h + F.lit(BOTTOMK_A) * h + F.lit(BOTTOMK_B), F.lit(H.HASH_MOD)
+    )
+
+
+def bottomk_build(
+    df: DataFrame, key_col: str, k: int, salt: str = ""
+) -> DataFrame:
+    """The k DISTINCT keys with the smallest mixed portable hash —
+    simultaneously (Bar-Yossef et al. 2002, "KMV"; PAPERS.md):
+
+    * a MERGEABLE sketch: ``bottomk_merge`` of two states equals the
+      build over the unioned inputs EXACTLY (union → bottom-k is
+      associative, commutative, idempotent — the law test_bottomk.py
+      pins), so shards/days/corpora combine without re-scanning;
+    * a distinct-count estimator: ``bottomk_distinct_estimate``;
+    * a deterministic uniform sample WITHOUT replacement of the
+      distinct keys (the hash order is a seeded permutation — same
+      construction global_shuffle proves) — a fresh ``salt`` draws an
+      independent sample, and the same salt always returns the same
+      keys on any engine/partitioning.
+
+    State columns: (key, _bh), exactly k rows (fewer iff the input has
+    fewer distinct keys).
+
+    Scale shape: one map-side-combinable distinct on the key, then a
+    global top-k BY HASH — Spark's sort+limit plans as
+    TakeOrderedAndProject (each partition keeps its local k, the driver
+    merges |partitions|·k rows), never a global sort. The state is k
+    rows whatever the corpus size.
+    """
+    return (
+        df.select(F.col(key_col).alias("key")).distinct()
+        .withColumn("_bh", _bk_mixed(F.col("key"), salt))
+        .orderBy("_bh", "key")
+        .limit(k)
+    )
+
+
+def bottomk_merge(a: DataFrame, b: DataFrame, k: int) -> DataFrame:
+    """union-distinct → bottom-k again. ≡ building over the unioned
+    inputs (exact, not approximate — the bottom-k of a union depends
+    only on the union of bottom-ks)."""
+    return (
+        a.unionByName(b).distinct().orderBy("_bh", "key").limit(k)
+    )
+
+
+def bottomk_distinct_estimate(state: DataFrame, k: int) -> float:
+    """KMV estimator: with the k-th smallest of n uniform hashes at
+    h_k, n ≈ (k-1)·M/h_k (M = the mix's modulus). A state with fewer
+    than k rows IS the distinct set — return its exact size. Standard
+    error ~ n/√(k-2); the ~2^30 hash space adds a downward bias only
+    as n approaches √-collision range (~37k per birthday, but KMV only
+    needs the k-th ORDER STATISTIC, so the bias stays negligible while
+    n·k ≪ M — document-count scales, not token scales)."""
+    rows = state.orderBy("_bh").select("_bh").collect()
+    if len(rows) < k:
+        return float(len(rows))
+    return (k - 1) * H.HASH_MOD / float(rows[-1]["_bh"])
+
+
+def sql_bottomk_build(
+    source: str, key_expr: str, k: int, salt: str = ""
+) -> str:
+    """DuckDB twin of :func:`bottomk_build` — identical hash, mix,
+    order, and tie-break, so the state matches row-for-row."""
+    esc = salt.replace("'", "''")
+    keyed = (
+        f"(CAST({key_expr} AS VARCHAR) || '{esc}')"
+        if salt
+        else f"CAST({key_expr} AS VARCHAR)"
+    )
+    h = H.sql_poly_hash(keyed)
+    mixed = f"((_gh * _gh + {BOTTOMK_A} * _gh + {BOTTOMK_B}) % {H.HASH_MOD})"
+    return (
+        f"SELECT key, {mixed} AS _bh FROM "
+        f"(SELECT DISTINCT {key_expr} AS key, {h} AS _gh FROM {source}) "
+        f"ORDER BY _bh, key LIMIT {k}"
+    )

@@ -54,3 +54,81 @@ def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
 @pytest.fixture(scope="session")
 def duck():
     return duck_con(SF_T2)
+
+
+# ---------------------------------------------------------------------------
+# Slow lane (round 6, VERDICT r5 ask #7). The full suite (no -m filter) is
+# and remains THE gate; `-m "not slow"` is the <5-minute iteration lane.
+# Node ids measured >= 4 s by a full --durations run (2026-08-15); marking
+# happens here (collection hook) rather than per-file so parametrized cases
+# — e.g. three heavy driver-parity queries out of 50 — can be marked
+# individually without restructuring their parametrize calls.
+# ---------------------------------------------------------------------------
+SLOW_NODE_IDS = {
+    "test_bloom.py::test_bitmap_parity_duckdb",
+    "test_bloom.py::test_dedup_incremental_equals_anti_join",
+    "test_bloom.py::test_incremental_minhash_equals_cross_pairs_of_full_run",
+    "test_bpe.py::test_bpe_fit_distributed_equals_driver",
+    "test_catalog.py::test_csw_records_golden",
+    "test_correctness.py::test_query_matches_oracle[q30_minhash_lsh_pairs]",
+    "test_correctness.py::test_query_matches_oracle[q31_simhash]",
+    "test_correctness.py::test_query_matches_oracle[q32_ngram_jaccard_top1]",
+    "test_correctness.py::test_query_matches_oracle[q38_binary_features]",
+    "test_correctness.py::test_query_matches_oracle[q44_dedup_clusters]",
+    "test_correctness.py::test_query_matches_oracle[q61_dedup_keep_best]",
+    "test_embedding_clusters.py::test_embedding_clusters_match_union_find",
+    "test_fs.py::test_write_csv_single_file_uri",
+    "test_fs.py::test_write_parquet_single_file_uri",
+    "test_fs.py::test_write_versioned_uri_idempotent",
+    "test_geometry.py::test_geoparquet_sink",
+    "test_gopher.py::test_dedup_paragraphs_incremental_equivalence",
+    "test_gopher.py::test_realize_mixture_parity",
+    "test_graph.py::test_pagerank_constant_lineage",
+    "test_graph.py::test_pagerank_matches_decimal_reference",
+    "test_incremental_e2e.py::test_incremental_ingestion_equals_rebuild",
+    "test_leakage_split.py::test_no_cluster_straddles_splits",
+    "test_leakage_split.py::test_one_row_per_input_id",
+    "test_leakage_split.py::test_planted_groups_share_split_and_naive_split_leaks",
+    "test_nb_classifier.py::test_bigram_lm_parity_and_fluency",
+    "test_nb_classifier.py::test_fit_deterministic_and_scores_separate",
+    "test_packing.py::test_pack_sequences_budget_and_determinism",
+    "test_pipeline_e2e.py::test_pretraining_pipeline_composes",
+    "test_pq.py::test_adc_recall_beats_random",
+    "test_pq.py::test_encode_matches_numpy_and_compresses",
+    "test_pq.py::test_fit_deterministic_under_repartitioning",
+    "test_pq.py::test_ivf_pq_bounds_candidates_and_recalls",
+    "test_pq.py::test_quantization_error_decreases",
+    "test_pq.py::test_rerank_improves_over_adc",
+    "test_properties.py::test_asof_join_matches_naive",
+    "test_properties.py::test_chunk_documents_reconstructs",
+    "test_properties.py::test_csv_roundtrip",
+    "test_properties.py::test_dedup_latest_idempotent",
+    "test_properties.py::test_dedup_paragraphs_fuzz_parity",
+    "test_properties.py::test_edit_distance_pairs_fuzz_complete",
+    "test_properties.py::test_gopher_quality_fuzz_parity",
+    "test_properties.py::test_hash_sample_nesting",
+    "test_properties.py::test_hash_split_matches_python",
+    "test_properties.py::test_interval_join_matches_naive",
+    "test_properties.py::test_join_cardinality_laws",
+    "test_properties.py::test_pair_jaccard_length_filter_lossless",
+    "test_properties_r4.py::test_bloom_incremental_exactness",
+    "test_properties_r4.py::test_diff_apply_reproduces_any_snapshot",
+    "test_properties_r4.py::test_heavy_hitters_guarantee_holds",
+    "test_properties_r4.py::test_rollup_fold_invariance",
+    "test_reports.py::test_corpus_card_numbers_and_determinism",
+    "test_service.py::test_generate_csw_and_geoapi",
+    "test_service.py::test_http_skin_end_to_end",
+    "test_sq.py::test_bq_mih_exact_within_radius",
+    "test_streaming.py::test_stream_stream_attribution_join",
+    "test_streaming_ingest.py::test_stream_ingest_dedups_and_is_idempotent",
+    "test_streaming_ingest.py::test_stream_paragraph_dedup_and_replay",
+    "test_text_ops.py::test_contamination_overlap_sf01_timed",
+    "test_text_ops.py::test_dsir_logratio_parity_and_separation",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        nid = item.nodeid.replace("tests/", "", 1)
+        if nid in SLOW_NODE_IDS:
+            item.add_marker(pytest.mark.slow)

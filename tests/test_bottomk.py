@@ -1,0 +1,88 @@
+"""Gates for the bottom-k (KMV) sketch (SURVEY §2 op 114): DuckDB twin
+parity, the exact merge law, partition invariance, estimator accuracy,
+salt independence, and the TakeOrderedAndProject plan pin."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dwca_parquet_spark.operators.sketch import (
+    bottomk_build,
+    bottomk_distinct_estimate,
+    bottomk_merge,
+    sql_bottomk_build,
+)
+from tests.conftest import SF_T2
+
+K = 128
+
+
+def _tuples(df):
+    return sorted((r["key"], r["_bh"]) for r in df.collect())
+
+
+def test_bottomk_duckdb_parity(spark, duck):
+    docs = spark.read.parquet(f"{SF_T2}/documents.parquet")
+    got = _tuples(bottomk_build(docs, "doc_id", K, salt="s1"))
+    want = sorted(
+        tuple(r)
+        for r in duck.execute(
+            sql_bottomk_build("documents", "doc_id", K, salt="s1")
+        ).fetchall()
+    )
+    assert got == want and len(got) == K
+
+
+def test_bottomk_merge_law_and_idempotence(spark):
+    df = spark.range(0, 20_000).select(F.col("id").alias("k"))
+    a = df.filter("k % 3 != 0")
+    b = df.filter("k % 3 != 1")  # overlapping halves
+    whole = _tuples(bottomk_build(df, "k", K))
+    merged = _tuples(
+        bottomk_merge(bottomk_build(a, "k", K), bottomk_build(b, "k", K), K)
+    )
+    assert merged == whole  # EXACT: union→bottom-k is a lattice join
+    s = bottomk_build(df, "k", K)
+    assert _tuples(bottomk_merge(s, s, K)) == whole  # idempotent
+
+
+def test_bottomk_partition_invariance_and_determinism(spark):
+    df = spark.range(0, 10_000).select(F.col("id").alias("k"))
+    one = _tuples(bottomk_build(df.repartition(1), "k", K))
+    many = _tuples(bottomk_build(df.repartition(17), "k", K))
+    again = _tuples(bottomk_build(df.repartition(17), "k", K))
+    assert one == many == again
+
+
+def test_bottomk_distinct_estimate(spark):
+    for n in (5_000, 50_000):
+        df = spark.range(0, n).select(F.col("id").alias("k"))
+        k = 256
+        est = bottomk_distinct_estimate(bottomk_build(df, "k", k), k)
+        assert abs(est - n) / n < 0.25, (n, est)  # ~4σ at 1/√(k-2)
+    # under-full state is exact
+    small = spark.range(0, 50).select(F.col("id").alias("k"))
+    assert bottomk_distinct_estimate(bottomk_build(small, "k", 256), 256) == 50.0
+
+
+def test_bottomk_salt_draws_independent_samples(spark):
+    df = spark.range(0, 50_000).select(F.col("id").alias("k"))
+    s1 = {r["key"] for r in bottomk_build(df, "k", 256, salt="").collect()}
+    s2 = {r["key"] for r in bottomk_build(df, "k", 256, salt="x").collect()}
+    # hypergeometric expectation ≈ k²/n ≈ 1.3 shared keys; 30 is >> any
+    # plausible tail while catching correlated (non-independent) draws
+    assert len(s1 & s2) < 30
+    assert len(s1) == len(s2) == 256
+
+
+def test_bottomk_plan_is_take_ordered(spark):
+    df = spark.range(0, 10_000).select(F.col("id").alias("k"))
+    plan = (
+        bottomk_build(df, "k", K)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # top-k by hash must plan as TakeOrderedAndProject (per-partition
+    # local k + driver merge), never a global sort of the distinct set
+    assert "TakeOrderedAndProject" in plan
