@@ -1,11 +1,14 @@
-"""Streaming sketch maintenance: keep mergeable summaries (CMS + HLL)
-of a streaming column as stored state, folded per micro-batch
+"""Streaming sketch maintenance: keep mergeable summaries (CMS + HLL
++ bottom-k) of a streaming column as stored state, folded per micro-batch
 (SURVEY §2 round-5 extension; composes operators/sketch.py's mergeable
 summaries with the streaming/ingest.py foreachBatch discipline).
 
 A continuously-ingested corpus needs continuously-current statistics —
 token frequencies for heavy-hitter monitoring (CMS), distinct counts for
-dedup-rate dashboards (HLL) — without ever rescanning the corpus. The
+dedup-rate dashboards (HLL), and a live uniform sample of the distinct
+items (bottom-k, op 114 — whose lattice merge law makes the streaming
+fold EXACTLY equal to the one-shot sketch, not approximately) — without
+ever rescanning the corpus. The
 mergeable-summaries contract (Agarwal et al. 2012; PAPERS.md) makes the
 streaming lift trivially correct ON THE HAPPY PATH: fold each
 micro-batch's bounded partial into the stored state. The part that is
@@ -39,8 +42,12 @@ import re
 from pyspark.sql import DataFrame, SparkSession
 
 from dwca_parquet_spark.fs import FS
+from pyspark.sql import functions as F
+
 from dwca_parquet_spark.operators.sketch import (
     HLL_B,
+    bottomk_build,
+    bottomk_merge,
     cms_build,
     cms_merge,
     hll_build,
@@ -51,6 +58,10 @@ _VDIR = re.compile(r".*/v(\d+)$")
 
 CMS_SCHEMA = "row int, col long, cnt long"
 HLL_SCHEMA = "bucket long, register int"
+# items are cast to string before sketching so the stored state schema
+# is stable whatever the stream's item type (the hash casts anyway)
+BK_SCHEMA = "key string, _bh long"
+BK_K = 256
 
 
 def applied_watermark(spark: SparkSession, state_path: str) -> int:
@@ -68,20 +79,23 @@ def applied_watermark(spark: SparkSession, state_path: str) -> int:
 
 def read_sketch_state(
     spark: SparkSession, state_path: str
-) -> tuple[int, DataFrame, DataFrame]:
-    """(watermark, cms, hll) — empty bounded tables when no state yet."""
+) -> tuple[int, DataFrame, DataFrame, DataFrame]:
+    """(watermark, cms, hll, bottomk) — empty bounded tables when no
+    state yet."""
     wm = applied_watermark(spark, state_path)
     if wm < 0:
         return (
             wm,
             spark.createDataFrame([], CMS_SCHEMA),
             spark.createDataFrame([], HLL_SCHEMA),
+            spark.createDataFrame([], BK_SCHEMA),
         )
     base = f"{str(state_path).rstrip('/')}/v{wm}"
     return (
         wm,
         spark.read.schema(CMS_SCHEMA).parquet(f"{base}/cms.parquet"),
         spark.read.schema(HLL_SCHEMA).parquet(f"{base}/hll.parquet"),
+        spark.read.schema(BK_SCHEMA).parquet(f"{base}/bk.parquet"),
     )
 
 
@@ -94,17 +108,23 @@ def apply_batch(
     width: int = 8192,
     depth: int = 4,
     b: int = HLL_B,
+    k: int = BK_K,
     keep_versions: int = 2,
 ) -> bool:
     """Fold one micro-batch into the stored sketches; False = replay
     skipped. Exposed separately from the stream wiring so the replay
     semantics are directly testable (and so a non-streaming incremental
     pipeline can call it per ingestion batch)."""
-    wm, cms, hll = read_sketch_state(spark, state_path)
+    wm, cms, hll, bk = read_sketch_state(spark, state_path)
     if batch_id <= wm:
         return False  # replayed batch: state already includes it
     new_cms = cms_merge(cms, cms_build(batch, item_col, width, depth))
     new_hll = hll_merge(hll, hll_build(batch, item_col, b))
+    batch_bk = bottomk_build(
+        batch.select(F.col(item_col).cast("string").alias(item_col)),
+        item_col, k,
+    )
+    new_bk = bottomk_merge(bk, batch_bk, k)
     base = str(state_path).rstrip("/")
     fs = FS(spark, base)
     tmp, final = f"{base}/v{batch_id}.tmp", f"{base}/v{batch_id}"
@@ -112,6 +132,7 @@ def apply_batch(
         fs.delete(tmp)
     new_cms.coalesce(1).write.parquet(f"{tmp}/cms.parquet")
     new_hll.coalesce(1).write.parquet(f"{tmp}/hll.parquet")
+    new_bk.coalesce(1).write.parquet(f"{tmp}/bk.parquet")
     fs.rename(tmp, final)  # the atomic commit point
     for p in fs.glob(f"{base}/v*"):
         m = _VDIR.match(p)
@@ -128,16 +149,17 @@ def stream_sketch_maintain(
     width: int = 8192,
     depth: int = 4,
     b: int = HLL_B,
+    k: int = BK_K,
 ):
-    """Start a streaming query maintaining CMS + HLL state for
-    ``item_col`` at ``state_path``. Returns the StreamingQuery; read the
-    current summaries any time with :func:`read_sketch_state`."""
+    """Start a streaming query maintaining CMS + HLL + bottom-k state
+    for ``item_col`` at ``state_path``. Returns the StreamingQuery; read
+    the current summaries any time with :func:`read_sketch_state`."""
     spark = stream.sparkSession
 
     def body(batch: DataFrame, batch_id: int) -> None:
         apply_batch(
             spark, state_path, batch, batch_id, item_col,
-            width=width, depth=depth, b=b,
+            width=width, depth=depth, b=b, k=k,
         )
 
     return (

@@ -37,11 +37,12 @@ def _tokens(spark):
 
 
 def _collect_state(spark, state_path):
-    wm, cms, hll = read_sketch_state(spark, state_path)
+    wm, cms, hll, bk = read_sketch_state(spark, state_path)
     return (
         wm,
         sorted(tuple(r) for r in cms.collect()),
         sorted(tuple(r) for r in hll.collect()),
+        sorted(tuple(r) for r in bk.collect()),
     )
 
 
@@ -63,7 +64,7 @@ def test_stream_fold_equals_batch_sketch(spark, tmp_path):
     )
     q.awaitTermination(180)
 
-    wm, got_cms, got_hll = _collect_state(spark, state)
+    wm, got_cms, got_hll, got_bk = _collect_state(spark, state)
     assert wm >= 0
     want_cms = sorted(
         tuple(r) for r in cms_build(toks, "tok", W, D).collect()
@@ -73,6 +74,23 @@ def test_stream_fold_equals_batch_sketch(spark, tmp_path):
     )
     assert got_cms == want_cms
     assert got_hll == want_hll
+
+    # bottom-k: the lattice merge law makes the streaming fold EXACTLY
+    # the one-shot sketch — equality, not approximation
+    from dwca_parquet_spark.operators.sketch import bottomk_build
+    from dwca_parquet_spark.streaming.sketches import BK_K
+
+    want_bk = sorted(
+        tuple(r)
+        for r in bottomk_build(
+            toks.select(F.col("tok").cast("string").alias("tok")),
+            "tok", BK_K,
+        ).collect()
+    )
+    # (the fixture's 30-word vocabulary under-fills k — the law is the
+    # point; the k-row case is covered by test_bottomk.py)
+    n_distinct = toks.select("tok").distinct().count()
+    assert got_bk == want_bk and len(got_bk) == min(BK_K, n_distinct)
 
     # DuckDB replays the identical CMS from the raw stream (the summary
     # the state holds is cross-engine reproducible, not Spark-private)
@@ -92,7 +110,7 @@ def test_stream_fold_equals_batch_sketch(spark, tmp_path):
 
     # the HLL state estimates the true distinct count within HLL error
     true_distinct = toks.select("tok").distinct().count()
-    _, _cms_df, hll_df = read_sketch_state(spark, state)
+    _, _cms_df, hll_df, _bk_df = read_sketch_state(spark, state)
     est = hll_estimate(hll_df, B)
     assert abs(est - true_distinct) / true_distinct < 0.15
 
@@ -118,8 +136,11 @@ def test_replay_is_noop_and_crash_residue_ignored(spark, tmp_path):
     (residue / "garbage").write_text("not parquet")
     assert applied_watermark(spark, state) == 0
     assert apply_batch(spark, state, toks, 7, "tok", width=W, depth=D, b=B)
-    wm, cms, _ = _collect_state(spark, state)
+    wm, cms, _, bk7 = _collect_state(spark, state)
     assert wm == 7
+    # bottom-k is idempotent under re-folding the same content: the
+    # doubled batch changes nothing (same distinct keys, same hashes)
+    assert bk7 == before[3]
     # two folds of the same 5000-token batch = exactly double each cell
     doubled = {(r, c): n for r, c, n in cms}
     single = {(r, c): n for r, c, n in before[1]}
