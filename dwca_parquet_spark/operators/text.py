@@ -1860,3 +1860,120 @@ def sql_dsir_logratio(
            END AS dsir_logratio
     FROM f
     """
+
+
+# ---------------------------------------------------------------------------
+# Statistical quality signals (SURVEY §2 op 116): compression ratio +
+# exact word entropy
+# ---------------------------------------------------------------------------
+
+
+def word_entropy(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, n_words, word_entropy) — the Shannon entropy (nats) of the
+    document's own word distribution: H = Σ (c_w/n)·ln(n/c_w). Low
+    entropy flags repetitive/template text (keyword stuffing, boiler
+    lists) that length/punctuation rules miss; it complements the
+    Gopher duplicate-fraction signals with a single scale-free number.
+
+    Exact and ZERO-SHUFFLE: per row, distinct words d and a count per
+    distinct via higher-order functions — O(n·d) comparisons inside the
+    scan stage, no explode, no groupBy. The identical list expressions
+    exist in DuckDB (:func:`sql_word_entropy`), so the operator is
+    differentially gated like the other doc-signal ops (same rounding
+    protocol: round(…, 6) in both engines). '' → 0 words, entropy 0.
+    """
+    words = F.filter(
+        F.split(F.trim(F.col(text_col)), r"\s+"), lambda x: F.length(x) > 0
+    )
+    n = F.size(words)
+
+    def ent(ws: Column) -> Column:
+        counts = F.transform(
+            F.array_distinct(ws),
+            lambda w: F.size(F.filter(ws, lambda x: x == w)),
+        )
+        return F.aggregate(
+            counts,
+            F.lit(0.0),
+            lambda acc, c: acc
+            + (c.cast("double") / n) * F.log(n.cast("double") / c),
+        )
+
+    return df.select(
+        F.col(id_col),
+        n.cast("long").alias("n_words"),
+        F.round(
+            F.when(n <= 1, F.lit(0.0)).otherwise(ent(words)), 6
+        ).alias("word_entropy"),
+    )
+
+
+def sql_word_entropy(source: str, id_col: str, text_col: str) -> str:
+    """DuckDB twin of :func:`word_entropy` — identical split, counts,
+    fold, and rounding."""
+    ws = (
+        f"list_filter(string_split_regex(trim({text_col}), '\\s+'),"
+        " x -> len(x) > 0)"
+    )
+    return f"""
+    WITH w AS (SELECT {id_col}, {ws} AS ws FROM {source})
+    SELECT {id_col},
+           CAST(len(ws) AS BIGINT) AS n_words,
+           round(CASE WHEN len(ws) <= 1 THEN 0.0 ELSE
+             list_reduce(
+               list_transform(list_distinct(ws),
+                 w -> (CAST(len(list_filter(ws, x -> x = w)) AS DOUBLE)
+                       / len(ws))
+                      * ln(CAST(len(ws) AS DOUBLE)
+                           / len(list_filter(ws, x -> x = w)))),
+               (a, b) -> a + b) END, 6) AS word_entropy
+    FROM w
+    """
+
+
+def compression_ratio(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, utf8_len, zlib_len, zlib_ratio) — the RedPajama-v2 /
+    CCNet-family quality signal: zlib-compressed size over raw UTF-8
+    size. Highly repetitive or templated text compresses far below
+    natural prose (ratio ≲ 0.3 is the usual suspicion band; pure
+    natural text sits ~0.4-0.7), and the signal is tokenizer-free.
+
+    Arrow-batched pandas UDF (zlib is data-dependent byte work — no SQL
+    engine exposes it, so the gate is an independent same-contract
+    reference plus determinism/edge cases rather than a DuckDB twin;
+    the zlib FORMAT is deterministic for a fixed level, and the level
+    is pinned at 6 so results reproduce across platforms). NULL text →
+    NULL lengths; '' → (0, len(zlib('')) , NULL ratio).
+
+    Zero shuffle; pipelines with whatever projection precedes it.
+    """
+    import pandas as pd  # noqa: F811 (local to keep the module import-light)
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import LongType
+
+    @pandas_udf(LongType())
+    def _zlen(texts: pd.Series) -> pd.Series:
+        import zlib
+
+        def z(t):
+            if t is None:
+                return None
+            return len(zlib.compress(t.encode("utf-8"), 6))
+
+        return texts.map(z)
+
+    raw_len = F.length(F.encode(F.col(text_col), "utf-8")).cast("long")
+    out = df.select(
+        F.col(id_col),
+        raw_len.alias("utf8_len"),
+        _zlen(F.col(text_col)).alias("zlib_len"),
+    )
+    return out.withColumn(
+        "zlib_ratio",
+        F.when(
+            F.col("utf8_len") > 0,
+            F.round(
+                F.col("zlib_len").cast("double") / F.col("utf8_len"), 6
+            ),
+        ),
+    )
