@@ -14,6 +14,8 @@ from __future__ import annotations
 
 import math
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -1931,6 +1933,24 @@ def sql_word_entropy(source: str, id_col: str, text_col: str) -> str:
     """
 
 
+def _zlib_len_udf():
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import LongType
+
+    @pandas_udf(LongType())
+    def _zlen(texts: pd.Series) -> pd.Series:
+        import zlib
+
+        def z(t):
+            if t is None:
+                return None
+            return len(zlib.compress(t.encode("utf-8"), 6))
+
+        return texts.map(z)
+
+    return _zlen
+
+
 def compression_ratio(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, utf8_len, zlib_len, zlib_ratio) — the RedPajama-v2 /
     CCNet-family quality signal: zlib-compressed size over raw UTF-8
@@ -1947,26 +1967,11 @@ def compression_ratio(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
     Zero shuffle; pipelines with whatever projection precedes it.
     """
-    import pandas as pd  # noqa: F811 (local to keep the module import-light)
-    from pyspark.sql.functions import pandas_udf
-    from pyspark.sql.types import LongType
-
-    @pandas_udf(LongType())
-    def _zlen(texts: pd.Series) -> pd.Series:
-        import zlib
-
-        def z(t):
-            if t is None:
-                return None
-            return len(zlib.compress(t.encode("utf-8"), 6))
-
-        return texts.map(z)
-
     raw_len = F.length(F.encode(F.col(text_col), "utf-8")).cast("long")
     out = df.select(
         F.col(id_col),
         raw_len.alias("utf8_len"),
-        _zlen(F.col(text_col)).alias("zlib_len"),
+        _zlib_len_udf()(F.col(text_col)).alias("zlib_len"),
     )
     return out.withColumn(
         "zlib_ratio",
