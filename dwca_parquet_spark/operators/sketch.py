@@ -403,3 +403,97 @@ def sql_bottomk_build(
         f"(SELECT DISTINCT {key_expr} AS key, {h} AS _gh FROM {source}) "
         f"ORDER BY _bh, key LIMIT {k}"
     )
+
+
+def bottomk_by_group(
+    df: DataFrame, group_col: str, key_col: str, k: int, salt: str = ""
+) -> DataFrame:
+    """Per-group bottom-k (SURVEY §2 op 117) — op 114 partitioned by a
+    group column: for every group, the k distinct keys with the
+    smallest mixed hash. The per-domain dashboard primitive ("distinct
+    URLs per domain", "distinct users per day") where one global sketch
+    cannot answer per-group questions and an exact per-group distinct
+    is an unbounded shuffle.
+
+    State: (group, key, _bh), ≤ k rows per group. Same lattice merge
+    law as op 114, now per group (union-distinct → re-rank; exact).
+    Estimates come from :func:`bottomk_group_estimates` — a pure
+    aggregate over the state, no driver collect.
+
+    Scale shape: one map-side-combinable distinct on (group, key), one
+    group-PARTITIONED window (rank by hash — never an unpartitioned
+    window; skewed groups are one partition's k-row problem, and the
+    rank short-circuits at k). Output bounded by |groups|·k.
+    """
+    base = (
+        df.select(
+            F.col(group_col).alias("grp"), F.col(key_col).alias("key")
+        )
+        .distinct()
+        .withColumn("_bh", _bk_mixed(F.col("key"), salt))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("grp").orderBy("_bh", "key")
+    return (
+        base.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )
+
+
+def bottomk_group_merge(a: DataFrame, b: DataFrame, k: int) -> DataFrame:
+    """Per-group union-distinct → re-rank. ≡ building over the union."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("grp").orderBy("_bh", "key")
+    return (
+        a.unionByName(b)
+        .distinct()
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )
+
+
+def bottomk_group_estimates(state: DataFrame, k: int) -> DataFrame:
+    """(grp, n_sampled, distinct_est) from the op-117 state — one
+    bounded aggregate, entirely in expressions (under-full groups are
+    exact; full groups use the KMV estimator)."""
+    return state.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.round(
+            F.when(
+                F.count(F.lit(1)) < k,
+                F.count(F.lit(1)).cast("double"),
+            ).otherwise(
+                F.lit(float(k - 1))
+                * F.lit(float(H.HASH_MOD))
+                / F.max("_bh").cast("double")
+            ),
+            3,
+        ).alias("distinct_est"),
+    )
+
+
+def sql_bottomk_by_group(
+    source: str, group_expr: str, key_expr: str, k: int, salt: str = ""
+) -> str:
+    """DuckDB twin of :func:`bottomk_by_group` — identical hash, mix,
+    partition, order, tie-break."""
+    esc = salt.replace("'", "''")
+    keyed = (
+        f"(CAST({key_expr} AS VARCHAR) || '{esc}')"
+        if salt
+        else f"CAST({key_expr} AS VARCHAR)"
+    )
+    h = H.sql_poly_hash(keyed)
+    mixed = f"((_gh * _gh + {BOTTOMK_A} * _gh + {BOTTOMK_B}) % {H.HASH_MOD})"
+    return (
+        f"SELECT grp, key, _bh FROM ("
+        f"SELECT grp, key, _bh, row_number() OVER "
+        f"(PARTITION BY grp ORDER BY _bh, key) AS _rk FROM ("
+        f"SELECT grp, key, {mixed} AS _bh FROM "
+        f"(SELECT DISTINCT {group_expr} AS grp, {key_expr} AS key, "
+        f"{h} AS _gh FROM {source}))) WHERE _rk <= {k}"
+    )

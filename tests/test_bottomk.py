@@ -86,3 +86,98 @@ def test_bottomk_plan_is_take_ordered(spark):
     # top-k by hash must plan as TakeOrderedAndProject (per-partition
     # local k + driver merge), never a global sort of the distinct set
     assert "TakeOrderedAndProject" in plan
+
+
+# ---------------------------------------------------------------------------
+# op 117: per-group bottom-k
+# ---------------------------------------------------------------------------
+
+
+def test_bottomk_group_duckdb_parity(spark, duck):
+    from dwca_parquet_spark.operators.sketch import (
+        bottomk_by_group,
+        sql_bottomk_by_group,
+    )
+
+    orders = spark.read.parquet(f"{SF_T2}/orders.parquet")
+    got = sorted(
+        (r["grp"], r["key"], r["_bh"])
+        for r in bottomk_by_group(
+            orders, "o_orderpriority", "o_custkey", 32, salt="g"
+        ).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in duck.execute(
+            sql_bottomk_by_group(
+                "orders", "o_orderpriority", "o_custkey", 32, salt="g"
+            )
+        ).fetchall()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_bottomk_group_merge_law_and_estimates(spark):
+    from dwca_parquet_spark.operators.sketch import (
+        bottomk_by_group,
+        bottomk_group_estimates,
+        bottomk_group_merge,
+    )
+
+    k = 128
+    # three groups with known distinct counts: 40 (under-full), 2000, 8000
+    df = spark.range(0, 10_040).select(
+        F.when(F.col("id") < 40, F.lit("tiny"))
+        .when(F.col("id") < 2_040, F.lit("mid"))
+        .otherwise(F.lit("big"))
+        .alias("g"),
+        F.col("id").alias("u"),
+    )
+    whole = sorted(
+        tuple(r) for r in bottomk_by_group(df, "g", "u", k).collect()
+    )
+    # merge law: two overlapping halves that COVER df reproduce the whole
+    a, b = df.filter("u % 3 != 0"), df.filter("u % 3 != 1 or u % 2 = 0")
+    # ensure coverage: every u is in a or b
+    assert a.unionByName(b).distinct().count() == df.count()
+    merged = sorted(
+        tuple(r)
+        for r in bottomk_group_merge(
+            bottomk_by_group(a, "g", "u", k),
+            bottomk_by_group(b, "g", "u", k),
+            k,
+        ).collect()
+    )
+    assert merged == whole
+
+    est = {
+        r["grp"]: (r["n_sampled"], r["distinct_est"])
+        for r in bottomk_group_estimates(
+            bottomk_by_group(df, "g", "u", k), k
+        ).collect()
+    }
+    assert est["tiny"] == (40, 40.0)  # under-full → exact
+    for g, true_n in (("mid", 2_000), ("big", 8_000)):
+        n, e = est[g]
+        assert n == k
+        assert abs(e - true_n) / true_n < 0.35, (g, e)  # ~4σ at 1/√(k-2)
+
+
+def test_bottomk_group_plan_single_partitioned_window(spark):
+    from dwca_parquet_spark.operators.sketch import bottomk_by_group
+
+    df = spark.range(0, 5_000).select(
+        (F.col("id") % 7).alias("g"), F.col("id").alias("u")
+    )
+    plan = (
+        bottomk_by_group(df, "g", "u", 16)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # group-PARTITIONED window (hashpartitioning on g feeds it) — an
+    # unpartitioned window would plan a single-partition sort (the
+    # op-101 lesson)
+    assert "Window" in plan
+    assert "hashpartitioning(g" in plan
+    assert plan.count("Exchange") <= 3  # distinct + window partition (+AQE)
