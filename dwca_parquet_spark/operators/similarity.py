@@ -254,16 +254,38 @@ def _group_cosine_pairs(pdf: pd.DataFrame, ordered: bool) -> pd.DataFrame:
     """
     ids = pdf["_gid"].to_numpy()
     m = np.stack(pdf["svec"].to_numpy()).astype(np.int64)
+    n = len(ids)
     sd = np.einsum("ij,ij->i", m, m)  # exact int64 self-dots
-    dots = m @ m.T
     denom = np.sqrt(sd.astype(np.float64))
-    cos = dots.astype(np.float64) / (denom[:, None] * denom[None, :])
-    ia, ib = np.nonzero(
-        ids[:, None] != ids[None, :] if ordered else ids[:, None] < ids[None, :]
-    )
-    return pd.DataFrame(
-        {"id_a": ids[ia], "id_b": ids[ib], "cosine": cos[ia, ib]}
-    )
+    # BLOCKED matmul: a degenerate bucket of n vectors needs three n×n
+    # float64 temporaries at once (dots, cos, mask) — at sf1 that was a
+    # >1 GiB single allocation per task and the logged GCLocker stalls.
+    # Slicing rows caps peak memory at ~3·block·n cells with the exact
+    # same elementwise operations (bit-identical cosines — slicing does
+    # not change operation order), trading nothing but a Python loop of
+    # ceil(n/block) iterations around the same C matmul.
+    block = max(1, (1 << 25) // max(1, n))  # ≈32M cells per temporary
+    parts = []
+    for s in range(0, n, block):
+        e = min(n, s + block)
+        dots = m[s:e] @ m.T
+        cos = dots.astype(np.float64) / (denom[s:e, None] * denom[None, :])
+        mask = (
+            ids[s:e, None] != ids[None, :]
+            if ordered
+            else ids[s:e, None] < ids[None, :]
+        )
+        ia, ib = np.nonzero(mask)
+        parts.append(
+            pd.DataFrame(
+                {"id_a": ids[s + ia], "id_b": ids[ib], "cosine": cos[ia, ib]}
+            )
+        )
+    if not parts:
+        return pd.DataFrame(
+            {"id_a": ids[:0], "id_b": ids[:0], "cosine": np.zeros(0)}
+        )
+    return pd.concat(parts, ignore_index=True)
 
 
 def _bucket_pairs(
