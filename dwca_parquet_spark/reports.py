@@ -68,6 +68,21 @@ def corpus_card(
         F.avg("dup_line_frac").alias("dup_lines"),
     ).first()
 
+    # statistical repetition signals (op 116): scan-stage entropy fold +
+    # one Arrow pass for zlib; both reduce to scalars
+    from dwca_parquet_spark.operators.text import (
+        compression_ratio,
+        word_entropy,
+    )
+
+    ent = word_entropy(df, id_col, text_col).agg(
+        F.avg("word_entropy").alias("mean_h")
+    ).first()
+    zr = compression_ratio(df, id_col, text_col).agg(
+        F.avg("zlib_ratio").alias("mean_r"),
+        F.sum((F.col("zlib_ratio") < 0.3).cast("long")).alias("suspicious"),
+    ).first()
+
     lines = [
         f"# Datasheet: {name}",
         "",
@@ -90,6 +105,10 @@ def corpus_card(
         f"({gq['kept'] / max(totals['docs'], 1):.2%})",
         f"- mean alpha-word fraction: {gq['alpha']:.3f}; "
         f"mean duplicate-line fraction: {gq['dup_lines']:.3f}",
+        f"- mean word entropy (nats): {ent['mean_h']:.3f}; "
+        f"mean zlib ratio: {zr['mean_r']:.3f}; "
+        f"docs compressing below 0.3 (repetition suspects): "
+        f"{zr['suspicious'] or 0:,}",
         "",
         "## Document length (log2 token buckets)",
         "| bucket (tokens ≥) | documents |",

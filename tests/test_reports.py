@@ -49,3 +49,27 @@ def test_corpus_card_numbers_and_determinism(spark):
     assert f"- Gopher rules pass: {gq_kept:,}" in card
     for r in docs.select("lang").distinct().collect():
         assert f"| {r['lang']} |" in card
+
+
+def test_corpus_card_statistical_signals(spark):
+    """The op-116 line: entropy/zlib numbers in the card equal the
+    operators' own aggregates (the card composes, never re-implements)."""
+    from dwca_parquet_spark.operators.text import (
+        compression_ratio,
+        word_entropy,
+    )
+
+    docs = spark.read.parquet(f"{SF_T2}/documents.parquet")
+    card = corpus_card(docs, "doc_id", "text", name="x")
+    mean_h = (
+        word_entropy(docs, "doc_id", "text")
+        .agg(F.avg("word_entropy"))
+        .first()[0]
+    )
+    mean_r = (
+        compression_ratio(docs, "doc_id", "text")
+        .agg(F.avg("zlib_ratio"))
+        .first()[0]
+    )
+    assert f"- mean word entropy (nats): {mean_h:.3f}; " in card
+    assert f"mean zlib ratio: {mean_r:.3f}; " in card
