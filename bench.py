@@ -116,6 +116,12 @@ def r5_tier_specs():
         gopher_quality,
         sql_c4_clean,
         sql_gopher_quality,
+        sql_word_entropy,
+        word_entropy,
+    )
+    from dwca_parquet_spark.operators.unicode import (
+        clean_controls,
+        sql_clean_controls,
     )
 
     def docs(spark):
@@ -181,6 +187,14 @@ def r5_tier_specs():
         ),
         "r5_token_budget": (spark_budget, budget_sql),
         "r5_bpe_encode": (spark_bpe, None),  # no SQL twin: fit+encode
+        "r6_word_entropy": (
+            lambda s: word_entropy(docs(s), "doc_id", "text"),
+            sql_word_entropy("documents", "doc_id", "text"),
+        ),
+        "r6_unicode_clean": (
+            lambda s: clean_controls(docs(s), "doc_id", "text"),
+            sql_clean_controls("documents", "doc_id", "text"),
+        ),
     }
 
 
