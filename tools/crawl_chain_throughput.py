@@ -107,6 +107,11 @@ def main() -> int:
     )
     ap.add_argument("--out", default="/tmp/crawl_chain")
     ap.add_argument("--keep-fixture", action="store_true")
+    ap.add_argument(
+        "--unicode", action="store_true",
+        help="insert the op-115 hygiene stage (clean_controls + "
+        "fix_mojibake + normalize_nfc) between extraction and C4",
+    )
     args = ap.parse_args()
 
     if args.files is None:
@@ -151,6 +156,18 @@ def main() -> int:
         F.decode(F.col("payload"), "utf-8").alias("html"),
     )
     extracted = html_extract_text(docs, "doc_id", "html")
+    if args.unicode:
+        from dwca_parquet_spark.operators.unicode import (
+            clean_controls,
+            fix_mojibake,
+            normalize_nfc,
+        )
+
+        extracted = clean_controls(extracted, "doc_id", "text")
+        extracted = fix_mojibake(extracted, "doc_id", "text").select(
+            "doc_id", "text"
+        )
+        extracted = normalize_nfc(extracted, "doc_id", "text")
     c4 = c4_clean(extracted, "doc_id", "text")
     # persist: consumed twice (the Gopher signal pass + the semi-join
     # left side) — unpersisted, the WARC parse + extraction chain runs
