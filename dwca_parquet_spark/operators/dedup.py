@@ -190,7 +190,12 @@ def pair_jaccard(
     UnsafeRow gives fixed-width fields 8-byte slots regardless.
     Ids outside the packable domain (strings, negatives, > 2^33) fall
     back to the wide-key plan — same semantics, covered by the
-    string-id tests (test_leakage_split.py).
+    string-id tests (test_leakage_split.py). ``cand`` ids need no
+    separate range check: before either plan runs, cand is INNER-joined
+    to the per-id size table derived from ``sh``, so any cand id
+    outside sh's (validated) id domain is dropped before packing —
+    a cand id that could overflow the shift can never reach it
+    (regression-tested: test_properties.py, out-of-domain cand ids).
     """
     ex = sh.select(F.col(id_col).alias("_jid"), F.explode("hashes").alias("_jh"))
     sizes = sh.select(F.col(id_col).alias("_jid"), F.size("hashes").alias("_jn"))

@@ -397,7 +397,8 @@ def quantile_bins_approx(
     collapse bins — same caveat the exact docstring states, now with
     the scale-safe behavior actually implemented instead of documented.
     ``key_col`` is accepted for signature parity and ignored (no
-    tiebreak exists without a total order).
+    tiebreak exists without a total order). NULL scores land in bin 1,
+    matching exact ntile's ASC NULLS FIRST placement.
     """
     if n_bins < 1:
         raise ValueError("n_bins must be >= 1")
@@ -415,7 +416,12 @@ def quantile_bins_approx(
     )
     sc = F.col(score_col)
     b = sum((sc > F.lit(e)).cast("int") for e in sorted(set(edges)))
-    return df.withColumn(out_col, (b + F.lit(1)).cast("int"))
+    # NULL scores: exact ntile orders ASC (Spark: NULLS FIRST), so the
+    # exact operator puts them in bin 1; the edge-comparison sum is
+    # NULL for them, so coalesce to 1 to keep the two paths consistent
+    return df.withColumn(
+        out_col, F.coalesce((b + F.lit(1)).cast("int"), F.lit(1))
+    )
 
 
 def sql_group_sample_k(

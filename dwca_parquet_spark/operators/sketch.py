@@ -346,7 +346,10 @@ def bottomk_build(
       keys on any engine/partitioning.
 
     State columns: (key, _bh), exactly k rows (fewer iff the input has
-    fewer distinct keys).
+    fewer distinct keys). NULL keys are DROPPED at the head (contract:
+    the sketch covers the distinct non-null keys) — a NULL hashes to a
+    NULL _bh, which the engines order differently (Spark ASC puts
+    NULLs first, DuckDB last) and the Arrow prune schema cannot carry.
 
     Scale shape — measured, not assumed: the naive plan (global
     distinct → top-k) shuffles EVERY distinct key, the same cost class
@@ -361,8 +364,10 @@ def bottomk_build(
     hash projection and the in-partition fold.
     """
     key_type = df.schema[key_col].dataType.simpleString()
-    hashed = df.select(F.col(key_col).alias("key")).withColumn(
-        "_bh", _bk_mixed(F.col("key"), salt)
+    hashed = (
+        df.select(F.col(key_col).alias("key"))
+        .filter(F.col("key").isNotNull())
+        .withColumn("_bh", _bk_mixed(F.col("key"), salt))
     )
     pruned = hashed.mapInPandas(
         _bk_prune_factory(k), f"key {key_type}, _bh long"
@@ -441,7 +446,8 @@ def sql_bottomk_build(
     mixed = f"((_gh * _gh + {BOTTOMK_A} * _gh + {BOTTOMK_B}) % {H.HASH_MOD})"
     return (
         f"SELECT key, {mixed} AS _bh FROM "
-        f"(SELECT DISTINCT {key_expr} AS key, {h} AS _gh FROM {source}) "
+        f"(SELECT DISTINCT {key_expr} AS key, {h} AS _gh FROM {source} "
+        f"WHERE {key_expr} IS NOT NULL) "
         f"ORDER BY _bh, key LIMIT {k}"
     )
 
@@ -458,6 +464,7 @@ def bottomk_by_group(
 
     State: (group, key, _bh), ≤ k rows per group. Same lattice merge
     law as op 114, now per group (union-distinct → re-rank; exact).
+    NULL keys dropped at the head, same contract as op 114.
     Estimates come from :func:`bottomk_group_estimates` — a pure
     aggregate over the state, no driver collect.
 
@@ -470,6 +477,7 @@ def bottomk_by_group(
         df.select(
             F.col(group_col).alias("grp"), F.col(key_col).alias("key")
         )
+        .filter(F.col("key").isNotNull())  # op-114 NULL-key contract
         .distinct()
         .withColumn("_bh", _bk_mixed(F.col("key"), salt))
     )
@@ -536,5 +544,6 @@ def sql_bottomk_by_group(
         f"(PARTITION BY grp ORDER BY _bh, key) AS _rk FROM ("
         f"SELECT grp, key, {mixed} AS _bh FROM "
         f"(SELECT DISTINCT {group_expr} AS grp, {key_expr} AS key, "
-        f"{h} AS _gh FROM {source}))) WHERE _rk <= {k}"
+        f"{h} AS _gh FROM {source} WHERE {key_expr} IS NOT NULL)))"
+        f" WHERE _rk <= {k}"
     )

@@ -1877,10 +1877,14 @@ def word_entropy(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     lists) that length/punctuation rules miss; it complements the
     Gopher duplicate-fraction signals with a single scale-free number.
 
-    Exact and ZERO-SHUFFLE: per row, distinct words d and a count per
-    distinct via higher-order functions — O(n·d) comparisons inside the
-    scan stage, no explode, no groupBy. The identical list expressions
-    exist in DuckDB (:func:`sql_word_entropy`), so the operator is
+    Exact and ZERO-SHUFFLE: sort the word array once, then ONE fold
+    that counts runs of equal words and flushes each run's entropy term
+    as the word changes — O(d log d) per row (the same sorted-runs
+    technique :func:`repetition_ratio` uses for its mode), replacing
+    the earlier O(n·d) per-distinct rescan that burned quadratic CPU on
+    long documents. No explode, no groupBy. Terms are summed in
+    ascending word order and the DuckDB twin (:func:`sql_word_entropy`)
+    sums the identical terms in the identical order, so the operator is
     differentially gated like the other doc-signal ops (same rounding
     protocol: round(…, 6) in both engines). '' → 0 words, entropy 0.
     """
@@ -1888,18 +1892,40 @@ def word_entropy(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.split(F.trim(F.col(text_col)), r"\s+"), lambda x: F.length(x) > 0
     )
     n = F.size(words)
+    nd = n.cast("double")
+
+    def contrib(c: Column) -> Column:
+        cd = c.cast("double")
+        return (cd / nd) * F.log(nd / cd)
 
     def ent(ws: Column) -> Column:
-        counts = F.transform(
-            F.array_distinct(ws),
-            lambda w: F.size(F.filter(ws, lambda x: x == w)),
+        # words are filtered to length > 0, so "" can never match a
+        # real word and the run counter starts cleanly at the first one
+        acc0 = F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0.0).alias("h"),
         )
-        return F.aggregate(
-            counts,
-            F.lit(0.0),
-            lambda acc, c: acc
-            + (c.cast("double") / n) * F.log(n.cast("double") / c),
-        )
+
+        def step(acc: Column, x: Column) -> Column:
+            flush = F.when(
+                (x != acc["prev"]) & (acc["run"] > 0), contrib(acc["run"])
+            ).otherwise(F.lit(0.0))
+            run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(
+                F.lit(1).cast("long")
+            )
+            return F.struct(
+                x.alias("prev"),
+                run.alias("run"),
+                (acc["h"] + flush).alias("h"),
+            )
+
+        def finish(acc: Column) -> Column:
+            return F.when(
+                acc["run"] > 0, acc["h"] + contrib(acc["run"])
+            ).otherwise(acc["h"])
+
+        return F.aggregate(F.array_sort(ws), acc0, step, finish)
 
     return df.select(
         F.col(id_col),
@@ -1911,8 +1937,10 @@ def word_entropy(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def sql_word_entropy(source: str, id_col: str, text_col: str) -> str:
-    """DuckDB twin of :func:`word_entropy` — identical split, counts,
-    fold, and rounding."""
+    """DuckDB twin of :func:`word_entropy` — identical split, identical
+    per-word terms summed in the identical ascending word order (the
+    Spark side folds sorted runs, so both engines left-fold the same
+    term sequence), identical rounding."""
     ws = (
         f"list_filter(string_split_regex(trim({text_col}), '\\s+'),"
         " x -> len(x) > 0)"
@@ -1921,13 +1949,15 @@ def sql_word_entropy(source: str, id_col: str, text_col: str) -> str:
     WITH w AS (SELECT {id_col}, {ws} AS ws FROM {source})
     SELECT {id_col},
            CAST(len(ws) AS BIGINT) AS n_words,
-           round(CASE WHEN len(ws) <= 1 THEN 0.0 ELSE
+           round(CASE WHEN ws IS NULL THEN NULL
+                      WHEN len(ws) <= 1 THEN 0.0 ELSE
              list_reduce(
-               list_transform(list_distinct(ws),
-                 w -> (CAST(len(list_filter(ws, x -> x = w)) AS DOUBLE)
-                       / len(ws))
-                      * ln(CAST(len(ws) AS DOUBLE)
-                           / len(list_filter(ws, x -> x = w)))),
+               list_prepend(CAST(0 AS DOUBLE),
+                 list_transform(list_sort(list_distinct(ws)),
+                   w -> (CAST(len(list_filter(ws, x -> x = w)) AS DOUBLE)
+                         / len(ws))
+                        * ln(CAST(len(ws) AS DOUBLE)
+                             / len(list_filter(ws, x -> x = w))))),
                (a, b) -> a + b) END, 6) AS word_entropy
     FROM w
     """

@@ -27,6 +27,12 @@ from dwca_parquet_spark.operators.text import (
 )
 
 
+def _f3(x: float | None) -> str:
+    """Format a mean to 3 decimals; NULL aggregates (all-empty/NULL-text
+    corpus) render as 'n/a' instead of raising TypeError in the card."""
+    return "n/a" if x is None else f"{x:.3f}"
+
+
 def corpus_card(
     df: DataFrame,
     id_col: str,
@@ -103,10 +109,10 @@ def corpus_card(
         f"({c4['kept'] / max(totals['docs'], 1):.2%})",
         f"- Gopher rules pass: {gq['kept']:,} "
         f"({gq['kept'] / max(totals['docs'], 1):.2%})",
-        f"- mean alpha-word fraction: {gq['alpha']:.3f}; "
-        f"mean duplicate-line fraction: {gq['dup_lines']:.3f}",
-        f"- mean word entropy (nats): {ent['mean_h']:.3f}; "
-        f"mean zlib ratio: {zr['mean_r']:.3f}; "
+        f"- mean alpha-word fraction: {_f3(gq['alpha'])}; "
+        f"mean duplicate-line fraction: {_f3(gq['dup_lines'])}",
+        f"- mean word entropy (nats): {_f3(ent['mean_h'])}; "
+        f"mean zlib ratio: {_f3(zr['mean_r'])}; "
         f"docs compressing below 0.3 (repetition suspects): "
         f"{zr['suspicious'] or 0:,}",
         "",

@@ -91,6 +91,17 @@ def read_sketch_state(
             spark.createDataFrame([], BK_SCHEMA),
         )
     base = f"{str(state_path).rstrip('/')}/v{wm}"
+    # round-6 added the bottom-k leg to the state layout; a pre-r6
+    # directory has cms/hll but no bk.parquet. Crashing is correct (an
+    # empty-bk fallback would claim key coverage the sketch never saw),
+    # but the failure must be self-explanatory, not a raw path error.
+    if not FS(spark, base).exists(f"{base}/bk.parquet"):
+        raise ValueError(
+            f"sketch state at {base} predates the bottom-k state format "
+            "(no bk.parquet); the stored state cannot claim bottom-k "
+            "coverage it never computed — delete the state directory "
+            "and rebuild from the source stream"
+        )
     return (
         wm,
         spark.read.schema(CMS_SCHEMA).parquet(f"{base}/cms.parquet"),

@@ -181,3 +181,43 @@ def test_bottomk_group_plan_single_partitioned_window(spark):
     assert "Window" in plan
     assert "hashpartitioning(g" in plan
     assert plan.count("Exchange") <= 3  # distinct + window partition (+AQE)
+
+
+def test_bottomk_null_keys_dropped_both_engines(spark, duck):
+    """ADVICE r6: NULL keys used to break the sketch three ways — NULL
+    _bh ordered first by Spark and last by DuckDB (parity break), and
+    the Arrow prune's 'long' schema cannot carry the null. Contract
+    now: NULL keys are dropped at the head of build AND the by-group
+    variant, mirrored by WHERE key IS NOT NULL in the twins."""
+    from dwca_parquet_spark.operators.sketch import (
+        bottomk_by_group,
+        sql_bottomk_by_group,
+    )
+
+    rows = [(i % 5, f"k{i}" if i % 7 else None) for i in range(300)]
+    df = spark.createDataFrame(rows, "g long, key string")
+    duck.execute("CREATE OR REPLACE TABLE bknull (g BIGINT, key VARCHAR)")
+    duck.executemany("INSERT INTO bknull VALUES (?, ?)", rows)
+
+    got = _tuples(bottomk_build(df, "key", 32, salt="n"))
+    want = sorted(
+        tuple(r)
+        for r in duck.execute(
+            sql_bottomk_build("bknull", "key", 32, salt="n")
+        ).fetchall()
+    )
+    assert got == want and len(got) == 32
+    assert all(k is not None for k, _ in got)
+
+    got_g = sorted(
+        (r["grp"], r["key"], r["_bh"])
+        for r in bottomk_by_group(df, "g", "key", 8, salt="n").collect()
+    )
+    want_g = sorted(
+        tuple(r)
+        for r in duck.execute(
+            sql_bottomk_by_group("bknull", "g", "key", 8, salt="n")
+        ).fetchall()
+    )
+    assert got_g == want_g and len(got_g) == 5 * 8
+    assert all(k is not None for _, k, _ in got_g)

@@ -511,3 +511,47 @@ def test_edit_distance_pairs_fuzz_complete(spark, strs, d):
         if i < j and _lev(a, b) <= d
     }
     assert got == want
+
+
+def test_pair_jaccard_out_of_domain_cand_ids_cannot_reach_packing(spark):
+    """ADVICE r6: pair_jaccard's packed key is built from cand's id_b
+    too, and _ids_packable only inspects sh — but cand is inner-joined
+    to sh's size table BEFORE packing, so ids outside sh's validated
+    domain (negative, >= 2^33) are dropped, never shifted. Gate: a cand
+    set salted with hostile ids returns the identical result as the
+    clean cand set, and as the forced wide-key plan."""
+    from dwca_parquet_spark.operators import dedup as ddp
+    from dwca_parquet_spark.operators.dedup import (
+        pair_jaccard,
+        shingle_hash_table,
+    )
+
+    rows = [
+        (0, "a b c d e f g h"),
+        (1, "a b c d e f g x"),
+        (2, "p q r s t u v w"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = shingle_hash_table(df, "doc_id", "text", 3)
+    clean = [(0, 1), (0, 2), (1, 2)]
+    hostile = clean + [(0, 1 << 40), (0, -7), (-3, 2), (1 << 40, 1)]
+    cand_clean = spark.createDataFrame(clean, "id_a long, id_b long")
+    cand_host = spark.createDataFrame(hostile, "id_a long, id_b long")
+
+    def res(cand):
+        return sorted(
+            (r.id_a, r.id_b, round(r.jaccard, 6))
+            for r in pair_jaccard(cand, sh, "doc_id").collect()
+        )
+
+    got_clean, got_host = res(cand_clean), res(cand_host)
+    assert got_host == got_clean and len(got_clean) == 3
+
+    # and the packed plan agrees with the wide-key plan on the same input
+    orig = ddp._ids_packable
+    try:
+        ddp._ids_packable = lambda *_: False
+        wide = res(cand_host)
+    finally:
+        ddp._ids_packable = orig
+    assert got_host == wide

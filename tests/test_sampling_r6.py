@@ -146,3 +146,25 @@ def test_approx_plan_is_window_free_projection(spark, distinct_scores):
         .toString()
     )
     assert "Window" in exact_plan
+
+
+def test_approx_null_scores_bin_one_like_exact_ntile(spark):
+    """ADVICE r6: NULL scores got a NULL bin from the edge-comparison
+    sum while exact ntile (ORDER BY score ASC = Spark NULLS FIRST)
+    assigns every row a bin, NULLs first → bin 1. The approx path now
+    coalesces NULL scores to bin 1 to match."""
+    rows = [(i, float(i)) for i in range(200)] + [
+        (1000 + i, None) for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, "k long, s double")
+    exact = {
+        r["k"]: r["bin"] for r in quantile_bins(df, "s", "k", 4).collect()
+    }
+    approx = {
+        r["k"]: r["bin"]
+        for r in quantile_bins_approx(df, "s", "k", 4).collect()
+    }
+    assert len(approx) == len(rows)
+    for i in range(5):
+        assert exact[1000 + i] == 1
+        assert approx[1000 + i] == 1

@@ -160,3 +160,25 @@ def test_old_versions_pruned(spark, tmp_path):
     vdirs = sorted(p.name for p in pathlib.Path(state).glob("v*"))
     assert vdirs == ["v2", "v3"]
     assert applied_watermark(spark, state) == 3
+
+
+def test_pre_bottomk_state_layout_fails_with_clear_message(spark, tmp_path):
+    """ADVICE r6: resuming over a pre-round-6 state directory (cms/hll
+    but no bk.parquet) used to crash with an opaque path error. It must
+    still crash — an empty-bk fallback would claim coverage the sketch
+    never computed — but self-explanatorily."""
+    import pytest
+
+    from dwca_parquet_spark.operators.sketch import cms_build, hll_build
+
+    state = str(tmp_path / "oldstate")
+    batch = spark.range(0, 50).select(F.col("id").cast("string").alias("tok"))
+    # hand-write the OLD layout: v0 with cms+hll only
+    cms_build(batch, "tok", 256, 2).coalesce(1).write.parquet(
+        f"{state}/v0/cms.parquet"
+    )
+    hll_build(batch, "tok", 4).coalesce(1).write.parquet(
+        f"{state}/v0/hll.parquet"
+    )
+    with pytest.raises(ValueError, match="bottom-k state format"):
+        read_sketch_state(spark, state)
