@@ -113,11 +113,16 @@ def r5_tier_specs():
     )
     from dwca_parquet_spark.operators.text import (
         c4_clean,
+        compression_ratio,
         gopher_quality,
         sql_c4_clean,
         sql_gopher_quality,
         sql_word_entropy,
         word_entropy,
+    )
+    from dwca_parquet_spark.operators.sketch import (
+        bottomk_build,
+        sql_bottomk_build,
     )
     from dwca_parquet_spark.operators.unicode import (
         clean_controls,
@@ -126,6 +131,9 @@ def r5_tier_specs():
 
     def docs(spark):
         return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+    def lineitem(spark):
+        return spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
 
     wrap = (
         "'<html><body><p>' || replace(text, chr(10) || chr(10), "
@@ -194,6 +202,20 @@ def r5_tier_specs():
         "r6_unicode_clean": (
             lambda s: clean_controls(docs(s), "doc_id", "text"),
             sql_clean_controls("documents", "doc_id", "text"),
+        ),
+        # no SQL twin: zlib is not exposed by any SQL engine — the op is
+        # gated by an independent reference (test_quality_signals.py);
+        # this row exists so a perf regression is visible round-over-round
+        "r6_compression_ratio": (
+            lambda s: compression_ratio(docs(s), "doc_id", "text"),
+            None,
+        ),
+        "r6_bottomk_build": (
+            lambda s: bottomk_build(
+                lineitem(s).select("l_orderkey"), "l_orderkey", 256,
+                salt="bench",
+            ),
+            sql_bottomk_build("lineitem", "l_orderkey", 256, salt="bench"),
         ),
     }
 
@@ -316,7 +338,26 @@ def main() -> None:
                 out["r5_vs_oracle"] = round(
                     sum(r5_times[q] for q in common) / osum, 4
                 )
-    print(json.dumps(out))
+    # Artifact-of-record discipline (round 7): the full detail (per-query
+    # oracle timings included) goes to bench_summary.json next to this
+    # script; stdout gets a SLIM one-line JSON — same headline metric,
+    # per-query Spark times, totals and ratios, but not the bulky oracle
+    # dicts — so it always fits the driver's fixed-size tail capture and
+    # stays machine-parseable (BENCH_r06 lost its head to that window).
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "bench_summary.json"), "w") as f:
+        json.dump(out, f)
+    slim = {
+        k: v
+        for k, v in out.items()
+        if k not in ("oracle", "r5_oracle")
+    }
+    slim["detail"] = "bench_summary.json"
+    line = json.dumps(slim)
+    if len(line) > 1900:  # belt: never outgrow the tail window again
+        slim.pop("r5_tier", None)
+        line = json.dumps(slim)
+    print(line)
     spark.stop()
 
 

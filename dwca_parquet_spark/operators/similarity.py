@@ -384,11 +384,14 @@ def _sided_group_pairs(
     return out
 
 
+_BLOCK_TARGET_ROWS = 65_536  # ~32 MB of dim-64 int64 vectors per block
+
+
 def _block_pairs(
     df: DataFrame,
     id_col: str,
     vec_col: str,
-    num_blocks: int,
+    num_blocks: int | None,
     min_cosine: float,
 ) -> DataFrame:
     """Exact all-pairs cosine via block matmul — the distributed shape for
@@ -402,7 +405,19 @@ def _block_pairs(
     (n/b)×(n/b) integer matmul; size num_blocks so that fits executor
     memory (at 100 TB: n/b ≈ 10⁴–10⁵ rows ⇒ GB-scale blocks, thousands of
     independent groups).
+
+    ``num_blocks=None`` (the default since round 7) auto-sizes from the
+    table: ceil(n / 65_536), so a table that fits one block pays ZERO
+    replication (the r6 bench showed the fixed 8-way fan-out is pure
+    overhead at small n), while big tables grow blocks linearly. The
+    count() this costs is one column-pruned scan — noise next to the
+    O(n²) matmul it sizes. The PAIR SET is invariant to num_blocks
+    (every unordered pair lands in exactly one group under any
+    blocking), pinned by test_embedding_clusters.py.
     """
+    if num_blocks is None:
+        n = df.count()
+        num_blocks = max(1, -(-n // _BLOCK_TARGET_ROWS))
     prepped = df.select(
         F.col(id_col), scaled_vec(F.col(vec_col)).alias("svec")
     ).withColumn("_blk", F.pmod(F.xxhash64(F.col(id_col)), F.lit(num_blocks)))
@@ -531,7 +546,7 @@ def embedding_neardup_pairs(
     threshold: float = 0.9,
     bucketed: bool = False,
     num_planes: int = NUM_PLANES,
-    num_blocks: int = 8,
+    num_blocks: int | None = None,
 ) -> DataFrame:
     """Pairs (a < b) with cosine ≥ threshold — embedding near-dup dedup.
 
@@ -651,7 +666,7 @@ def embedding_dedup_clusters(
     threshold: float = 0.9,
     bucketed: bool = True,
     num_planes: int = NUM_PLANES,
-    num_blocks: int = 8,
+    num_blocks: int | None = None,
 ) -> DataFrame:
     """Near-dup cluster id per vector: (id, cluster_id) — the embedding
     twin of dedup.dedup_clusters.

@@ -50,3 +50,30 @@ def test_embedding_clusters_match_union_find(spark):
     in_pairs = {x for p in pairs for x in p}
     for vid in set(ids) - in_pairs:
         assert got[vid] == vid
+
+
+def test_block_pairs_autosize_and_blocking_invariance(spark):
+    """Round 7: num_blocks=None auto-sizes from the table — one block
+    when it fits (the r6 bench showed fixed 8-way fan-out is pure
+    replication overhead at small n) — and the pair set is invariant to
+    the blocking (every unordered pair lands in exactly one group under
+    ANY blocking), so auto ≡ forced-8 ≡ forced-3 row-for-row."""
+    import random
+
+    from dwca_parquet_spark.operators.similarity import _block_pairs
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "id long, vec array<float>")
+
+    def res(nb):
+        return sorted(
+            (r.id_a, r.id_b, round(r.cosine, 4))
+            for r in _block_pairs(df, "id", "vec", nb, -1.0).collect()
+        )
+
+    auto, one, three, eight = res(None), res(1), res(3), res(8)
+    assert auto == one == three == eight
+    assert len(auto) == 120 * 119 // 2  # threshold -1: every pair scored
