@@ -188,3 +188,173 @@ def test_kmeans_fit_partition_invariant(spark):
     )
     assert (ids1 == ids2).all()
     assert (mat1 == mat2).all()
+
+
+# ---------------------------------------------------------------------------
+# Incremental semantic dedup (op 118, round 7)
+# ---------------------------------------------------------------------------
+
+
+def _mk_vecs(rng, n, dim=16):
+    return np.array(
+        [[rng.uniform(-1, 1) for _ in range(dim)] for _ in range(n)]
+    )
+
+
+def _ref_incremental_pairs(
+    hist_ids, hist_vecs, batch_ids, batch_vecs, cent_ids, cent_mat, threshold
+):
+    """Independent reference: assign history ∪ batch to the FROZEN
+    centroids, score every within-cell pair, keep pairs touching the
+    batch; cross pairs oriented (hist, batch), batch pairs (min, max)."""
+    mh, mb = _scale(hist_vecs), _scale(batch_vecs)
+    ch = _assign(mh, cent_ids, cent_mat)
+    cb = _assign(mb, cent_ids, cent_mat)
+    out = {}
+    for c in np.unique(np.concatenate([ch, cb])):
+        hsel, bsel = ch == c, cb == c
+        ids = np.concatenate([hist_ids[hsel], batch_ids[bsel]])
+        m = np.concatenate([mh[hsel], mb[bsel]])
+        is_b = np.concatenate(
+            [np.zeros(hsel.sum(), bool), np.ones(bsel.sum(), bool)]
+        )
+        sd = np.sqrt(np.einsum("ij,ij->i", m, m).astype(np.float64))
+        cos = (m @ m.T).astype(np.float64) / (sd[:, None] * sd[None, :])
+        cos = _half_up(cos * 1e4) / 1e4
+        n = len(ids)
+        for x in range(n):
+            for y in range(x + 1, n):
+                if not (is_b[x] or is_b[y]):
+                    continue  # history×history: not this operator's job
+                if cos[x, y] < threshold:
+                    continue
+                if is_b[x] != is_b[y]:  # cross: (hist, batch)
+                    a, b = (ids[y], ids[x]) if is_b[x] else (ids[x], ids[y])
+                else:  # batch-internal: (min, max)
+                    a, b = min(ids[x], ids[y]), max(ids[x], ids[y])
+                out[(int(a), int(b))] = float(cos[x, y])
+    return out
+
+
+def test_semdedup_incremental_equals_frozen_reference(spark):
+    import random
+
+    from dwca_parquet_spark.operators.semdedup import (
+        semantic_dedup_incremental,
+        semdedup_state,
+    )
+
+    rng = random.Random(20260815)
+    hv = _mk_vecs(rng, 80)
+    # batch: fresh vectors + planted near-dups of history AND of each other
+    bv = _mk_vecs(rng, 20)
+    bv = np.concatenate(
+        [
+            bv,
+            hv[[3]] * 1.0005 + 0.0004,   # near-dup of hist 3
+            hv[[17]] * 0.9995,           # near-dup of hist 17
+            bv[[5]] * 1.0003 + 0.0002,   # near-dup of batch 105
+        ]
+    )
+    hist_ids = np.arange(0, 80, dtype=np.int64)
+    batch_ids = np.arange(100, 100 + len(bv), dtype=np.int64)
+    hist = spark.createDataFrame(
+        [(int(i), [float(x) for x in hv[r]]) for r, i in enumerate(hist_ids)],
+        "id long, vec array<float>",
+    )
+    batch = spark.createDataFrame(
+        [(int(i), [float(x) for x in bv[r]]) for r, i in enumerate(batch_ids)],
+        "id long, vec array<float>",
+    )
+    t = 0.95
+    cents, assigned = semdedup_state(hist, "id", "vec", k_cells=8, iters=2)
+    pairs, batch_assigned = semantic_dedup_incremental(
+        batch, cents, assigned, "id", "vec", threshold=t
+    )
+    got = {
+        (r.id_a, r.id_b): r.cosine for r in pairs.collect()
+    }
+    crows = sorted(cents.collect(), key=lambda r: r["cell"])
+    cent_ids = np.array([r["cell"] for r in crows], dtype=np.int64)
+    cent_mat = np.stack(
+        [np.asarray(r["csvec"], dtype=np.int64) for r in crows]
+    )
+    want = _ref_incremental_pairs(
+        hist_ids, hv, batch_ids, bv, cent_ids, cent_mat, t
+    )
+    assert got == want
+    assert len(got) >= 3  # every planted near-dup found
+    # no history×history pair ever emitted
+    assert all(b >= 100 for _, b in got)
+    # batch_assigned is the state-advancement payload: one row per batch
+    # vector, same schema as the stored assigned table
+    assert batch_assigned.count() == len(batch_ids)
+    assert batch_assigned.columns == assigned.columns
+    release_caches()
+
+
+def test_semdedup_incremental_state_advance_and_plan_pin(spark, tmp_path):
+    import random
+
+    from dwca_parquet_spark.operators.semdedup import (
+        semantic_dedup_incremental,
+        semdedup_state,
+    )
+
+    rng = random.Random(7)
+    hv = _mk_vecs(rng, 60)
+    b1 = _mk_vecs(rng, 15)
+    b2 = np.concatenate([_mk_vecs(rng, 10), b1[[2]] * 1.0004])  # dup of b1#2
+    hist_ids = np.arange(0, 60, dtype=np.int64)
+    b1_ids = np.arange(100, 115, dtype=np.int64)
+    b2_ids = np.arange(200, 211, dtype=np.int64)
+
+    def to_df(ids, vecs):
+        return spark.createDataFrame(
+            [(int(i), [float(x) for x in vecs[r]]) for r, i in enumerate(ids)],
+            "id long, vec array<float>",
+        )
+
+    t = 0.95
+    cents, assigned = semdedup_state(to_df(hist_ids, hv), "id", "vec", 8, 2)
+    # the documented contract: the state LIVES as parquet partitioned on
+    # cell — write it out, probe against the read-back (this is also what
+    # makes the plan pin honest: a stored state has no UDF lineage)
+    spath = str(tmp_path / "assigned")
+    assigned.write.partitionBy("cell").parquet(spath)
+    stored = spark.read.parquet(spath)
+    p1, adv1 = semantic_dedup_incremental(
+        to_df(b1_ids, b1), cents, stored, "id", "vec", t
+    )
+    # ADVANCE: append batch1's assigned rows (the op-78 contract)
+    adv1.write.partitionBy("cell").mode("append").parquet(spath)
+    state2 = spark.read.parquet(spath)
+    p2, _ = semantic_dedup_incremental(
+        to_df(b2_ids, b2), cents, state2, "id", "vec", t
+    )
+    got2 = {(r.id_a, r.id_b): r.cosine for r in p2.collect()}
+    crows = sorted(cents.collect(), key=lambda r: r["cell"])
+    cent_ids = np.array([r["cell"] for r in crows], dtype=np.int64)
+    cent_mat = np.stack(
+        [np.asarray(r["csvec"], dtype=np.int64) for r in crows]
+    )
+    want2 = _ref_incremental_pairs(
+        np.concatenate([hist_ids, b1_ids]),
+        np.concatenate([hv, b1]),
+        b2_ids, b2, cent_ids, cent_mat, t,
+    )
+    assert got2 == want2
+    assert (200, 210) not in got2  # orientation sanity
+    assert any(a == 102 and b == 210 for a, b in got2)  # cross-state dup found
+
+    # PLAN PIN: history vectors are never re-clustered — the executed
+    # plan contains exactly ONE DISTINCT assignment expression (the
+    # batch's svec; the printed tree repeats that node wherever the
+    # persisted batch feeds, so count distinct column ids, not lines);
+    # the state side reaches the pair stage through a join, untouched.
+    import re as _re
+
+    plan = p2._jdf.queryExecution().executedPlan().toString()
+    assigned_cols = set(_re.findall(r"cells_of\(svec#(\d+)", plan))
+    assert len(assigned_cols) == 1, plan
+    release_caches()
