@@ -184,6 +184,127 @@ def sample_frames(binary_df: DataFrame, n_frames: int = 4) -> DataFrame:
     return binary_df.mapInPandas(batch_fn, FRAME_SCHEMA)
 
 
+PHASH_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("phash", LongType()),
+    ]
+)
+
+
+def _dct_matrix(n: int):
+    """Orthonormal-free DCT-II basis C[k,m] = cos(π·(m+0.5)·k/n) — the
+    normalization cancels in median-relative comparisons, so it is
+    omitted (fewer float ops → fewer tie hazards)."""
+    import numpy as np
+
+    k = np.arange(n, dtype=np.float64)[:, None]
+    m = np.arange(n, dtype=np.float64)[None, :]
+    return np.cos(np.pi * (m + 0.5) * k / n)
+
+
+def phash_frames(
+    binary_df: DataFrame, n_frames: int = 8, grid: int = 32, block: int = 8
+) -> DataFrame:
+    """(doc_id, frame_idx, phash) — a DCT perceptual hash per sampled
+    frame (pHash; public knowledge — the classic DCT low-frequency
+    fingerprint). Each frame's bytes are read as an 8-bit signal,
+    resampled to a grid×grid raster (linear interpolation — the length
+    normalization a real thumbnailer performs), 2D-DCT'd (one numpy
+    matmul against the cosine basis), and the block×block low-frequency
+    corner EXCLUDING DC is thresholded at its median → a 63-bit hash.
+
+    Why this beats the exact frame hash for re-encode detection, and
+    exactly when: the DCT is linear and the DC row/column carry all of
+    a constant offset, so **brightness offset (b+β) and contrast
+    scaling (α·b, α>0) produce the IDENTICAL hash** (offset lands only
+    in the excluded DC; scaling multiplies every kept coefficient AND
+    their median by α, preserving every comparison). Bit-depth
+    reduction and mild resampling perturb coefficients slightly: most
+    frame hashes survive, and payload-level set Jaccard (≥ threshold of
+    frames matching) absorbs the few that flip. The exact byte-sum hash
+    (:func:`payload_neardup_pairs`) is defeated by ALL of these — any
+    byte change is a different hash.
+
+    Same 100 TB contract as sample_frames: blobs never leave the Python
+    worker; only 8-byte hashes cross back. Deterministic — pure numpy
+    arithmetic, no library codecs (the real decoder slot stays
+    ``decode_stub``-shaped; this operates on whatever bytes the decode
+    stage produced).
+    """
+    import numpy as np
+
+    C = _dct_matrix(grid)
+    n_keep = block * block - 1  # DC excluded
+
+    def batch_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, hashes = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n = len(payload)
+                if n == 0:
+                    continue
+                size = -(-n // n_frames)  # ceil — same framing as sample_frames
+                sig_full = np.frombuffer(payload, dtype=np.uint8)
+                for i in range(n_frames):
+                    start = i * size
+                    if start >= n:
+                        break
+                    sig = sig_full[start : start + size].astype(np.float64)
+                    # resample to grid² points (length normalization)
+                    pos = np.linspace(0, len(sig) - 1, grid * grid)
+                    raster = np.interp(
+                        pos, np.arange(len(sig), dtype=np.float64), sig
+                    ).reshape(grid, grid)
+                    d = C @ raster @ C.T
+                    coefs = d[:block, :block].ravel()[1:]  # drop DC
+                    med = np.median(coefs)
+                    bits = coefs > med
+                    h = 0
+                    for b in range(n_keep):
+                        if bits[b]:
+                            h |= 1 << b
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    hashes.append(h)
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "phash": hashes}
+            )
+
+    return binary_df.mapInPandas(batch_fn, PHASH_SCHEMA)
+
+
+def phash_neardup_pairs(
+    binary_df: DataFrame, n_frames: int = 8, threshold: float = 0.5
+) -> DataFrame:
+    """Perceptual payload near-dup pairs — :func:`payload_neardup_pairs`
+    with the pHash frame fingerprint instead of the exact byte-sum hash,
+    so re-encoded payloads (brightness/contrast/bit-depth perturbations
+    that change every byte) are still found. Feeds the SAME
+    modality-independent hash-set LSH machinery (band-bucket candidates,
+    exact set-Jaccard verify) — only the frame fingerprint changed.
+
+    The 63-bit phash is reduced mod HASH_MOD before entering the set
+    machinery: pair_jaccard's packed verify key requires hashes below
+    2^30 (dedup.py:181), and set-equality semantics only need a
+    deterministic injective-in-practice mapping (collision odds ~2^-30
+    per frame pair).
+    """
+    from dwca_parquet_spark.cache import persist_tracked
+    from dwca_parquet_spark.operators.dedup import dup_pairs_from_hash_sets
+
+    frames = phash_frames(binary_df, n_frames)
+    sh = persist_tracked(
+        frames.select(
+            F.col("doc_id"), (F.col("phash") % HASH_MOD).alias("_fh")
+        )
+        .groupBy("doc_id")
+        .agg(F.array_distinct(F.collect_list("_fh")).alias("hashes"))
+    )
+    return dup_pairs_from_hash_sets(sh, "doc_id", threshold=threshold)
+
+
 def payload_neardup_pairs(
     binary_df: DataFrame, n_frames: int = 8, threshold: float = 0.5
 ) -> DataFrame:
