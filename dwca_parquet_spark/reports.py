@@ -40,9 +40,21 @@ def corpus_card(
     source_col: str | None = None,
     lang_col: str | None = None,
     name: str = "corpus",
+    url_col: str | None = None,
+    url_diversity_k: int = 128,
 ) -> str:
     """Markdown datasheet for a document table. Deterministic: every
-    number is an exact aggregate; orderings are explicit."""
+    number is an exact aggregate; orderings are explicit.
+
+    ``url_col``: pass the document-URL column to add a per-domain URL
+    diversity panel — op 117's per-group bottom-k over (domain, url),
+    KMV-estimated distinct URLs per domain (exact for domains under
+    ``url_diversity_k`` URLs). The crawl-provenance question ("is this
+    domain a thousand pages or one page mirrored a thousand times?")
+    answered by the engine's own gated sketch, per the op-86 rule that
+    datasheet numbers ARE operator outputs. Bounded: state ≤ k rows per
+    domain, collect ≤ |domains| rows.
+    """
     stats = text_stats(df, id_col, text_col)
     totals = stats.agg(
         F.count(F.lit(1)).alias("docs"),
@@ -142,5 +154,36 @@ def corpus_card(
             lines.append(
                 f"| {r[col]} | {r['docs']:,} | {r['tokens']:,} | "
                 f"{r['tokens'] / total_tokens:.2%} |"
+            )
+
+    if url_col is not None:
+        from dwca_parquet_spark.operators.sketch import (
+            bottomk_by_group,
+            bottomk_group_estimates,
+        )
+
+        with_domain = df.select(
+            F.regexp_extract(F.col(url_col), r"https?://([^/\s:]+)", 1)
+            .alias("_domain"),
+            F.col(url_col),
+        ).filter(F.col("_domain") != "")
+        state = bottomk_by_group(
+            with_domain, "_domain", url_col, url_diversity_k
+        )
+        est = (
+            bottomk_group_estimates(state, url_diversity_k)
+            .orderBy(F.desc("distinct_est"), F.asc("grp"))
+            .collect()  # bounded: one row per domain
+        )
+        lines += [
+            "",
+            f"## URL diversity (per domain, bottom-k k={url_diversity_k})",
+            "| domain | sampled | distinct URLs (est) |",
+            "|---|---|---|",
+        ]
+        for r in est:
+            lines.append(
+                f"| {r['grp']} | {r['n_sampled']:,} | "
+                f"{r['distinct_est']:,} |"
             )
     return "\n".join(lines) + "\n"

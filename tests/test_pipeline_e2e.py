@@ -188,3 +188,64 @@ def test_crawl_pipeline_composes(spark, tmp_path):
         toks = by_url[r["canonical_url"]]["bpe_tokens"]
         rebuilt = "".join(toks).replace("</w>", " ").strip()
         assert rebuilt == " ".join(normalize_text_py(r["text"]).split())
+
+
+def test_crawl_chain_leakage_fence_and_split_manifests(spark, tmp_path):
+    """Round 7 (VERDICT r6 next #6): the chain's FINAL fence — op 113's
+    leakage-safe split feeding per-split verified shard exports. Pins:
+    every kept document lands in exactly one split; planted near-dup
+    pairs NEVER straddle splits; the three manifests are individually
+    verifiable and their doc counts sum to the corpus."""
+    import random
+
+    from dwca_parquet_spark.operators.sampling import leakage_safe_split
+    from dwca_parquet_spark.sinks.shards import (
+        verify_shards,
+        write_training_shards,
+    )
+
+    rng = random.Random(20260815)
+    # unique random words per doc: shingles are CHARACTER k-grams, so a
+    # shared tiny vocabulary would make every random doc pair a genuine
+    # near-dup and collapse the corpus into one cluster
+    alpha = "abcdefghijklmnopqrstuvwxyz"
+
+    def word():
+        return "".join(rng.choice(alpha) for _ in range(8))
+
+    rows = []
+    for i in range(90):
+        rows.append(
+            (f"https://s{i}.example/p", " ".join(word() for _ in range(30)))
+        )
+    # planted near-dup pairs: same text + two extra tokens
+    planted = []
+    for i in range(12):
+        dup_id = f"https://dup{i}.example/p"
+        rows.append((dup_id, rows[i][1] + " zz yy"))
+        planted.append((rows[i][0], dup_id))
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+
+    assigned = leakage_safe_split(docs, "doc_id", "text").persist()
+    by_id = {r["doc_id"]: r["split"] for r in assigned.collect()}
+    assert len(by_id) == len(rows)  # one row per id
+    for a, b in planted:  # the fence: near-dups share a split
+        assert by_id[a] == by_id[b], (a, b)
+
+    totals = 0
+    for split_name in ("train", "val", "test"):
+        part = docs.join(
+            assigned.filter(F.col("split") == split_name).select("doc_id"),
+            "doc_id",
+            "left_semi",
+        )
+        out = tmp_path / f"shards_{split_name}"
+        manifest = write_training_shards(
+            part, out, "doc_id", "text", n_shards=4
+        )
+        n = manifest.agg(F.sum("n_docs")).collect()[0][0] or 0
+        totals += int(n)
+        assert verify_shards(spark, out, "doc_id").count() == 0
+        assert n == sum(1 for s in by_id.values() if s == split_name)
+    assert totals == len(rows)  # the fence partitions, never drops
+    assigned.unpersist()

@@ -73,3 +73,42 @@ def test_corpus_card_statistical_signals(spark):
     )
     assert f"- mean word entropy (nats): {mean_h:.3f}; " in card
     assert f"mean zlib ratio: {mean_r:.3f}; " in card
+
+
+def test_corpus_card_url_diversity_panel(spark):
+    """The op-117 panel (round 7): per-domain distinct-URL estimates in
+    the card equal bottomk_group_estimates' own output over the same
+    (domain, url) stream — the op-86 rule, numbers ARE operator
+    outputs. Mirror-heavy vs diverse domains separate correctly."""
+    from dwca_parquet_spark.operators.sketch import (
+        bottomk_by_group,
+        bottomk_group_estimates,
+    )
+
+    rows = []
+    for i in range(300):  # diverse.example: 300 distinct URLs
+        rows.append((i, f"https://diverse.example/page{i}", f"text {i}"))
+    for i in range(300, 600):  # mirror.example: 1 URL repeated
+        rows.append((i, "https://mirror.example/home", f"text {i}"))
+    docs = spark.createDataFrame(rows, "doc_id long, url string, text string")
+    k = 64
+    card = corpus_card(
+        docs, "doc_id", "text", name="u", url_col="url", url_diversity_k=k
+    )
+    with_domain = docs.select(
+        F.regexp_extract(F.col("url"), r"https?://([^/\s:]+)", 1).alias(
+            "_domain"
+        ),
+        F.col("url"),
+    )
+    est = {
+        r["grp"]: (r["n_sampled"], r["distinct_est"])
+        for r in bottomk_group_estimates(
+            bottomk_by_group(with_domain, "_domain", "url", k), k
+        ).collect()
+    }
+    assert est["mirror.example"] == (1, 1.0)  # under-full: exact
+    assert est["diverse.example"][0] == k  # full sketch: KMV estimate
+    for dom, (n, e) in est.items():
+        assert f"| {dom} | {n:,} | {e:,} |" in card
+    assert card.index("diverse.example") < card.index("mirror.example")

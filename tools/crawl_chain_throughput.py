@@ -112,6 +112,12 @@ def main() -> int:
         help="insert the op-115 hygiene stage (clean_controls + "
         "fix_mojibake + normalize_nfc) between extraction and C4",
     )
+    ap.add_argument(
+        "--split", action="store_true",
+        help="op-113 final fence: leakage-safe train/val/test shard "
+        "exports (near-dup clusters never straddle the fence), one "
+        "verified manifest per split",
+    )
     args = ap.parse_args()
 
     if args.files is None:
@@ -195,6 +201,32 @@ def main() -> int:
     stats = manifest.agg(
         F.sum("n_docs").alias("docs"), F.sum("n_tokens").alias("toks")
     ).collect()[0]
+    split_info = None
+    if args.split:
+        from dwca_parquet_spark.operators.sampling import leakage_safe_split
+
+        assigned = leakage_safe_split(deduped, "doc_id", "text").persist()
+        split_info = {}
+        for split_name in ("train", "val", "test"):
+            part = deduped.join(
+                assigned.filter(F.col("split") == split_name)
+                .select("doc_id"),
+                "doc_id",
+                "left_semi",
+            )
+            if part.rdd.isEmpty():  # tiny corpora can leave a split empty
+                split_info[split_name] = {"docs": 0, "verified": True}
+                continue
+            m = write_training_shards(
+                part, shard_dir.parent / f"shards_{split_name}",
+                "doc_id", "text", n_shards=8,
+            )
+            n = m.agg(F.sum("n_docs")).collect()[0][0] or 0
+            v = verify_shards(
+                spark, shard_dir.parent / f"shards_{split_name}", "doc_id"
+            ).count() == 0
+            split_info[split_name] = {"docs": int(n), "verified": bool(v)}
+        assigned.unpersist()
     chain_sec = time.perf_counter() - t1
     ok = verify_shards(spark, shard_dir, "doc_id").count() == 0
 
@@ -211,6 +243,9 @@ def main() -> int:
         "shards_verified": bool(ok),
         "cpus": spark.sparkContext.defaultParallelism,
     }
+    if split_info is not None:
+        result["splits"] = split_info
+        ok = ok and all(s["verified"] for s in split_info.values())
     print(json.dumps(result), flush=True)
     spark.stop()
     return 0 if ok else 1
