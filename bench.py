@@ -164,6 +164,25 @@ def r5_tier_specs():
         model = bpe_fit(d, "text", n_merges=200, max_words=20_000)
         return bpe_encode(d, "doc_id", "text", model)
 
+    from dwca_parquet_spark.operators.multimodal import (
+        phash_frames,
+        to_binary_table,
+    )
+    from dwca_parquet_spark.operators.semdedup import (
+        semantic_dedup_incremental,
+        semdedup_state,
+    )
+
+    def spark_semdedup_incr(spark):
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        hist = emb.filter(F.pmod(F.xxhash64("vec_id"), F.lit(10)) != 0)
+        batch = emb.filter(F.pmod(F.xxhash64("vec_id"), F.lit(10)) == 0)
+        cents, assigned = semdedup_state(hist, "vec_id", "embedding", 16, 2)
+        pairs, _ = semantic_dedup_incremental(
+            batch, cents, assigned, "vec_id", "embedding", 0.95
+        )
+        return pairs
+
     budget_sql = sql_select_to_token_budget(
         "(SELECT doc_id, CAST(length(text) AS DOUBLE) AS score, "
         "CAST(length(text) / 4 + 1 AS BIGINT) AS toks FROM documents)",
@@ -216,6 +235,18 @@ def r5_tier_specs():
                 salt="bench",
             ),
             sql_bottomk_build("lineitem", "l_orderkey", 256, salt="bench"),
+        ),
+        # no SQL twin: the incremental probe is gated ≡ an independent
+        # NumPy reference (test_semdedup.py); the row makes probe-side
+        # perf regressions visible. 90/10 history/batch split by id hash.
+        "r7_semdedup_incremental": (spark_semdedup_incr, None),
+        # no SQL twin: DCT pHash is numpy work inside mapInPandas, gated
+        # by exact-invariance proofs (test_phash.py)
+        "r7_phash_frames": (
+            lambda s: phash_frames(
+                to_binary_table(docs(s), "doc_id", "text"), n_frames=8
+            ),
+            None,
         ),
     }
 

@@ -539,6 +539,121 @@ def ivf_topk(
     )
 
 
+def ivf_state(
+    df: DataFrame, id_col: str, vec_col: str, k_cells: int = 16
+) -> tuple[DataFrame, DataFrame]:
+    """The stored IVF index (SURVEY §2 op 120): (centroid table,
+    inverted-list table) — ops 27/47's index as REUSABLE STATE instead
+    of a per-query rebuild, completing the incremental column for the
+    ANN ladder (the dedup side already has ops 59/78/104/118).
+
+    * centroids — (cell, csvec): k_cells rows, the frozen coarse
+      quantizer (deterministic: the k_cells lowest-id vectors, exactly
+      ivf_topk's protocol, so a SQL oracle can re-derive cells).
+    * inv — (cand_id, cell, svec, sdot): one row per indexed vector.
+      Write partitioned/bucketed on ``cell``: a probe then prunes to
+      its nprobe cells at the scan.
+
+    Advancing the state after a batch is appending
+    :func:`ivf_append`'s rows — new vectors join the index WITHOUT
+    touching indexed ones (the op-78 contract). Re-fitting centroids is
+    a periodic policy decision, as with any ANN index.
+    """
+    prepped = _prepped(df, id_col, vec_col)
+    cents_rows = (
+        prepped.orderBy(F.col(id_col))
+        .limit(k_cells)
+        .select(id_col, "svec")
+        .collect()
+    )
+    if len(cents_rows) < k_cells:
+        raise ValueError(f"need at least {k_cells} vectors")
+    cents = df.sparkSession.createDataFrame(
+        [(int(r[0]), [int(x) for x in r[1]]) for r in cents_rows],
+        "cell long, csvec array<long>",
+    )
+    inv = _ivf_assign(prepped, cents, id_col)
+    return cents, inv
+
+
+def _cent_arrays(state_cents: DataFrame) -> tuple[np.ndarray, np.ndarray]:
+    rows = state_cents.orderBy("cell").collect()  # bounded: k_cells
+    return (
+        np.array([r["cell"] for r in rows], dtype=np.int64),
+        np.stack([np.asarray(r["csvec"], dtype=np.int64) for r in rows]),
+    )
+
+
+def _ivf_assign(
+    prepped: DataFrame, state_cents: DataFrame, id_col: str
+) -> DataFrame:
+    cent_ids, cent_mat = _cent_arrays(state_cents)
+    assign = _cells_udf(cent_ids, cent_mat, 1)
+    return prepped.select(
+        F.col(id_col).alias("cand_id"),
+        assign(F.col("svec")).getItem(0).alias("cell"),
+        F.col("svec"),
+        F.col("sdot"),
+    )
+
+
+def ivf_append(
+    batch: DataFrame, state_cents: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """The batch's inverted-list rows under the STORED coarse quantizer
+    — append them to the state's inv table to advance the index. One
+    bounded centroid collect + one Arrow projection over the batch;
+    indexed vectors are never read, never re-assigned (plan-pinned in
+    test_ivf_state.py)."""
+    return _ivf_assign(_prepped(batch, id_col, vec_col), state_cents, id_col)
+
+
+def ivf_topk_stored(
+    queries: DataFrame,
+    state_cents: DataFrame,
+    state_inv: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    nprobe: int = 2,
+) -> DataFrame:
+    """ivf_topk against the STORED index: probe the nprobe nearest
+    stored cells per query vector, exact-rank inside — identical
+    ranking math to op 27 (same rounding, same tie-break), but the
+    inverted lists come from the state table instead of a rebuild.
+    Candidate cost Σ_probed |cell|; with inv partitioned on cell the
+    untouched lists never leave the scan. Queries broadcast (the
+    bounded-query-set contract ops 17/27 already state).
+    """
+    cent_ids, cent_mat = _cent_arrays(state_cents)
+    probe = _cells_udf(cent_ids, cent_mat, nprobe)
+    q = _prepped(queries, id_col, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.explode(probe(F.col("svec"))).alias("cell"),
+        F.col("svec").alias("svec_q"),
+        F.col("sdot").alias("sdot_q"),
+    )
+    inv = state_inv.select(
+        "cand_id",
+        "cell",
+        F.col("svec").alias("svec_c"),
+        F.col("sdot").alias("sdot_c"),
+    )
+    pairs = F.broadcast(q).join(inv, "cell").filter(
+        F.col("query_id") != F.col("cand_id")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("cand_id").asc()
+    )
+    return (
+        _score_pairs(pairs)
+        .select("query_id", "cand_id", "cosine")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     id_col: str,

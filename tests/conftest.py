@@ -65,6 +65,41 @@ def duck():
 # individually without restructuring their parametrize calls.
 # ---------------------------------------------------------------------------
 SLOW_NODE_IDS = {
+    # round-7 rebalance (VERDICT r6 ask #7): quick lane had crept to
+    # 388 s; the ≥4 s nodes below move to the slow lane (the full suite
+    # stays THE gate). Durations measured 2026-08-15.
+    "test_bloom.py::test_probe_no_false_negatives",
+    "test_bottomk.py::test_bottomk_merge_law_and_idempotence",
+    "test_embedding_clusters.py::test_block_pairs_autosize_and_blocking_invariance",
+    "test_leakage_split.py::test_singletons_match_plain_hash_split",
+    "test_phash.py::test_phash_finds_reencodes_exact_hash_misses",
+    "test_pipeline_e2e.py::test_crawl_chain_leakage_fence_and_split_manifests",
+    "test_properties.py::test_pair_jaccard_out_of_domain_cand_ids_cannot_reach_packing",
+    "test_properties_r6.py::test_clean_controls_twin_fuzz",
+    "test_properties_r6.py::test_quantile_bins_approx_contract_fuzz",
+    "test_reports.py::test_corpus_card_url_diversity_panel",
+    "test_semdedup.py::test_semdedup_incremental_equals_frozen_reference",
+    "test_semdedup.py::test_semdedup_incremental_state_advance_and_plan_pin",
+    "test_streaming_sketches.py::test_old_versions_pruned",
+    "test_streaming_sketches.py::test_stream_fold_equals_batch_sketch",
+    "test_sq.py::test_sq8_topk_recall_and_rerank",
+    "test_sq.py::test_bq_hamming_topk_recall_and_rerank",
+    "test_properties.py::test_html_extract_fuzz_parity",
+    "test_properties.py::test_topk_matches_sorted_head",
+    "test_text_ops.py::test_contamination_overlap_documents_parity",
+    "test_shards.py::test_write_training_shards_deterministic",
+    "test_streaming_sketches.py::test_replay_is_noop_and_crash_residue_ignored",
+    "test_linkage.py::test_link_records_clusters",
+    "test_reports.py::test_corpus_card_statistical_signals",
+    "test_sampling_r6.py::test_token_budget_null_scores_kept_and_match_twin",
+    "test_bloom.py::test_probe_false_positive_rate_bounded",
+    "test_zorder.py::test_zorder_preserves_rows_and_skips_both_dims",
+    "test_semdedup.py::test_semantic_dedup_planted_groups",
+    "test_bottomk.py::test_bottomk_duckdb_parity",
+    "test_cdc.py::test_diff_snapshots_round_trip",
+    "test_gopher.py::test_select_to_token_budget_parity",
+    "test_bottomk.py::test_bottomk_group_merge_law_and_estimates",
+    "test_bottomk.py::test_bottomk_null_keys_dropped_both_engines",
     "test_bloom.py::test_bitmap_parity_duckdb",
     "test_bloom.py::test_dedup_incremental_equals_anti_join",
     "test_bloom.py::test_incremental_minhash_equals_cross_pairs_of_full_run",
