@@ -654,6 +654,117 @@ def ivf_topk_stored(
     )
 
 
+def decontaminate_semantic(
+    df: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    eval_id_col: str,
+    eval_vec_col: str,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding-level eval-set decontamination (SURVEY §2 op 121):
+    (id, eval_id, eval_cosine, contaminated) — for every corpus vector,
+    its nearest EVAL vector by exact integer cosine, flagged when the
+    4-dp-rounded cosine reaches ``threshold``. Ops 50/51 fence exact
+    and n-gram overlap; this closes the paraphrase hole — an eval item
+    rewritten enough to share no 8-gram still sits next to its source
+    in embedding space (the SemDeDup observation applied to the
+    train/eval fence).
+
+    The 100 TB shape: the eval set is BOUNDED (one driver collect of
+    |eval|×dim ints), so scoring is ONE Arrow projection per corpus
+    batch — an int64 matmul against the broadcast eval matrix, max +
+    argmax per row (ties toward the lowest eval id). No join, no
+    shuffle, no explode: the plan is scan → pandas UDF → projection
+    (plan-pinned Exchange-free, test_decontaminate_semantic.py), so it
+    composes with whatever filter chain precedes it at corpus scale.
+
+    Exactness: the shared integer protocol — scaled int64 vectors, an
+    exact integer matmul, cosine derived in double from identical
+    integers — so the DuckDB twin (:func:`sql_decontaminate_semantic`,
+    a |corpus|×|eval| cross join the oracle can afford at test scale)
+    reproduces every value bit-for-bit; argmax ties break identically
+    (numpy argmax takes the first maximum over eval-id-sorted columns;
+    the twin orders cosine DESC, eval_id ASC).
+    """
+    rows = (
+        _prepped(eval_df, eval_id_col, eval_vec_col)
+        .orderBy(F.col(eval_id_col))
+        .collect()
+    )  # bounded: the eval set
+    if not rows:
+        raise ValueError("eval set is empty — nothing to decontaminate against")
+    eids = np.array([r[0] for r in rows], dtype=np.int64)
+    emat = np.stack([np.asarray(r[1], dtype=np.int64) for r in rows])
+    esd = np.sqrt(
+        np.einsum("ij,ij->i", emat, emat).astype(np.float64)
+    )
+
+    out_schema = StructType(
+        [
+            StructField("eval_id", LongType()),
+            StructField("cosine", DoubleType()),
+        ]
+    )
+
+    @pandas_udf(out_schema)
+    def best_eval(svec: pd.Series, sdot: pd.Series) -> pd.DataFrame:
+        m = np.stack(svec.to_numpy()).astype(np.int64)
+        d = np.sqrt(sdot.to_numpy().astype(np.float64))
+        cos = (m @ emat.T).astype(np.float64) / (d[:, None] * esd[None, :])
+        idx = np.argmax(cos, axis=1)  # first max → lowest eval id
+        return pd.DataFrame(
+            {
+                "eval_id": eids[idx],
+                "cosine": cos[np.arange(len(idx)), idx],
+            }
+        )
+
+    scored = _prepped(df, id_col, vec_col).select(
+        F.col(id_col),
+        best_eval(F.col("svec"), F.col("sdot")).alias("_b"),
+    )
+    return scored.select(
+        F.col(id_col),
+        F.col("_b.eval_id").alias("eval_id"),
+        F.round(F.col("_b.cosine"), 4).alias("eval_cosine"),
+        (F.round(F.col("_b.cosine"), 4) >= F.lit(threshold)).alias(
+            "contaminated"
+        ),
+    )
+
+
+def sql_decontaminate_semantic(
+    corpus: str,
+    eval_src: str,
+    id_col: str,
+    vec_col: str,
+    eval_id_col: str,
+    eval_vec_col: str,
+    dim: int,
+    threshold: float = 0.95,
+) -> str:
+    """DuckDB twin of :func:`decontaminate_semantic` — the same scaled
+    integers, the same cosine arithmetic, max via ORDER BY cosine DESC,
+    eval_id ASC (≡ numpy first-max over id-sorted columns)."""
+    cs = sql_scaled_vec(vec_col, dim)
+    es = sql_scaled_vec(eval_vec_col, dim)
+    cos = sql_cosine_scaled("cv", "ev", dim)
+    return f"""
+    WITH c AS (SELECT {id_col} AS cid, {cs} AS cv FROM {corpus}),
+    e AS (SELECT {eval_id_col} AS eid, {es} AS ev FROM {eval_src}),
+    x AS (SELECT cid, eid, {cos} AS cos,
+                 row_number() OVER (PARTITION BY cid
+                                    ORDER BY {cos} DESC, eid ASC) AS rk
+          FROM c CROSS JOIN e)
+    SELECT cid AS {id_col}, eid AS eval_id,
+           round(cos, 4) AS eval_cosine,
+           (round(cos, 4) >= {threshold}) AS contaminated
+    FROM x WHERE rk = 1
+    """
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     id_col: str,
