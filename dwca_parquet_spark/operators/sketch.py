@@ -318,18 +318,52 @@ BOTTOMK_B = 104_729        # same values as global_shuffle, so the sketch's
 # order is the seeded-permutation order the export stack already proves
 
 
-def _bk_mixed(key: Column, salt: str) -> Column:
-    """Quadratic mix of the portable hash — see global_shuffle's docstring
-    for why affine is not enough (poly_hash of sequential keys is nearly
-    monotonic; a quadratic makes the stride position-dependent)."""
-    h = H.poly_hash(F.concat(key.cast("string"), F.lit(salt)))
+def _bk_mix_of(h: Column) -> Column:
+    """Quadratic mix of an already-staged portable hash — see
+    global_shuffle's docstring for why affine is not enough (poly_hash
+    of sequential keys is nearly monotonic; a quadratic makes the
+    stride position-dependent)."""
     return F.pmod(
         h * h + F.lit(BOTTOMK_A) * h + F.lit(BOTTOMK_B), F.lit(H.HASH_MOD)
     )
 
 
+def _bk_mixed(key: Column, salt: str) -> Column:
+    """One-expression form of stage-hash-then-mix. PREFER the staged
+    two-projection form in scan-stage hot paths (_with_bh): inlined
+    here, the per-char poly_hash fold is re-evaluated for every
+    occurrence of ``h`` in the quadratic (3×/row — measured 3.3 s vs
+    1.9 s on 600k keys)."""
+    return _bk_mix_of(H.poly_hash(F.concat(key.cast("string"), F.lit(salt))))
+
+
+def _with_bh(keyed: DataFrame, salt: str) -> DataFrame:
+    """Add ``_bh`` to a (…, key) relation via TWO projections: the
+    poly_hash staged as its own column so the quadratic mix references
+    it without re-running the per-char fold (CollapseProject keeps a
+    multiply-referenced non-cheap alias staged — the
+    shingle_hash_table discipline). Value-identical to _bk_mixed."""
+    return (
+        keyed.withColumn(
+            "_gh",
+            H.poly_hash(F.concat(F.col("key").cast("string"), F.lit(salt))),
+        )
+        .withColumn("_bh", _bk_mix_of(F.col("_gh")))
+        .drop("_gh")
+    )
+
+
+# Below this input size the per-partition Arrow prune's fixed cost
+# (JVM→Arrow crossing of every (key, hash) row) exceeds what it saves:
+# the whole distinct fits one small shuffle. Measured at sf0.1 lineitem
+# (~600k rows): naive 0.6 s vs pruned 4.4 s; at 200 M rows the prune
+# wins 18 s vs 78 s (SCALE.md bake-off). 256 MB of scan bytes sits
+# comfortably between those regimes.
+_BK_PRUNE_MIN_BYTES = 256 << 20
+
+
 def bottomk_build(
-    df: DataFrame, key_col: str, k: int, salt: str = ""
+    df: DataFrame, key_col: str, k: int, salt: str = "", prune: bool | None = None
 ) -> DataFrame:
     """The k DISTINCT keys with the smallest mixed portable hash —
     simultaneously (Bar-Yossef et al. 2002, "KMV"; PAPERS.md):
@@ -362,17 +396,32 @@ def bottomk_build(
     distinct + top-k runs over ≤ ~(k+ties)·partitions rows. Zero
     corpus-sized shuffle; the only full-data work is the scan-stage
     hash projection and the in-partition fold.
+
+    ``prune=None`` (default) picks the plan from the optimizer's size
+    estimate: inputs under ~256 MB skip the Arrow prune — their full
+    distinct is one small shuffle, and the prune's fixed crossing cost
+    dominates (measured both ways, see _BK_PRUNE_MIN_BYTES). The prune
+    is LOSSLESS, so the two plans are row-identical (gated,
+    test_bottomk.py); pass True/False to force either.
     """
     key_type = df.schema[key_col].dataType.simpleString()
-    hashed = (
-        df.select(F.col(key_col).alias("key"))
-        .filter(F.col("key").isNotNull())
-        .withColumn("_bh", _bk_mixed(F.col("key"), salt))
+    hashed = _with_bh(
+        df.select(F.col(key_col).alias("key")).filter(
+            F.col("key").isNotNull()
+        ),
+        salt,
     )
-    pruned = hashed.mapInPandas(
-        _bk_prune_factory(k), f"key {key_type}, _bh long"
-    )
-    return pruned.distinct().orderBy("_bh", "key").limit(k)
+    if prune is None:
+        try:
+            stats = df._jdf.queryExecution().optimizedPlan().stats()
+            prune = int(str(stats.sizeInBytes())) > _BK_PRUNE_MIN_BYTES
+        except Exception:  # stats unavailable → keep the scale-safe plan
+            prune = True
+    if prune:
+        hashed = hashed.mapInPandas(
+            _bk_prune_factory(k), f"key {key_type}, _bh long"
+        )
+    return hashed.distinct().orderBy("_bh", "key").limit(k)
 
 
 def _bk_prune_factory(k: int):
@@ -473,13 +522,13 @@ def bottomk_by_group(
     window; skewed groups are one partition's k-row problem, and the
     rank short-circuits at k). Output bounded by |groups|·k.
     """
-    base = (
+    base = _with_bh(
         df.select(
             F.col(group_col).alias("grp"), F.col(key_col).alias("key")
         )
         .filter(F.col("key").isNotNull())  # op-114 NULL-key contract
-        .distinct()
-        .withColumn("_bh", _bk_mixed(F.col("key"), salt))
+        .distinct(),
+        salt,
     )
     from pyspark.sql import Window
 

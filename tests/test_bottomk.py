@@ -221,3 +221,30 @@ def test_bottomk_null_keys_dropped_both_engines(spark, duck):
     )
     assert got_g == want_g and len(got_g) == 5 * 8
     assert all(k is not None for _, k, _ in got_g)
+
+
+def test_bottomk_prune_plans_row_identical_and_autoswitch(spark):
+    """Round 7: the Arrow prune is size-gated (its fixed crossing cost
+    loses below ~256 MB — measured both ways, sketch.py). The prune is
+    lossless, so forced-on, forced-off, and auto must return the
+    IDENTICAL state; on a small input auto must pick the JVM plan (no
+    Python stage in the executed plan)."""
+    docs = spark.read.parquet(f"{SF_T2}/documents.parquet")
+    auto = _tuples(bottomk_build(docs, "doc_id", 64, salt="p"))
+    on = _tuples(bottomk_build(docs, "doc_id", 64, salt="p", prune=True))
+    off = _tuples(bottomk_build(docs, "doc_id", 64, salt="p", prune=False))
+    assert auto == on == off and len(auto) == 64
+    plan = (
+        bottomk_build(docs, "doc_id", 64, salt="p")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "mapInPandas" not in plan and "ArrowEval" not in plan
+    forced = (
+        bottomk_build(docs, "doc_id", 64, salt="p", prune=True)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "FlatMapGroupsInPandas" in forced or "MapInPandas" in forced
