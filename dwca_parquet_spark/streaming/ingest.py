@@ -140,3 +140,106 @@ def stream_ingest_paragraph_dedup(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_ingest_semantic_dedup(
+    stream: DataFrame,
+    vec_store: str,
+    cents_path: str,
+    assigned_path: str,
+    id_col: str,
+    vec_col: str,
+    checkpoint: str,
+    threshold: float = 0.95,
+):
+    """Streaming lift of incremental semantic dedup (SURVEY §2 op 118 —
+    the op-107 pattern for embeddings): each micro-batch of vectors is
+    probed against the stored cell state; batch vectors semantically
+    novel land in ``vec_store`` partitioned by batch id, and ONLY their
+    assigned rows append to the state — the state IS the deduplicated
+    corpus, like the Bloom path's store.
+
+    Keep policy (transitive, matching the batch operator's CC
+    discipline): connected components over ALL probe pairs (history×
+    batch + batch×batch); a batch vector is kept iff its component
+    contains no history vector AND it is the component's minimum id
+    (unpaired vectors are their own component — kept). Seed the state
+    with :func:`~dwca_parquet_spark.operators.semdedup.semdedup_state`
+    over the initial corpus.
+
+    Idempotency on replay: ids already present in the state are dropped
+    BEFORE the probe (a replayed batch row carries an id the state
+    ingested — and the probe's pair orientation requires disjoint id
+    spaces, which a replay would otherwise violate with self-loop
+    pairs). A full replay therefore keeps nothing: the doc write
+    (dynamic partition overwrite on ``_batch``, FIRST) overwrites its
+    own partition identically or touches nothing, and the state append
+    (SECOND) appends zero rows. Proof by write order, the op-107 cases.
+    """
+    from dwca_parquet_spark.cache import persist_tracked
+    from dwca_parquet_spark.operators.dedup import connected_components
+    from dwca_parquet_spark.operators.semdedup import (
+        semantic_dedup_incremental,
+    )
+    from dwca_parquet_spark.sinks.parquet import write_partitioned_dynamic
+
+    spark = stream.sparkSession
+
+    def body(batch: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import Window
+
+        cents = spark.read.parquet(cents_path)
+        assigned = spark.read.parquet(assigned_path)
+        # replay guard + disjoint-id contract: state-resident ids never
+        # re-enter the probe (self-loop pairs would masquerade as clean
+        # components and re-append on replay)
+        batch = persist_tracked(
+            batch.join(assigned.select(F.col(id_col)), id_col, "left_anti")
+        )
+        pairs, batch_assigned = semantic_dedup_incremental(
+            batch, cents, assigned, id_col, vec_col, threshold
+        )
+        pairs = persist_tracked(pairs, eager=True)
+        bids = batch.select(F.col(id_col).alias("node"))
+        comp = persist_tracked(connected_components(pairs), eager=True)
+        # components touching history: any node that is not a batch id
+        contaminated = (
+            comp.join(bids, "node", "left_anti").select("label").distinct()
+        )
+        # kept = batch nodes in clean components at the component minimum
+        # (labels are component-minimum ids by construction), plus batch
+        # vectors that appear in no pair at all
+        paired_batch = comp.join(bids, "node", "left_semi")
+        kept_paired = (
+            paired_batch.join(contaminated, "label", "left_anti")
+            .filter(F.col("node") == F.col("label"))
+            .select(F.col("node").alias(id_col))
+        )
+        unpaired = bids.select(F.col("node").alias(id_col)).join(
+            comp.select(F.col("node").alias(id_col)), id_col, "left_anti"
+        )
+        kept_ids = kept_paired.unionByName(unpaired)
+        kept = batch.join(kept_ids, id_col, "left_semi")
+        write_partitioned_dynamic(
+            kept.withColumn("_batch", F.lit(batch_id)), vec_store, ["_batch"]
+        )
+        # state append AFTER the doc write (the op-107 write order);
+        # localCheckpoint so the append's read plan cannot observe the
+        # directory it is extending
+        fresh = batch_assigned.join(
+            kept_ids, id_col, "left_semi"
+        ).localCheckpoint(eager=True)
+        # same cell-partitioned layout the op-118 state contract
+        # prescribes (and the seed write used) — a flat append into a
+        # partitioned directory is invisible to partition discovery
+        fresh.write.mode("append").partitionBy("cell").option(
+            "compression", "zstd"
+        ).parquet(assigned_path)
+        release_caches()
+
+    return (
+        stream.writeStream.foreachBatch(body)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -125,3 +125,66 @@ def test_stream_paragraph_dedup_and_replay(spark, tmp_path):
     run("ckpt2")  # full replay, fresh checkpoint
     assert spark.read.parquet(doc_store).count() == n_docs
     assert spark.read.parquet(state_store).count() == n_state
+
+
+def test_stream_semantic_dedup_and_replay(spark, tmp_path):
+    """Streaming semantic dedup (op 118's streaming leg): a batch vector
+    near a SEEDED history vector is dropped, mutual batch near-dups keep
+    their minimum id, novel vectors land in the store and extend the
+    state, and a full replay over the same source — fresh checkpoint,
+    the post-checkpoint-loss worst case — changes neither store."""
+    import random
+
+    from dwca_parquet_spark.operators.semdedup import semdedup_state
+    from dwca_parquet_spark.streaming.ingest import (
+        stream_ingest_semantic_dedup,
+    )
+
+    rng = random.Random(20260815)
+    dim = 16
+
+    def vec():
+        return [rng.uniform(-1, 1) for _ in range(dim)]
+
+    seed_rows = [(int(i), vec()) for i in range(30)]
+    schema = "vid long, v array<float>"
+    seed = spark.createDataFrame(seed_rows, schema)
+    cents_path = str(tmp_path / "cents")
+    assigned_path = str(tmp_path / "assigned")
+    cents, assigned = semdedup_state(seed, "vid", "v", k_cells=8)
+    cents.write.parquet(cents_path)
+    assigned.write.partitionBy("cell").parquet(assigned_path)
+
+    novel = [(100 + i, vec()) for i in range(6)]
+    batch_rows = (
+        novel
+        + [(200, [0.999 * x for x in seed_rows[5][1]])]   # ~history 5 → drop
+        + [(201, [1.001 * x for x in novel[2][1]])]       # ~batch 102 → drop
+    )
+    src = str(tmp_path / "src")
+    spark.createDataFrame(batch_rows, schema).coalesce(1).write.parquet(src)
+    vec_store = str(tmp_path / "vecs")
+
+    def run(ckpt):
+        q = stream_ingest_semantic_dedup(
+            spark.readStream.schema(
+                spark.createDataFrame(batch_rows, schema).schema
+            ).format("parquet").load(src),
+            vec_store, cents_path, assigned_path, "vid", "v",
+            checkpoint=str(tmp_path / ckpt), threshold=0.95,
+        )
+        q.awaitTermination(180)
+
+    run("ckpt1")
+    kept = sorted(
+        r["vid"] for r in spark.read.parquet(vec_store).collect()
+    )
+    assert kept == sorted(v[0] for v in novel)  # 200 and 201 dropped
+    n_state = spark.read.parquet(assigned_path).count()
+    assert n_state == 30 + len(novel)  # state extended by kept only
+
+    run("ckpt2")  # full replay, fresh checkpoint
+    assert sorted(
+        r["vid"] for r in spark.read.parquet(vec_store).collect()
+    ) == kept
+    assert spark.read.parquet(assigned_path).count() == n_state
