@@ -1898,10 +1898,12 @@ def word_entropy(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     words = F.filter(
         F.split(F.trim(F.col(text_col)), r"\s+"), lambda x: F.length(x) > 0
     )
-    staged = df.select(
+    # words staged alone first: size() and array_sort() in one projection
+    # would each re-run the split+filter (two regex passes per row)
+    staged = df.select(F.col(id_col), words.alias("_w")).select(
         F.col(id_col),
-        F.size(words).alias("_n"),
-        F.array_sort(words).alias("_s"),
+        F.size(F.col("_w")).alias("_n"),
+        F.array_sort(F.col("_w")).alias("_s"),
     )
     n = F.col("_n")
     nd = n.cast("double")
