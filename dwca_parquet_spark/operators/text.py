@@ -539,6 +539,113 @@ def canonicalize_urls(df: DataFrame, url_col: str) -> DataFrame:
     return df.withColumn("canonical_url", canonical_url(F.col(url_col)))
 
 
+def filter_url_blocklist(
+    df: DataFrame,
+    url_col: str,
+    blocked_domains: tuple[str, ...] = (),
+    blocked_patterns: tuple[str, ...] = (),
+) -> DataFrame:
+    """Adds (url_host, domain_blocked, pattern_blocked, keep_url) — the
+    crawl-pipeline URL policy filter (SURVEY §2 op 122; the C4/UT1-style
+    blocklist pass every production crawl runs before content filters).
+
+    * ``blocked_domains``: a host is blocked when it EQUALS an entry or
+      is a SUBDOMAIN of one (ads.example.com blocks under example.com —
+      domain blocklists are suffix policies, not exact-host sets).
+    * ``blocked_patterns``: literal substrings matched anywhere in the
+      URL (query-string spam markers, path fragments).
+
+    Shape: policy lists are bounded (thousands), so domains match via
+    guarded broadcast LEFT joins — one per distinct label-count k in
+    the list, probing the host's last-k labels (the registrable_domain
+    technique: 1:1 stream through broadcast hash joins, zero shuffle,
+    no explode). Patterns compile into ONE alternation regex of
+    re-escaped literals (engine-portable). NULL/extractable-host-less
+    URLs are kept with url_host='' and both flags false — a policy
+    filter must not silently drop what it cannot parse.
+
+    DuckDB twin: :func:`sql_filter_url_blocklist` (correlated EXISTS
+    over an inline VALUES list — affordable at oracle scale).
+    """
+    import re as _re
+
+    spark = df.sparkSession
+    host = F.lower(
+        F.regexp_extract(F.col(url_col), r"https?://([^/\s:?#]+)", 1)
+    )
+    out = df.withColumn("url_host", host)
+    dom_hit = F.lit(False)
+    if blocked_domains:
+        by_k: dict[int, list[str]] = {}
+        for d in blocked_domains:
+            d = d.lower().strip(".")
+            by_k.setdefault(d.count(".") + 1, []).append(d)
+        out = out.withColumn("_hlbl", F.split(F.col("url_host"), r"\."))
+        nl = F.size("_hlbl")
+        for k in sorted(by_k):
+            bdf = spark.createDataFrame(
+                [(d,) for d in sorted(set(by_k[k]))], f"_bd{k} string"
+            )
+            key = F.when(
+                nl >= k, F.array_join(F.slice(F.col("_hlbl"), nl - k + 1, k), ".")
+            )
+            out = out.withColumn(f"_hk{k}", key).join(
+                F.broadcast(bdf), F.col(f"_hk{k}") == F.col(f"_bd{k}"), "left"
+            )
+            dom_hit = dom_hit | F.col(f"_bd{k}").isNotNull()
+        out = out.withColumn("domain_blocked", dom_hit).drop(
+            "_hlbl", *[c for k in by_k for c in (f"_hk{k}", f"_bd{k}")]
+        )
+    else:
+        out = out.withColumn("domain_blocked", F.lit(False))
+    if blocked_patterns:
+        rx = "|".join(_re.escape(p) for p in blocked_patterns)
+        out = out.withColumn(
+            "pattern_blocked",
+            F.coalesce(F.col(url_col).rlike(rx), F.lit(False)),
+        )
+    else:
+        out = out.withColumn("pattern_blocked", F.lit(False))
+    return out.withColumn(
+        "keep_url", ~(F.col("domain_blocked") | F.col("pattern_blocked"))
+    )
+
+
+def sql_filter_url_blocklist(
+    source: str,
+    url_col: str,
+    blocked_domains: tuple[str, ...] = (),
+    blocked_patterns: tuple[str, ...] = (),
+) -> str:
+    """DuckDB twin of :func:`filter_url_blocklist` — identical host
+    extraction, suffix semantics, and pattern alternation."""
+    import re as _re
+
+    host = f"lower(regexp_extract({url_col}, 'https?://([^/\\s:?#]+)', 1))"
+    if blocked_domains:
+        vals = ", ".join(
+            "('" + d.lower().strip(".").replace("'", "''") + "')"
+            for d in sorted(set(blocked_domains))
+        )
+        dom = (
+            f"EXISTS(SELECT 1 FROM (VALUES {vals}) _b(_bd) "
+            f"WHERE url_host = _bd OR url_host LIKE '%.' || _bd)"
+        )
+    else:
+        dom = "FALSE"
+    if blocked_patterns:
+        rx = "|".join(_re.escape(p) for p in blocked_patterns)
+        rx = rx.replace("'", "''")
+        pat = f"coalesce(regexp_matches({url_col}, '{rx}'), FALSE)"
+    else:
+        pat = "FALSE"
+    return f"""
+    SELECT *, ({dom}) AS domain_blocked, ({pat}) AS pattern_blocked,
+           NOT (({dom}) OR ({pat})) AS keep_url
+    FROM (SELECT *, {host} AS url_host FROM {source})
+    """
+
+
 def find_contaminated(
     df: DataFrame, id_col: str, text_col: str, probes: list[str]
 ) -> DataFrame:

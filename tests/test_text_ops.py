@@ -1143,3 +1143,57 @@ def test_dsir_logratio_parity_and_separation(spark, duck):
         ).agg(F.avg("dsir_logratio").alias("m")).collect()
     }
     assert means[True] > means[False]
+
+
+def test_filter_url_blocklist_twin_and_semantics(spark, duck):
+    """op 122 (round 7): domain suffix blocking, literal-pattern
+    blocking, unparseable URLs kept — row-for-row vs the DuckDB twin,
+    plus a zero-Exchange plan pin (broadcast joins only)."""
+    from dwca_parquet_spark.operators.text import (
+        filter_url_blocklist,
+        sql_filter_url_blocklist,
+    )
+
+    rows = [
+        (0, "https://ads.example.com/banner"),        # subdomain of blocked
+        (1, "https://example.com/page"),              # blocked exactly
+        (2, "https://notexample.com/page"),           # NOT a subdomain
+        (3, "https://fine.org/a?utm_spam=1"),         # pattern hit
+        (4, "https://fine.org/clean"),                # kept
+        (5, "https://sub.tracker.co.uk/x"),           # multi-label entry
+        (6, "not a url at all"),                      # unparseable → kept
+        (7, None),                                    # NULL → kept
+        (8, "https://EXAMPLE.com/upper"),             # case-folded host
+    ]
+    domains = ("example.com", "tracker.co.uk")
+    patterns = ("utm_spam",)
+    df = spark.createDataFrame(rows, "id long, url string")
+    got = sorted(
+        (r["id"], r["url_host"], r["domain_blocked"],
+         r["pattern_blocked"], r["keep_url"])
+        for r in filter_url_blocklist(df, "url", domains, patterns).collect()
+    )
+    duck.execute("CREATE OR REPLACE TABLE urlsrc (id BIGINT, url VARCHAR)")
+    duck.executemany("INSERT INTO urlsrc VALUES (?, ?)", rows)
+    want = sorted(
+        tuple(r)
+        for r in duck.execute(
+            "SELECT id, url_host, domain_blocked, pattern_blocked, keep_url "
+            "FROM ("
+            + sql_filter_url_blocklist("urlsrc", "url", domains, patterns)
+            + ")"
+        ).fetchall()
+    )
+    assert got == want
+    by_id = {t[0]: t for t in got}
+    assert [by_id[i][4] for i in range(9)] == [
+        False, False, True, False, True, False, True, True, False
+    ]
+    plan = (
+        filter_url_blocklist(df, "url", domains, patterns)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "Exchange hashpartitioning" not in plan
