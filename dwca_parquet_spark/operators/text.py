@@ -539,6 +539,143 @@ def canonicalize_urls(df: DataFrame, url_col: str) -> DataFrame:
     return df.withColumn("canonical_url", canonical_url(F.col(url_col)))
 
 
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query: str,
+    k: int = 10,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """(id, n_tokens, score) — the top-k documents for a keyword query
+    by BM25 (SURVEY §2 op 123; Robertson & Zaragoza 2009 — the ranking
+    function every corpus-inspection workflow reaches for: "show me the
+    docs about X" over a filtered/deduped corpus). Lucene's
+    non-negative idf variant: ln((N − df + 0.5)/(df + 0.5) + 1).
+
+    Query terms normalize exactly like document tokens (the repo-wide
+    protocol), deduplicate preserving order, and each term's tf is a
+    bounded per-row array count — NO explode, NO inverted-index
+    shuffle: corpus stats (N, Σdl, per-term df) reduce to ONE bounded
+    aggregate row (≤ |query| values collected), idf becomes a literal,
+    and scoring is a pure projection feeding TakeOrderedAndProject.
+    Two corpus scans total (stats + score) — the bounded-query-set
+    contract, same as knn_bruteforce. Zero-score docs (no query term)
+    are excluded. Ties: rounded score DESC, id ASC — both engines order
+    the ROUNDED score so a last-ulp idf difference cannot flip ranks.
+
+    DuckDB twin: :func:`sql_bm25_topk` — identical tokenization, stats,
+    arithmetic and term order, computed fully in SQL.
+    """
+    terms: list[str] = []
+    for t in H.normalize_text_py(query).split():
+        if t and t not in terms:
+            terms.append(t)
+    if not terms:
+        raise ValueError("query normalizes to no terms")
+    staged = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_tk"))
+    def _tf_of(term: str):
+        # a one-arg lambda is required: PySpark reads a second lambda
+        # parameter as the (element, index) variant
+        return F.size(F.filter(F.col("_tk"), lambda x: x == F.lit(term)))
+
+    staged = staged.select(
+        F.col(id_col),
+        F.size("_tk").alias("_dl"),
+        *[_tf_of(t).alias(f"_tf{i}") for i, t in enumerate(terms)],
+    )
+    stats = staged.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_dl").alias("total"),
+        *[
+            F.sum((F.col(f"_tf{i}") > 0).cast("long")).alias(f"_df{i}")
+            for i in range(len(terms))
+        ],
+    ).first()  # bounded: one row, |query| + 2 values
+    n_docs = int(stats["n"])
+    if n_docs == 0:
+        raise ValueError("empty corpus")
+    avgdl = int(stats["total"]) / n_docs
+    import math
+
+    score = F.lit(0.0)
+    dl_d = F.col("_dl").cast("double")
+    for i in range(len(terms)):
+        dfi = int(stats[f"_df{i}"])
+        idf = math.log((n_docs - dfi + 0.5) / (dfi + 0.5) + 1.0)
+        tf_d = F.col(f"_tf{i}").cast("double")
+        score = score + F.lit(idf) * (tf_d * (k1 + 1.0)) / (
+            tf_d + k1 * (1.0 - b + b * dl_d / F.lit(avgdl))
+        )
+    return (
+        staged.select(
+            F.col(id_col),
+            F.col("_dl").cast("long").alias("n_tokens"),
+            F.round(score, 6).alias("score"),
+        )
+        .filter(F.col("score") > 0)
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def sql_bm25_topk(
+    source: str,
+    id_col: str,
+    text_col: str,
+    query: str,
+    k: int = 10,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> str:
+    """DuckDB twin of :func:`bm25_topk` — identical tokenization, stats
+    derivation, idf/saturation arithmetic, term order, rounding, and
+    tie-break, computed fully in SQL (stats via one CROSS JOIN of a
+    one-row aggregate, affordable at oracle scale)."""
+    terms: list[str] = []
+    for t in H.normalize_text_py(query).split():
+        if t and t not in terms:
+            terms.append(t)
+    norm = H.sql_normalize_text(text_col)
+    tk = (
+        f"(CASE WHEN length({norm}) = 0 THEN CAST([] AS VARCHAR[]) "
+        f"ELSE string_split_regex({norm}, '\\s+') END)"
+    )
+    tf_cols = ", ".join(
+        "len(list_filter(_tk, x -> x = '"
+        + t.replace("'", "''")
+        + f"')) AS _tf{i}"
+        for i, t in enumerate(terms)
+    )
+    df_cols = ", ".join(
+        f"sum(CASE WHEN _tf{i} > 0 THEN 1 ELSE 0 END) AS _df{i}"
+        for i in range(len(terms))
+    )
+    score_terms = " + ".join(
+        f"(ln((s.n - s._df{i} + 0.5) / (s._df{i} + 0.5) + 1.0)"
+        f" * (CAST(_tf{i} AS DOUBLE) * ({k1!r} + 1.0))"
+        f" / (CAST(_tf{i} AS DOUBLE) + {k1!r} * (1.0 - {b!r} + {b!r}"
+        f" * CAST(_dl AS DOUBLE) / s.avgdl)))"
+        for i in range(len(terms))
+    )
+    return f"""
+    WITH d AS (SELECT {id_col}, len(_tk) AS _dl, {tf_cols}
+               FROM (SELECT {id_col}, {tk} AS _tk FROM {source})),
+    s AS (SELECT count(*) AS n, CAST(sum(_dl) AS DOUBLE) / count(*) AS avgdl,
+                 {df_cols} FROM d)
+    SELECT {id_col}, CAST(_dl AS BIGINT) AS n_tokens,
+           round(0.0 + {score_terms}, 6) AS score
+    FROM d CROSS JOIN s
+    WHERE round(0.0 + {score_terms}, 6) > 0
+    ORDER BY score DESC, {id_col} ASC LIMIT {k}
+    """
+
+
 def filter_url_blocklist(
     df: DataFrame,
     url_col: str,

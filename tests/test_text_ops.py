@@ -1197,3 +1197,58 @@ def test_filter_url_blocklist_twin_and_semantics(spark, duck):
     )
     assert "BroadcastHashJoin" in plan
     assert "Exchange hashpartitioning" not in plan
+
+
+def test_bm25_topk_twin_and_ranking_sanity(spark, duck):
+    """op 123 (round 7): BM25 ranked search — row-for-row vs the DuckDB
+    twin on the real documents fixture (two queries, different k), plus
+    ranking sanity on a planted corpus: term-matching docs only, more
+    occurrences rank higher, rarer terms weigh more, and the
+    length-normalization penalizes padded documents."""
+    from dwca_parquet_spark.operators.text import bm25_topk, sql_bm25_topk
+
+    docs = spark.read.parquet(f"{SF_T2}/documents.parquet")
+    for q, k in (("data quality", 10), ("the model training", 7)):
+        got = [
+            (r["doc_id"], r["n_tokens"], r["score"])
+            for r in bm25_topk(docs, "doc_id", "text", q, k=k).collect()
+        ]
+        want = [
+            tuple(r)
+            for r in duck.execute(
+                sql_bm25_topk("documents", "doc_id", "text", q, k=k)
+            ).fetchall()
+        ]
+        assert got == want and 0 < len(got) <= k
+        scores = [s for _, _, s in got]
+        assert scores == sorted(scores, reverse=True)
+
+    rows = [
+        (0, "apple banana cherry"),
+        (1, "apple apple apple banana"),           # more tf -> higher
+        (2, "durian fig grape"),                    # no query term
+        (3, "apple " + "pad " * 60),                # padded -> length-normalized down
+        (4, "zebra apple"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [
+        (r["doc_id"], r["score"])
+        for r in bm25_topk(df, "doc_id", "text", "apple", k=5).collect()
+    ]
+    ids = [i for i, _ in got]
+    assert 2 not in ids                      # zero-score excluded
+    assert ids[0] == 1                       # highest tf wins
+    by_id = dict(got)
+    assert by_id[3] < by_id[0]               # padding penalized
+    # rarer term outweighs common one: 'zebra' appears in 1 doc,
+    # 'apple' in 4 -> doc 4 ranks first for the combined query
+    got2 = [
+        r["doc_id"]
+        for r in bm25_topk(df, "doc_id", "text", "apple zebra", k=5).collect()
+    ]
+    assert got2[0] == 4
+
+    import pytest
+
+    with pytest.raises(ValueError, match="no terms"):
+        bm25_topk(df, "doc_id", "text", "   ")
