@@ -328,11 +328,9 @@ def semantic_dedup_incremental(
     Σ_touched |cell∩history|·|cell∩batch| + |cell∩batch|² — batch-
     proportional, never |corpus|².
     """
-    rows = state_cents.orderBy("cell").collect()  # bounded: k_cells
-    cent_ids = np.array([r["cell"] for r in rows], dtype=np.int64)
-    cent_mat = np.stack(
-        [np.asarray(r["csvec"], dtype=np.int64) for r in rows]
-    )
+    from dwca_parquet_spark.operators.similarity import _cent_arrays
+
+    cent_ids, cent_mat = _cent_arrays(state_cents)  # bounded: k_cells
     assign = _cells_udf(cent_ids, cent_mat, 1)
     batch_assigned = persist_tracked(
         _prepped(batch, id_col, vec_col).withColumn(

@@ -600,6 +600,8 @@ def bm25_topk(
     n_docs = int(stats["n"])
     if n_docs == 0:
         raise ValueError("empty corpus")
+    if stats["total"] is None:  # every row's text NULL → sum(_dl) NULL
+        raise ValueError("corpus has no tokenizable text")
     avgdl = int(stats["total"]) / n_docs
     import math
 
@@ -707,8 +709,17 @@ def filter_url_blocklist(
     import re as _re
 
     spark = df.sparkSession
-    host = F.lower(
-        F.regexp_extract(F.col(url_col), r"https?://([^/\s:?#]+)", 1)
+    # host extraction must strip userinfo (http://user@blocked.com) and
+    # trailing dots (http://blocked.com./x is the same FQDN) — both are
+    # classic blocklist bypasses the naive authority regex waves through
+    host = F.regexp_replace(
+        F.lower(
+            F.regexp_extract(
+                F.col(url_col), r"https?://(?:[^/\s@]*@)?([^/\s:?#]+)", 1
+            )
+        ),
+        r"\.+$",
+        "",
     )
     out = df.withColumn("url_host", host)
     dom_hit = F.lit(False)
@@ -758,7 +769,10 @@ def sql_filter_url_blocklist(
     extraction, suffix semantics, and pattern alternation."""
     import re as _re
 
-    host = f"lower(regexp_extract({url_col}, 'https?://([^/\\s:?#]+)', 1))"
+    host = (
+        f"regexp_replace(lower(regexp_extract({url_col}, "
+        f"'https?://(?:[^/\\s@]*@)?([^/\\s:?#]+)', 1)), '\\.+$', '')"
+    )
     if blocked_domains:
         vals = ", ".join(
             "('" + d.lower().strip(".").replace("'", "''") + "')"

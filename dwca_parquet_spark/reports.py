@@ -162,9 +162,22 @@ def corpus_card(
             bottomk_group_estimates,
         )
 
+        # the SAME host extraction as op-122's blocklist filter
+        # (userinfo stripped, query/fragment excluded, trailing dots
+        # trimmed) — a laxer regex would split one domain's URLs into
+        # phantom per-query-string panel rows
         with_domain = df.select(
-            F.regexp_extract(F.col(url_col), r"https?://([^/\s:]+)", 1)
-            .alias("_domain"),
+            F.regexp_replace(
+                F.lower(
+                    F.regexp_extract(
+                        F.col(url_col),
+                        r"https?://(?:[^/\s@]*@)?([^/\s:?#]+)",
+                        1,
+                    )
+                ),
+                r"\.+$",
+                "",
+            ).alias("_domain"),
             F.col(url_col),
         ).filter(F.col("_domain") != "")
         state = bottomk_by_group(

@@ -186,8 +186,6 @@ def stream_ingest_semantic_dedup(
     spark = stream.sparkSession
 
     def body(batch: DataFrame, batch_id: int) -> None:
-        from pyspark.sql import Window
-
         cents = spark.read.parquet(cents_path)
         assigned = spark.read.parquet(assigned_path)
         # replay guard + disjoint-id contract: state-resident ids never

@@ -96,9 +96,15 @@ def test_corpus_card_url_diversity_panel(spark):
         docs, "doc_id", "text", name="u", url_col="url", url_diversity_k=k
     )
     with_domain = docs.select(
-        F.regexp_extract(F.col("url"), r"https?://([^/\s:]+)", 1).alias(
-            "_domain"
-        ),
+        F.regexp_replace(
+            F.lower(
+                F.regexp_extract(
+                    F.col("url"), r"https?://(?:[^/\s@]*@)?([^/\s:?#]+)", 1
+                )
+            ),
+            r"\.+$",
+            "",
+        ).alias("_domain"),
         F.col("url"),
     )
     est = {

@@ -1252,3 +1252,61 @@ def test_bm25_topk_twin_and_ranking_sanity(spark, duck):
 
     with pytest.raises(ValueError, match="no terms"):
         bm25_topk(df, "doc_id", "text", "   ")
+
+
+def test_filter_url_blocklist_bypass_vectors(spark, duck):
+    """Review finding (round 7): userinfo (http://user@blocked.com) and
+    trailing-dot FQDNs (http://blocked.com./x) bypassed the naive
+    authority regex in BOTH engines — the twin shared the bug, so only
+    a hostile-input gate can hold the line. All three vectors now
+    block, and the engines still agree row-for-row."""
+    from dwca_parquet_spark.operators.text import (
+        filter_url_blocklist,
+        sql_filter_url_blocklist,
+    )
+
+    rows = [
+        (0, "http://user@blocked.com/x"),          # userinfo
+        (1, "http://a:b@blocked.com/x"),           # userinfo with password
+        (2, "http://blocked.com./x"),              # trailing-dot FQDN
+        (3, "http://sub.blocked.com.../x"),        # multi-dot tail
+        (4, "https://blocked.com?page=2"),         # query right after host
+        (5, "https://safe.org/u@name"),            # @ in PATH is not userinfo
+    ]
+    domains = ("blocked.com",)
+    df = spark.createDataFrame(rows, "id long, url string")
+    got = sorted(
+        (r["id"], r["url_host"], r["keep_url"])
+        for r in filter_url_blocklist(df, "url", domains).collect()
+    )
+    duck.execute("CREATE OR REPLACE TABLE urlbypass (id BIGINT, url VARCHAR)")
+    duck.executemany("INSERT INTO urlbypass VALUES (?, ?)", rows)
+    want = sorted(
+        tuple(r)
+        for r in duck.execute(
+            "SELECT id, url_host, keep_url FROM ("
+            + sql_filter_url_blocklist("urlbypass", "url", domains)
+            + ")"
+        ).fetchall()
+    )
+    assert got == want
+    by_id = {i: (h, k) for i, h, k in got}
+    for i in range(5):
+        assert by_id[i][0].rstrip(".") in ("blocked.com", "sub.blocked.com")
+        assert by_id[i][1] is False, (i, by_id[i])
+    assert by_id[5] == ("safe.org", True)
+
+
+def test_bm25_all_null_corpus_clear_error(spark):
+    """Review finding (round 7): an all-NULL-text corpus crashed with an
+    opaque TypeError (sum(_dl) is NULL with n_docs > 0); it must raise
+    the same class of clear error the empty corpus gets."""
+    import pytest
+
+    from dwca_parquet_spark.operators.text import bm25_topk
+
+    df = spark.createDataFrame(
+        [(0, None), (1, None)], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="no tokenizable text"):
+        bm25_topk(df, "doc_id", "text", "apple")

@@ -207,16 +207,24 @@ def main() -> int:
 
         assigned = leakage_safe_split(deduped, "doc_id", "text").persist()
         split_info = {}
+        # one bounded aggregate over the persisted table answers all
+        # three emptiness probes (an isEmpty per split would re-run the
+        # semi-join once more than the shard write already does)
+        split_counts = {
+            r["split"]: r["count"]
+            for r in assigned.groupBy("split").count().collect()
+        }
         for split_name in ("train", "val", "test"):
+            if not split_counts.get(split_name):
+                # tiny corpora can leave a split empty
+                split_info[split_name] = {"docs": 0, "verified": True}
+                continue
             part = deduped.join(
                 assigned.filter(F.col("split") == split_name)
                 .select("doc_id"),
                 "doc_id",
                 "left_semi",
             )
-            if part.rdd.isEmpty():  # tiny corpora can leave a split empty
-                split_info[split_name] = {"docs": 0, "verified": True}
-                continue
             m = write_training_shards(
                 part, shard_dir.parent / f"shards_{split_name}",
                 "doc_id", "text", n_shards=8,
