@@ -112,10 +112,14 @@ def r5_tier_specs():
         sql_select_to_token_budget,
     )
     from dwca_parquet_spark.operators.text import (
+        bm25_topk,
         c4_clean,
         compression_ratio,
+        filter_url_blocklist,
         gopher_quality,
+        sql_bm25_topk,
         sql_c4_clean,
+        sql_filter_url_blocklist,
         sql_gopher_quality,
         sql_word_entropy,
         word_entropy,
@@ -253,6 +257,36 @@ def r5_tier_specs():
         # NumPy reference (test_semdedup.py); the row makes probe-side
         # perf regressions visible. 90/10 history/batch split by id hash.
         "r7_semdedup_incremental": (spark_semdedup_incr, None),
+        "r7_bm25": (
+            lambda s: bm25_topk(docs(s), "doc_id", "text", "data quality", 20),
+            sql_bm25_topk("documents", "doc_id", "text", "data quality", 20),
+        ),
+        # synthetic doc ids are not URLs, so the blocklist row exercises
+        # the extraction + broadcast-join machinery on a derived URL col
+        "r7_url_blocklist": (
+            lambda s: filter_url_blocklist(
+                docs(s).select(
+                    "doc_id",
+                    F.concat(
+                        F.lit("https://s"),
+                        (F.col("doc_id") % 97).cast("string"),
+                        F.lit(".example.com/d/"),
+                        F.col("doc_id").cast("string"),
+                    ).alias("url"),
+                ),
+                "url",
+                ("s13.example.com", "s47.example.com"),
+                ("spam",),
+            ),
+            sql_filter_url_blocklist(
+                "(SELECT doc_id, 'https://s' || CAST(doc_id % 97 AS VARCHAR)"
+                " || '.example.com/d/' || CAST(doc_id AS VARCHAR) AS url"
+                " FROM documents)",
+                "url",
+                ("s13.example.com", "s47.example.com"),
+                ("spam",),
+            ),
+        ),
         # no SQL twin: DCT pHash is numpy work inside mapInPandas, gated
         # by exact-invariance proofs (test_phash.py)
         "r7_phash_frames": (
