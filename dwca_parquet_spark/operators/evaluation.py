@@ -1,0 +1,313 @@
+"""Classifier evaluation — exact ROC-AUC, PR curve, threshold metrics
+(SURVEY §2 op 124).
+
+The quality-classifier ops (64 NB, 81 bigram LM, 112 DSIR) score
+documents; a training-data pipeline then has to VALIDATE those scorers
+against labeled holdouts before trusting them to gate a 100 TB corpus.
+That needs classifier metrics computed distributed — this module is
+that leg: exact tie-aware ROC-AUC (the rank-statistic form), the
+precision/recall curve, and one-aggregate threshold metrics.
+
+No reference analogue (the reference ships no ML surface — SURVEY §2.F);
+public semantics: AUC = P(score⁺ > score⁻) + ½·P(score⁺ = score⁻),
+identically the normalized Mann-Whitney U statistic.
+
+Shape (the part that matters at scale):
+
+* ``confusion_at`` is ONE map-side-combinable aggregate — no window, no
+  sort, no second scan. Plan-pinned window/sort-free.
+* ``auc_roc``/``pr_curve`` first reduce the corpus to per-DISTINCT-score
+  (positives, negatives) counts — a combinable groupBy — and only then
+  run the cumulative window over that aggregated table. The global sort
+  the rank statistic fundamentally requires therefore touches
+  |distinct scores| rows, never |corpus| rows. For continuous scores
+  (distinct ≈ corpus) pass ``round_to``: scores quantize to a fixed
+  decimal grid FIRST, bounding the windowed table (e.g. round_to=6 on
+  probabilities → ≤ 2·10⁶ + 1 rows) at a documented, deterministic
+  resolution cost. This is the same exact-by-default / bounded-by-knob
+  contract as quantile_bins vs quantile_bins_approx (op 101).
+* All rank arithmetic is INTEGER (the ½ terms are cleared by doubling)
+  accumulated in DecimalType(38,0), so the statistic is exact and
+  engine-deterministic regardless of partitioning; only the final
+  division is floating point, performed on identical integers in both
+  engines. The same discipline as PageRank's Decimal mirror (op 82).
+
+NULL contract: rows with a NULL label or NULL score are excluded from
+the evaluation universe by every function here (an unlabeled or
+unscored row is not evidence for or against the classifier); labels are
+"truthy" — any non-zero numeric / true boolean is a positive. A corpus
+with no positives or no negatives has an undefined AUC → NULL (never a
+crash, never a silent 0) — same for precision/recall/f1 denominators.
+
+DuckDB twins: :func:`sql_auc_roc`, :func:`sql_pr_curve`,
+:func:`sql_confusion_at` — identical filtering, tie grouping, integer
+rank arithmetic and final division, so results match bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "auc_roc",
+    "pr_curve",
+    "confusion_at",
+    "sql_auc_roc",
+    "sql_pr_curve",
+    "sql_confusion_at",
+]
+
+
+def _labeled(
+    df: DataFrame, label_col: str, score_col: str, round_to: int | None
+) -> DataFrame:
+    """(score, pos) over the evaluation universe (non-null label+score),
+    pos ∈ {0, 1} as LONG, score optionally quantized to the grid."""
+    score = F.col(score_col).cast("double")
+    if round_to is not None:
+        score = F.round(score, round_to)
+    return df.filter(
+        F.col(label_col).isNotNull() & F.col(score_col).isNotNull()
+    ).select(
+        score.alias("score"),
+        (F.col(label_col).cast("boolean").cast("long")).alias("pos"),
+    )
+
+
+def _by_score(labeled: DataFrame) -> DataFrame:
+    """Per-distinct-score counts (score, p, n) — the combinable reduce
+    that bounds everything downstream to |distinct scores| rows."""
+    return labeled.groupBy("score").agg(
+        F.sum("pos").alias("p"),
+        F.sum(F.lit(1) - F.col("pos")).alias("n"),
+    )
+
+
+def auc_roc(
+    df: DataFrame,
+    label_col: str,
+    score_col: str,
+    round_to: int | None = None,
+) -> DataFrame:
+    """One row (auc, n_pos, n_neg): exact tie-aware ROC-AUC.
+
+    Rank-statistic form over per-distinct-score counts: with cum_n(s) =
+    negatives strictly below s,
+
+        AUC = Σ_s p(s)·(cum_n(s) + n(s)/2) / (P·N)
+
+    computed as integers with the half cleared — numer2 = Σ p·(2·cum_n
+    + n), AUC = numer2 / (2·P·N) — in Decimal(38,0) so no scale
+    overflows it and every engine agrees exactly. NULL when P·N = 0.
+
+    ``round_to``: quantize scores first (see module docstring — the
+    scale knob for continuous scores; the windowed table is otherwise
+    |distinct scores| rows, which for a continuous scorer is the
+    corpus).
+    """
+    g = _by_score(_labeled(df, label_col, score_col, round_to))
+    w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
+    cum_n = F.coalesce(F.sum("n").over(w), F.lit(0)).alias("cum_n")
+    terms = g.select(
+        F.col("p"),
+        F.col("n"),
+        # promote BEFORE the multiply: p and cum_n are both corpus-sized,
+        # so the product can pass 2^63 long before the Decimal sum would
+        (
+            F.col("p").cast("decimal(38,0)")
+            * (F.lit(2) * cum_n + F.col("n")).cast("decimal(38,0)")
+        )
+        .cast("decimal(38,0)")
+        .alias("numer2"),
+    )
+    return terms.agg(
+        F.sum("numer2").alias("_numer2"),
+        F.sum("p").alias("_P"),
+        F.sum("n").alias("_N"),
+    ).select(
+        (
+            F.col("_numer2").cast("double")
+            / F.nullif(
+                F.lit(2.0) * F.col("_P") * F.col("_N"), F.lit(0.0)
+            )
+        ).alias("auc"),
+        F.col("_P").cast("long").alias("n_pos"),
+        F.col("_N").cast("long").alias("n_neg"),
+    )
+
+
+def pr_curve(
+    df: DataFrame,
+    label_col: str,
+    score_col: str,
+    round_to: int | None = None,
+) -> DataFrame:
+    """(threshold, tp, fp, fn, precision, recall) for every distinct
+    score, where the operating point is predict-positive ⟺ score ≥
+    threshold (the sweep every PR plot draws). Exact integer counts via
+    ONE cumulative window over the per-distinct-score table; ratios are
+    the only floats. Ordered by threshold ascending. ``round_to`` as in
+    :func:`auc_roc`."""
+    g = _by_score(_labeled(df, label_col, score_col, round_to))
+    # tp(t) = positives with score ≥ t: cumulative from this row UP.
+    w_ge = Window.orderBy("score").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    tp = F.sum("p").over(w_ge).alias("tp")
+    fp = F.sum("n").over(w_ge).alias("fp")
+    total_p = Window.orderBy("score").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    fn = (F.sum("p").over(total_p) - F.sum("p").over(w_ge)).alias("fn")
+    out = g.select(F.col("score").alias("threshold"), tp, fp, fn)
+    return out.select(
+        "threshold",
+        F.col("tp").cast("long").alias("tp"),
+        F.col("fp").cast("long").alias("fp"),
+        F.col("fn").cast("long").alias("fn"),
+        (
+            F.col("tp").cast("double")
+            / F.nullif((F.col("tp") + F.col("fp")).cast("double"), F.lit(0.0))
+        ).alias("precision"),
+        (
+            F.col("tp").cast("double")
+            / F.nullif((F.col("tp") + F.col("fn")).cast("double"), F.lit(0.0))
+        ).alias("recall"),
+    ).orderBy("threshold")
+
+
+def confusion_at(
+    df: DataFrame, label_col: str, score_col: str, threshold: float
+) -> DataFrame:
+    """One row (tp, fp, tn, fn, precision, recall, f1, accuracy) at
+    predict-positive ⟺ score ≥ threshold. ONE combinable aggregate —
+    no window, no sort (plan-pinned in test_evaluation.py); undefined
+    ratios are NULL."""
+    base = _labeled(df, label_col, score_col, None).select(
+        "pos", (F.col("score") >= F.lit(float(threshold))).alias("pred")
+    )
+    agg = base.agg(
+        F.sum(F.when(F.col("pred") & (F.col("pos") == 1), 1).otherwise(0)).alias("tp"),
+        F.sum(F.when(F.col("pred") & (F.col("pos") == 0), 1).otherwise(0)).alias("fp"),
+        F.sum(
+            F.when(~F.col("pred") & (F.col("pos") == 0), 1).otherwise(0)
+        ).alias("tn"),
+        F.sum(
+            F.when(~F.col("pred") & (F.col("pos") == 1), 1).otherwise(0)
+        ).alias("fn"),
+    )
+    tp, fp, tn, fn = (F.col(c).cast("double") for c in ("tp", "fp", "tn", "fn"))
+    precision = tp / F.nullif(tp + fp, F.lit(0.0))
+    recall = tp / F.nullif(tp + fn, F.lit(0.0))
+    return agg.select(
+        F.col("tp").cast("long").alias("tp"),
+        F.col("fp").cast("long").alias("fp"),
+        F.col("tn").cast("long").alias("tn"),
+        F.col("fn").cast("long").alias("fn"),
+        precision.alias("precision"),
+        recall.alias("recall"),
+        (
+            F.lit(2.0) * tp / F.nullif(F.lit(2.0) * tp + fp + fn, F.lit(0.0))
+        ).alias("f1"),
+        ((tp + tn) / F.nullif(tp + fp + tn + fn, F.lit(0.0))).alias(
+            "accuracy"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB twins — identical universe filter, tie grouping, integer rank
+# arithmetic (HUGEINT mirrors Decimal(38,0)) and final double division.
+# ---------------------------------------------------------------------------
+
+
+def _sql_labeled(
+    source: str, label_expr: str, score_expr: str, round_to: int | None
+) -> str:
+    score = f"CAST({score_expr} AS DOUBLE)"
+    if round_to is not None:
+        score = f"round({score}, {round_to})"
+    return (
+        f"(SELECT {score} AS score, "
+        f"CASE WHEN CAST({label_expr} AS BOOLEAN) THEN 1 ELSE 0 END AS pos "
+        f"FROM {source} WHERE {label_expr} IS NOT NULL "
+        f"AND {score_expr} IS NOT NULL)"
+    )
+
+
+def sql_auc_roc(
+    source: str,
+    label_expr: str,
+    score_expr: str,
+    round_to: int | None = None,
+) -> str:
+    lab = _sql_labeled(source, label_expr, score_expr, round_to)
+    return f"""
+    WITH g AS (SELECT score, sum(pos) AS p, sum(1 - pos) AS n
+               FROM {lab} GROUP BY score),
+    c AS (SELECT p, n, coalesce(sum(n) OVER (ORDER BY score
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_n FROM g)
+    SELECT CAST(sum(CAST(p AS HUGEINT) * CAST(2 * cum_n + n AS HUGEINT))
+                   AS DOUBLE)
+               / nullif(2.0 * sum(p) * sum(n), 0.0) AS auc,
+           CAST(sum(p) AS BIGINT) AS n_pos,
+           CAST(sum(n) AS BIGINT) AS n_neg
+    FROM c
+    """
+
+
+def sql_pr_curve(
+    source: str,
+    label_expr: str,
+    score_expr: str,
+    round_to: int | None = None,
+) -> str:
+    lab = _sql_labeled(source, label_expr, score_expr, round_to)
+    return f"""
+    WITH g AS (SELECT score, sum(pos) AS p, sum(1 - pos) AS n
+               FROM {lab} GROUP BY score),
+    c AS (SELECT score AS threshold,
+                 sum(p) OVER (ORDER BY score ROWS BETWEEN CURRENT ROW
+                     AND UNBOUNDED FOLLOWING) AS tp,
+                 sum(n) OVER (ORDER BY score ROWS BETWEEN CURRENT ROW
+                     AND UNBOUNDED FOLLOWING) AS fp,
+                 sum(p) OVER () - sum(p) OVER (ORDER BY score
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                     AS fn
+          FROM g)
+    SELECT threshold, CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+           CAST(fn AS BIGINT) AS fn,
+           CAST(tp AS DOUBLE) / nullif(CAST(tp + fp AS DOUBLE), 0.0)
+               AS precision,
+           CAST(tp AS DOUBLE) / nullif(CAST(tp + fn AS DOUBLE), 0.0)
+               AS recall
+    FROM c ORDER BY threshold
+    """
+
+
+def sql_confusion_at(
+    source: str, label_expr: str, score_expr: str, threshold: float
+) -> str:
+    lab = _sql_labeled(source, label_expr, score_expr, None)
+    t = float(threshold)
+    return f"""
+    WITH b AS (SELECT pos, score >= {t!r} AS pred FROM {lab}),
+    a AS (SELECT
+        sum(CASE WHEN pred AND pos = 1 THEN 1 ELSE 0 END) AS tp,
+        sum(CASE WHEN pred AND pos = 0 THEN 1 ELSE 0 END) AS fp,
+        sum(CASE WHEN NOT pred AND pos = 0 THEN 1 ELSE 0 END) AS tn,
+        sum(CASE WHEN NOT pred AND pos = 1 THEN 1 ELSE 0 END) AS fn
+    FROM b)
+    SELECT CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+           CAST(tn AS BIGINT) AS tn, CAST(fn AS BIGINT) AS fn,
+           CAST(tp AS DOUBLE) / nullif(CAST(tp + fp AS DOUBLE), 0.0)
+               AS precision,
+           CAST(tp AS DOUBLE) / nullif(CAST(tp + fn AS DOUBLE), 0.0)
+               AS recall,
+           2.0 * tp / nullif(2.0 * tp + fp + fn, 0.0) AS f1,
+           CAST(tp + tn AS DOUBLE)
+               / nullif(CAST(tp + fp + tn + fn AS DOUBLE), 0.0) AS accuracy
+    FROM a
+    """
