@@ -1,0 +1,204 @@
+"""Distributed PCA over embedding columns — exact integer moments, one
+corpus pass (SURVEY §2 op 125).
+
+Why the engine needs it: the ANN ladder (sign-LSH → IVF → PQ → SQ8 →
+1-bit/MIH, ops 17/27/65/67/98/108) and SemDeDup (op 91) all pay per-
+vector costs linear in dimension. Production embedding pipelines run a
+PCA reduce FIRST (e.g. 768 → 64) — it shrinks every downstream index,
+and for SemDeDup the paper itself clusters in a reduced space. No
+reference analogue (SURVEY §2.F — the reference ships no vector
+surface); the algorithm is textbook public knowledge (covariance
+eigendecomposition; Pearson 1901, and every stats text since).
+
+Spark-first shape (the part that matters at 100 TB):
+
+* ``pca_fit`` makes ONE pass: vectors scale to integers (the repo-wide
+  ``VEC_SCALE`` protocol from similarity.py), each Arrow batch reduces
+  to (count, Σx, upper-triangle Σxxᵀ) — d(d+3)/2 + 1 int64 values,
+  exact within a batch by a documented magnitude bound — emitted as
+  (pos, val) rows, and a map-side-combinable groupBy(pos) sums them in
+  Decimal(38,0). The driver collects ≤ d(d+3)/2 + 1 rows (d=768 →
+  ~296k — bounded by DIMENSION, never by the corpus), assembles the
+  exact integer moments, and runs float64 covariance + ``numpy.eigh``
+  once. Nothing corpus-sized shuffles; nothing corpus-sized ever
+  reaches the driver.
+* Integer moments make the fit EXACT and therefore engine- and
+  partitioning-DETERMINISTIC: any repartitioning sums the same
+  integers (addition commutes), so the model is bit-identical — the
+  pq_fit/kmeans_fit determinism protocol extended to second moments.
+  The only floats are the final covariance/eigh, computed once on the
+  driver from identical integers every time.
+* Eigenvector sign is fixed deterministically (largest-|coefficient|
+  component made positive, first-index tie-break), so models compare
+  bit-for-bit across runs and engines.
+* ``pca_transform`` is one Arrow-batched pandas UDF: (X − μ) @ Wᵀ, a
+  single matmul per batch against the broadcast (k, d) component
+  matrix — the multimodal/phash batch discipline, zero shuffle.
+
+Verification (test_pca.py): fit ≡ a NumPy reference fed the same
+scaled integers (bit-identical model), partition-invariance as an
+EXACT law, orthonormality / descending-eigenvalue / total-variance
+properties, transform ≡ NumPy, and a composition gate — kNN neighbor
+recall in the reduced space on clustered data. No SQL twin:
+eigendecomposition is genuinely non-SQL-expressible (the op-65/93
+precedent); the NumPy differential is the oracle.
+
+Magnitude contract: scaled components must satisfy |x·VEC_SCALE| ≤
+3·10⁶ (original |x| ≤ 3 — generous for unit-norm embeddings) so a
+10k-row Arrow batch's triangle sums stay < 2⁶³; violated → ValueError
+at fit time (never a silent overflow).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dwca_parquet_spark.operators.similarity import VEC_SCALE
+
+__all__ = ["PCAModel", "pca_fit", "pca_transform"]
+
+_MAX_SCALED = 3_000_000  # |scaled component| bound for in-batch int64 safety
+
+
+@dataclass(frozen=True)
+class PCAModel:
+    """Bounded driver-side state: d-vector mean (original units), (k, d)
+    row-orthonormal components, k eigenvalues (original units², sample
+    covariance), corpus count."""
+
+    mean: np.ndarray
+    components: np.ndarray
+    eigvals: np.ndarray
+    n: int
+
+
+def _moment_rows_factory(dim: int):
+    """mapInPandas: per Arrow batch, (pos, val) int64 moment rows.
+    pos 0 = count; 1..d = Σx; d+1.. = row-major upper triangle of Σxxᵀ
+    (i ≤ j). Exact: integer einsum, magnitude-guarded."""
+    iu = np.triu_indices(dim)
+
+    def moments(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf["svec"].values).astype(np.int64)
+            if x.shape[1] != dim:
+                raise ValueError(
+                    f"vector dim {x.shape[1]} != declared dim {dim}"
+                )
+            if np.abs(x).max(initial=0) > _MAX_SCALED:
+                raise ValueError(
+                    "scaled component exceeds the magnitude contract "
+                    f"(|x| > {_MAX_SCALED / VEC_SCALE:g})"
+                )
+            tri = (x.T @ x)[iu]  # int64-exact under the magnitude bound
+            vals = np.concatenate(
+                ([np.int64(len(x))], x.sum(axis=0, dtype=np.int64), tri)
+            )
+            yield pd.DataFrame(
+                {"pos": np.arange(len(vals), dtype=np.int64), "val": vals}
+            )
+
+    return moments
+
+
+def _exact_moments(df: DataFrame, vec_col: str, dim: int):
+    """(n, S1[d], T[d(d+1)/2]) as exact Python ints — the one corpus
+    pass. Batch partials are int64; the cross-batch sum is
+    Decimal(38,0) so no corpus size overflows it."""
+    scaled = df.filter(F.col(vec_col).isNotNull()).select(
+        F.transform(
+            F.col(vec_col),
+            lambda v: F.round(v.cast("double") * VEC_SCALE, 0).cast("long"),
+        ).alias("svec")
+    )
+    rows = (
+        scaled.mapInPandas(_moment_rows_factory(dim), "pos long, val long")
+        .groupBy("pos")
+        .agg(F.sum(F.col("val").cast("decimal(38,0)")).alias("val"))
+        .collect()  # bounded: d(d+3)/2 + 1 rows, never corpus-sized
+    )
+    vals = {int(r["pos"]): int(r["val"]) for r in rows}
+    n = vals.get(0, 0)
+    s1 = [vals.get(1 + i, 0) for i in range(dim)]
+    n_tri = dim * (dim + 1) // 2
+    tri = [vals.get(1 + dim + t, 0) for t in range(n_tri)]
+    return n, s1, tri
+
+
+def _model_from_moments(
+    n: int, s1: list[int], tri: list[int], dim: int, k: int
+) -> PCAModel:
+    """Driver-side: exact ints → float64 covariance → eigh → sign-fixed
+    top-k model. Shared verbatim by the NumPy reference in test_pca.py,
+    so the gate isolates the DISTRIBUTED part (the moment sums)."""
+    if n < 2:
+        raise ValueError("need at least 2 vectors to fit")
+    s1_f = np.array(s1, dtype=np.float64)
+    s2 = np.zeros((dim, dim), dtype=np.float64)
+    iu = np.triu_indices(dim)
+    s2[iu] = np.array(tri, dtype=np.float64)
+    s2 = s2 + np.triu(s2, 1).T
+    cov = (s2 - np.outer(s1_f, s1_f) / n) / (n - 1)
+    w, v = np.linalg.eigh(cov)  # ascending eigenvalues
+    order = np.argsort(w)[::-1][:k]
+    comps = v[:, order].T  # (k, d)
+    # deterministic sign: the largest-|coefficient| entry (first index
+    # on exact ties) is made positive
+    for i in range(comps.shape[0]):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    return PCAModel(
+        mean=s1_f / n / VEC_SCALE,
+        components=comps,
+        eigvals=w[order] / (VEC_SCALE * VEC_SCALE),
+        n=int(n),
+    )
+
+
+def pca_fit(
+    df: DataFrame, id_col: str, vec_col: str, dim: int, k: int
+) -> PCAModel:
+    """Fit a k-component PCA over ``vec_col`` (fixed length ``dim``,
+    NULL vectors excluded) in one corpus pass. Deterministic and
+    partition-invariant as an exact law — see module docstring."""
+    if not 1 <= k <= dim:
+        raise ValueError(f"k must be in [1, {dim}]")
+    n, s1, tri = _exact_moments(df, vec_col, dim)
+    return _model_from_moments(n, s1, tri, dim, k)
+
+
+def pca_transform(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    model: PCAModel,
+    out_col: str = "pca",
+) -> DataFrame:
+    """(id, out_col array<double>): (x − μ) @ Wᵀ per row — one Arrow-
+    batched matmul per batch against the broadcast component matrix;
+    zero shuffle, NULL vectors pass through as NULL projections."""
+    mean = model.mean
+    comps_t = model.components.T  # (d, k)
+
+    @F.pandas_udf("array<double>")
+    def project(v: pd.Series) -> pd.Series:
+        vals = list(v)
+        idx = [i for i, x in enumerate(vals) if x is not None]
+        out: list = [None] * len(vals)
+        if idx:
+            x = np.stack([vals[i] for i in idx]).astype(np.float64)
+            p = (x - mean) @ comps_t
+            for row_i, i in enumerate(idx):
+                out[i] = p[row_i]
+        return pd.Series(out, dtype=object)
+
+    return df.select(F.col(id_col), project(F.col(vec_col)).alias(out_col))
