@@ -596,3 +596,117 @@ def sql_bottomk_by_group(
         f"{h} AS _gh FROM {source} WHERE {key_expr} IS NOT NULL)))"
         f" WHERE _rk <= {k}"
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-group heavy hitters — Misra-Gries partitioned by a group column
+# (SURVEY §2 op 126)
+# ---------------------------------------------------------------------------
+
+
+def heavy_hitters_by_group(
+    df: DataFrame, group_col: str, item_col: str, k: int = 64
+) -> DataFrame:
+    """(group, item, cnt): for EVERY group, a verified-exact-count
+    superset of the items with per-group count > n_group/(k+1) — op 87
+    partitioned by a group column (the per-domain "what dominates this
+    source?" primitive the datasheet's diversity panel pairs with
+    op 117's per-domain distinct counts).
+
+    Guarantee (pinned in test_group_hh.py): within each group, every
+    item whose true per-group count exceeds n_group/(k+1) appears, with
+    its EXACT count. Per-partition Misra-Gries undercounts a group's
+    items by at most n_{group,partition}/(k+1); summing partials across
+    partitions sums those bounds to n_group/(k+1) (Agarwal et al. 2012
+    — the same mergeability op 87 relies on), so a qualifying item
+    survives in at least one partial.
+
+    Shape: one mapInPandas pass holding ≤ k counters PER GROUP SEEN IN
+    THE PARTITION (bounded by k · groups-per-partition, never by rows);
+    a ≤ partitions·groups·k-row candidate aggregation; and ONE exact
+    corpus groupBy semi-filtered to candidates. The candidate join is a
+    plain left-semi on (group, item) — bounded by groups·k rows, left
+    to AQE to broadcast when small (unlike op 87's global candidates,
+    groups·k can exceed broadcast size; a forced broadcast would be the
+    100 TB failure mode).
+
+    NULL contract: NULL items and NULL groups are outside the universe
+    (both passes exclude them identically — the op-87 discipline
+    extended to the group key).
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def mg(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # acc: MultiIndex (grp, item) → counter. A batch's exact
+        # per-group value_counts IS a zero-error mergeable summary
+        # (op 87's trim-first discipline, applied per group): trim each
+        # group's slice to k before align-adding into the state, then
+        # re-trim state groups that exceed k. Each per-group trim
+        # subtracts the (k+1)-th largest from the top k and drops
+        # non-positives — charging ≥ k+1 of that group's counters
+        # equally, so the per-group undercount bound accumulates
+        # exactly as in the global operator.
+        def trim_groups(s: pd.Series) -> pd.Series:
+            sizes = s.groupby(level=0).transform("size")
+            small = s[sizes <= k]
+            big = s[sizes > k]
+            if big.empty:
+                return s
+            parts = [small]
+            for g, slc in big.groupby(level=0):
+                t = slc.nlargest(k + 1).iloc[-1]
+                slc = slc - t
+                parts.append(slc[slc > 0])
+            return pd.concat(parts)
+
+        acc: pd.Series | None = None
+        for pdf in batches:
+            pdf = pdf.dropna(subset=["_grp", "_item"])
+            if not len(pdf):
+                continue
+            vc = trim_groups(pdf.groupby(["_grp", "_item"]).size())
+            acc = vc if acc is None else acc.add(vc, fill_value=0)
+            acc = trim_groups(acc)
+        if acc is None or acc.empty:
+            yield pd.DataFrame(
+                {
+                    "grp": pd.Series(dtype=object),
+                    "item": pd.Series(dtype=object),
+                    "cnt": pd.Series(dtype="int64"),
+                }
+            )
+        else:
+            yield pd.DataFrame(
+                {
+                    "grp": acc.index.get_level_values(0),
+                    "item": acc.index.get_level_values(1),
+                    "cnt": acc.astype("int64").values,
+                }
+            )
+
+    base = df.select(
+        F.col(group_col).cast("string").alias("_grp"),
+        F.col(item_col).cast("string").alias("_item"),
+    ).filter(F.col("_grp").isNotNull() & F.col("_item").isNotNull())
+    partials = base.mapInPandas(mg, "grp string, item string, cnt long")
+    candidates = (
+        partials.groupBy("grp", "item").agg(F.sum("cnt")).select("grp", "item")
+    )
+    exact = (
+        base.join(
+            candidates,
+            (base["_grp"] == candidates["grp"])
+            & (base["_item"] == candidates["item"]),
+            "left_semi",
+        )
+        .groupBy("_grp", "_item")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.col("_grp").alias("group"),
+            F.col("_item").alias("item"),
+            "cnt",
+        )
+    )
+    return exact
