@@ -1,0 +1,172 @@
+"""File-level bloom + min/max sidecar index — point-lookup file skipping
+on a NON-layout column (SURVEY §2 op 128).
+
+z-order writes (op 63) buy range skipping on the columns the layout was
+sorted for; a point lookup on any OTHER high-cardinality column (a doc
+id, a URL hash, a customer key) still scans every file. The standard
+lakehouse answer is a per-file secondary index: min/max plus a Bloom
+filter per data file, consulted BEFORE the scan so the reader opens only
+files that can possibly contain the probed keys. That sidecar-index
+design is public knowledge (parquet's own optional bloom pages and every
+table-format file-skipping implementation follow it); this module is
+the Spark-first version with the index as plain parquet next to the
+data, reusing op 59's distributed Bloom machinery.
+
+Layout under ``path``:
+
+* ``data/``              the rows (unchanged content)
+* ``_fileindex/stats``   (file, min_key, max_key, cnt) per data file
+* ``_fileindex/words``   (file, word_idx, word_val) per-file Bloom
+                         bitmaps — ≤ m/32 rows per file
+* ``_fileindex/meta``    (m, k, key_col) one row
+
+Build: one write + one read-back pass grouped by ``input_file_name()``
+— both the min/max and the Bloom words are map-side-combinable
+aggregates (op 59's explode → bit_or shape, keyed by file). Keys hash
+with the portable poly_hash (cast to string first), so the probe can
+recompute positions ANYWHERE — including driver-side Python, where the
+pruning decision is a dictionary lookup over the bounded sidecar
+(files × m/32 words), never a corpus read.
+
+Probe (:func:`read_pruned`): bloom-hit OR range-hit per (file, value),
+union of survivors, then ``spark.read.parquet(surviving files)`` with
+the exact residual filter. False positives cost one extra file read;
+false negatives are IMPOSSIBLE (min/max and Bloom are both
+no-false-negative structures) — so the result is EXACTLY the full-scan
+filter, pinned in test_fileindex.py, with the measured skip fraction
+returned alongside.
+
+At 100 TB the sidecar stays ~bytes-per-file × files (e.g. 1 KiB × 1 M
+files = 1 GiB — driver-loadable, or probed as a broadcast join if the
+deployment outgrows that), while the data read drops from every file to
+|values| + ε files. Key contract: integer or ASCII-string keys (the
+portable-hash domain, same as every poly_hash consumer); NULL keys are
+indexed by min/max only and match no probe value (SQL equality
+semantics).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dwca_parquet_spark.functions import hashing as H
+from dwca_parquet_spark.operators.bloom import _positions, bloom_params
+
+__all__ = ["write_with_file_index", "read_pruned"]
+
+
+def _poly_hash_py(s: str) -> int:
+    """Driver-side mirror of H.poly_hash (the op-68 cms_estimate fold)."""
+    hv = 0
+    for ch in s:
+        hv = (hv * H.HASH_BASE + ord(ch)) % H.HASH_MOD
+    return hv
+
+
+def write_with_file_index(
+    df: DataFrame,
+    path: str,
+    key_col: str,
+    files: int | None = None,
+    fpp: float = 0.01,
+) -> dict:
+    """Write ``df`` under ``path`` and build the per-file sidecar index
+    on ``key_col``. ``files``: repartition count for the data write
+    (None keeps the incoming partitioning). Returns {"files", "m", "k"}.
+    """
+    path = str(path).rstrip("/")
+    out = df.repartition(files) if files else df
+    out.write.mode("overwrite").parquet(f"{path}/data")
+    spark = df.sparkSession
+    back = spark.read.parquet(f"{path}/data").select(
+        F.input_file_name().alias("file"), F.col(key_col).alias("key")
+    )
+    n_files = back.select("file").distinct().count()
+    total = back.count()
+    per_file = max(1, (total + n_files - 1) // n_files)
+    m, k = bloom_params(per_file, fpp)
+    stats = back.groupBy("file").agg(
+        F.min("key").alias("min_key"),
+        F.max("key").alias("max_key"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    stats.write.mode("overwrite").parquet(f"{path}/_fileindex/stats")
+    hashed = back.filter(F.col("key").isNotNull()).select(
+        "file", H.poly_hash(F.col("key").cast("string")).alias("_h")
+    )
+    words = (
+        hashed.select(
+            "file",
+            F.explode(F.array(*_positions(F.col("_h"), m, k))).alias("_pos"),
+        )
+        .select(
+            "file",
+            F.expr("_pos div 32").alias("word_idx"),
+            F.expr(
+                "shiftleft(cast(1 as bigint), cast(_pos % 32 as int))"
+            ).alias("_bit"),
+        )
+        .groupBy("file", "word_idx")
+        .agg(F.bit_or("_bit").alias("word_val"))
+    )
+    words.write.mode("overwrite").parquet(f"{path}/_fileindex/words")
+    spark.createDataFrame(
+        [(m, k, key_col)], "m long, k long, key_col string"
+    ).write.mode("overwrite").parquet(f"{path}/_fileindex/meta")
+    return {"files": n_files, "m": m, "k": k}
+
+
+def read_pruned(
+    spark: SparkSession, path: str, key_col: str, values: list
+) -> tuple[DataFrame, dict]:
+    """(rows with key ∈ values, skip report). EXACTLY ≡ reading
+    ``data/`` whole and filtering (pinned); touches only files whose
+    Bloom OR min/max admits at least one probed value. The report:
+    {"files_total", "files_read"}."""
+    path = str(path).rstrip("/")
+    meta = spark.read.parquet(f"{path}/_fileindex/meta").collect()[0]
+    if meta["key_col"] != key_col:
+        raise ValueError(
+            f"index is on {meta['key_col']!r}, probe asked {key_col!r}"
+        )
+    m, k = int(meta["m"]), int(meta["k"])
+    stats = spark.read.parquet(f"{path}/_fileindex/stats").collect()
+    words_rows = spark.read.parquet(f"{path}/_fileindex/words").collect()
+    words: dict[str, dict[int, int]] = {}
+    for r in words_rows:
+        words.setdefault(r["file"], {})[int(r["word_idx"])] = int(
+            r["word_val"]
+        )
+    probes = []
+    for v in values:
+        hv = _poly_hash_py(str(v))
+        pos = []
+        from dwca_parquet_spark.operators.bloom import _bloom_ab, BLOOM_P
+
+        for j in range(k):
+            a, b = _bloom_ab(j)
+            pos.append(((hv * a + b) % BLOOM_P) % m)
+        probes.append((v, pos))
+
+    def admits(file_row) -> bool:
+        w = words.get(file_row["file"], {})
+        lo, hi = file_row["min_key"], file_row["max_key"]
+        for v, pos in probes:
+            if lo is not None and hi is not None and not (lo <= v <= hi):
+                continue  # out of the file's range → cannot be present
+            if all(
+                (w.get(p // 32, 0) >> (p % 32)) & 1 for p in pos
+            ):
+                return True
+        return False
+
+    survivors = [r["file"] for r in stats if admits(r)]
+    report = {"files_total": len(stats), "files_read": len(survivors)}
+    if not survivors:
+        empty = spark.read.parquet(f"{path}/data").filter(F.lit(False))
+        return empty, report
+    out = spark.read.parquet(*survivors).filter(
+        F.col(key_col).isin(list(values))
+    )
+    return out, report

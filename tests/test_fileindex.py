@@ -1,0 +1,87 @@
+"""Gates for the per-file bloom/minmax sidecar (SURVEY §2 op 128):
+exact parity with the full-scan filter, measured file skipping, the
+no-false-negative law under adversarial fpp, NULL keys, and the
+key-column guard."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dwca_parquet_spark.sinks.fileindex import (
+    read_pruned,
+    write_with_file_index,
+)
+from tests.conftest import SF_T2
+
+N_FILES = 20
+
+
+@pytest.fixture(scope="module")
+def indexed_orders(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("fidx") / "orders")
+    orders = spark.read.parquet(f"{SF_T2}/orders.parquet")
+    info = write_with_file_index(
+        orders, path, "o_orderkey", files=N_FILES, fpp=0.01
+    )
+    return path, info
+
+
+def _sorted_rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_pruned_read_equals_full_scan_filter(spark, indexed_orders):
+    path, info = indexed_orders
+    assert info["files"] == N_FILES
+    keys = [r["o_orderkey"] for r in
+            spark.read.parquet(f"{path}/data").limit(7).collect()]
+    probe = keys + [-1, 10**15]  # present + definitely-absent values
+    got, report = read_pruned(spark, path, "o_orderkey", probe)
+    want = spark.read.parquet(f"{path}/data").filter(
+        F.col("o_orderkey").isin(probe)
+    )
+    assert _sorted_rows(got) == _sorted_rows(want)
+    assert len(_sorted_rows(got)) >= 7
+    assert report["files_total"] == N_FILES
+
+
+def test_point_probe_skips_most_files(spark, indexed_orders):
+    path, _ = indexed_orders
+    key = spark.read.parquet(f"{path}/data").limit(1).collect()[0][
+        "o_orderkey"
+    ]
+    got, report = read_pruned(spark, path, "o_orderkey", [key])
+    assert got.count() >= 1
+    # one key lives in one file; fpp=0.01 over 20 files adds ~0.2
+    # expected false-positive files — ≤ 5 is a generous ceiling
+    assert report["files_read"] <= 5, report
+    # absent key: expect (almost) everything skipped, and zero rows
+    got2, report2 = read_pruned(spark, path, "o_orderkey", [-12345])
+    assert got2.count() == 0 and report2["files_read"] <= 5
+
+
+def test_no_false_negatives_even_at_adversarial_fpp(spark, tmp_path):
+    df = spark.range(0, 5_000).select(F.col("id").alias("k"))
+    p = str(tmp_path / "adv")
+    write_with_file_index(df, p, "k", files=16, fpp=0.5)
+    probe = list(range(0, 5_000, 97))
+    got, report = read_pruned(spark, p, "k", probe)
+    assert sorted(r["k"] for r in got.collect()) == probe
+    assert report["files_total"] == 16
+
+
+def test_null_keys_indexed_and_never_matched(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "c"), (4, None)], "k long, v string"
+    ).select(F.col("v").alias("key"), "k")
+    p = str(tmp_path / "nulls")
+    write_with_file_index(df, p, "key", files=2)
+    got, _ = read_pruned(spark, p, "key", ["a", "c", "zz"])
+    assert sorted(r["k"] for r in got.collect()) == [1, 3]
+
+
+def test_probe_wrong_column_raises(spark, indexed_orders):
+    path, _ = indexed_orders
+    with pytest.raises(ValueError, match="index is on"):
+        read_pruned(spark, path, "o_custkey", [1])
