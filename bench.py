@@ -139,6 +139,13 @@ def r5_tier_specs():
     def lineitem(spark):
         return spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
 
+    def events(spark):
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        return spark.read.parquet(f"{SF_DIR}/events.parquet")
+
+    def emb(spark):
+        return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
     wrap = (
         "'<html><body><p>' || replace(text, chr(10) || chr(10), "
         "'</p><p>') || '</p></body></html>'"
@@ -176,6 +183,17 @@ def r5_tier_specs():
         semantic_dedup_incremental,
         semdedup_state,
     )
+    from dwca_parquet_spark.operators.evaluation import auc_roc, sql_auc_roc
+    from dwca_parquet_spark.operators.invindex import (
+        bm25_index_build,
+        bm25_topk_indexed,
+    )
+    from dwca_parquet_spark.operators.pca import pca_fit, pca_transform
+    from dwca_parquet_spark.operators.sketch import heavy_hitters_by_group
+    from dwca_parquet_spark.sinks.fileindex import (
+        read_pruned,
+        write_with_file_index,
+    )
 
     _semdedup_state_memo: dict = {}
 
@@ -199,6 +217,34 @@ def r5_tier_specs():
             batch, cents, assigned, "vec_id", "embedding", 0.95
         )
         return pairs
+
+    # round-8 memoized once-per-corpus states (the semdedup-row
+    # discipline: the first timed run pays the build, the median of
+    # RUNS times the steady-state probe)
+    _r8_memo: dict = {}
+
+    def _pca_model(s):
+        if "pca" not in _r8_memo:
+            _r8_memo["pca"] = pca_fit(emb(s), "vec_id", "embedding", 64, 8)
+        return _r8_memo["pca"]
+
+    def _bm25_idx(s):
+        if "bm25" not in _r8_memo:
+            p = "/tmp/spark_graft_bench_bm25idx"
+            bm25_index_build(docs(s), "doc_id", "text", p)
+            _r8_memo["bm25"] = p
+        return _r8_memo["bm25"]
+
+    _FIDX_DIR = "/tmp/spark_graft_bench_fidx"
+    _FIDX_PROBE = [19, 101, 2500, 4242, 31415, 271828, 999999999, 777]
+
+    def _fidx(s):
+        if "fidx" not in _r8_memo:
+            write_with_file_index(
+                lineitem(s), _FIDX_DIR, "l_orderkey", files=32
+            )
+            _r8_memo["fidx"] = _FIDX_DIR
+        return _r8_memo["fidx"]
 
     budget_sql = sql_select_to_token_budget(
         "(SELECT doc_id, CAST(length(text) AS DOUBLE) AS score, "
@@ -294,6 +340,65 @@ def r5_tier_specs():
                 to_binary_table(docs(s), "doc_id", "text"), n_frames=8
             ),
             None,
+        ),
+        "r8_auc": (
+            lambda s: auc_roc(
+                docs(s).select(
+                    F.expr("(n_chars + 37 * (doc_id % 11)) % 5 < 2").alias(
+                        "label"
+                    ),
+                    F.expr("n_chars % 97").cast("double").alias("score"),
+                ),
+                "label",
+                "score",
+            ),
+            sql_auc_roc(
+                "(SELECT (n_chars + 37 * (doc_id % 11)) % 5 < 2 AS label, "
+                "CAST(n_chars % 97 AS DOUBLE) AS score FROM documents)",
+                "label",
+                "score",
+            ),
+        ),
+        "r8_group_hh": (
+            lambda s: heavy_hitters_by_group(
+                events(s), "event_type", "user_id", 32
+            ),
+            # the question a user answers without the sketch: exact
+            # per-group counts filtered to the same guarantee threshold
+            """
+            WITH c AS (SELECT CAST(event_type AS VARCHAR) AS grp,
+                              CAST(user_id AS VARCHAR) AS item,
+                              count(*) AS cnt
+                       FROM events WHERE event_type IS NOT NULL
+                         AND user_id IS NOT NULL GROUP BY 1, 2),
+                 t AS (SELECT grp, sum(cnt) AS n FROM c GROUP BY grp)
+            SELECT c.grp, c.item, c.cnt FROM c JOIN t USING (grp)
+            WHERE c.cnt > t.n / 33.0
+            """,
+        ),
+        # no SQL twin: eigendecomposition (gated ≡ NumPy, test_pca.py);
+        # the row makes transform-path perf regressions visible (the
+        # fit is the once-per-corpus cost — memoized like the semdedup
+        # state, so the median times the Arrow-batched projection)
+        "r8_pca": (
+            lambda s: pca_transform(
+                emb(s), "vec_id", "embedding", _pca_model(s)
+            ),
+            None,
+        ),
+        # the indexed probe (build memoized — the once-per-corpus cost);
+        # oracle = DuckDB answering the same query by corpus scan, the
+        # honest no-index alternative a reference user runs today
+        "r8_bm25_indexed": (
+            lambda s: bm25_topk_indexed(s, _bm25_idx(s), "data quality", 20),
+            sql_bm25_topk("documents", "doc_id", "text", "data quality", 20),
+        ),
+        # pruned point lookup (sidecar build memoized); oracle = DuckDB
+        # scanning the same written data files with the same IN filter
+        "r8_fileindex_probe": (
+            lambda s: read_pruned(s, _fidx(s), "l_orderkey", _FIDX_PROBE)[0],
+            f"SELECT * FROM read_parquet('{_FIDX_DIR}/data/*.parquet') "
+            f"WHERE l_orderkey IN ({', '.join(map(str, _FIDX_PROBE))})",
         ),
     }
 
