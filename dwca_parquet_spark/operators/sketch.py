@@ -405,11 +405,8 @@ def bottomk_build(
     test_bottomk.py); pass True/False to force either.
     """
     key_type = df.schema[key_col].dataType.simpleString()
-    hashed = _with_bh(
-        df.select(F.col(key_col).alias("key")).filter(
-            F.col("key").isNotNull()
-        ),
-        salt,
+    keyed = df.select(F.col(key_col).alias("key")).filter(
+        F.col("key").isNotNull()
     )
     if prune is None:
         try:
@@ -418,10 +415,21 @@ def bottomk_build(
         except Exception:  # stats unavailable → keep the scale-safe plan
             prune = True
     if prune:
-        hashed = hashed.mapInPandas(
+        hashed = _with_bh(keyed, salt).mapInPandas(
             _bk_prune_factory(k), f"key {key_type}, _bh long"
         )
-    return hashed.distinct().orderBy("_bh", "key").limit(k)
+        return hashed.distinct().orderBy("_bh", "key").limit(k)
+    # small-input plan: DISTINCT the raw keys FIRST, then hash — the
+    # per-char poly_hash fold is the dominant cost here, and running it
+    # over the distinct keys instead of every row cuts it by the
+    # duplication factor (lineitem sf0.1: 600k rows → 150k distinct,
+    # measured 2.2 s → 1.0 s). Row-identical to the prune plan (the
+    # hash is a pure function of the key, so distinct-then-hash ≡
+    # hash-then-distinct — the existing cross-plan gate covers it).
+    # NOT for the scale path: a corpus-wide raw-key distinct is the
+    # exact count_distinct-class shuffle the Arrow prune exists to
+    # avoid; here the input is already below _BK_PRUNE_MIN_BYTES.
+    return _with_bh(keyed.distinct(), salt).orderBy("_bh", "key").limit(k)
 
 
 def _bk_prune_factory(k: int):

@@ -156,6 +156,44 @@ def corpus_card(
                 f"{r['tokens'] / total_tokens:.2%} |"
             )
 
+    if source_col is not None:
+        from dwca_parquet_spark.functions import hashing as H
+        from dwca_parquet_spark.operators.sketch import (
+            heavy_hitters_by_group,
+        )
+
+        # dominant repeated texts per source (op 126) — the mirror
+        # question per source: exact-dup profiling says HOW MUCH is
+        # duplicated, this says WHAT dominates where. Items are the
+        # normalized-text fingerprint (op 28's protocol: staged
+        # normalize, then the portable hash), counts are op 126's
+        # verified-exact counts; the panel is a filter/sort of the
+        # operator output, nothing recomputed.
+        fp = (
+            df.select(
+                F.col(source_col),
+                H.normalize_text(F.col(text_col)).alias("_norm"),
+            )
+            .select(source_col, H.poly_hash(F.col("_norm")).alias("_fp"))
+        )
+        hh = heavy_hitters_by_group(fp, source_col, "_fp", 16)
+        top = (
+            hh.filter(F.col("cnt") >= 2)
+            .orderBy(F.desc("cnt"), F.asc("group"), F.asc("item"))
+            .limit(30)
+            .collect()  # bounded: ≤ 30 rows of the ≤ groups·16 output
+        )
+        lines += [
+            "",
+            "## Dominant repeated texts per source (exact counts, k=16)",
+            "| source | text fingerprint | copies |",
+            "|---|---|---|",
+        ]
+        if not top:
+            lines.append("| (no text repeated ≥ 2× within a source) | | |")
+        for r in top:
+            lines.append(f"| {r['group']} | {r['item']} | {r['cnt']:,} |")
+
     if url_col is not None:
         from dwca_parquet_spark.operators.sketch import (
             bottomk_by_group,

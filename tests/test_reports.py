@@ -118,3 +118,50 @@ def test_corpus_card_url_diversity_panel(spark):
     for dom, (n, e) in est.items():
         assert f"| {dom} | {n:,} | {e:,} |" in card
     assert card.index("diverse.example") < card.index("mirror.example")
+
+
+def test_corpus_card_dominant_repeats_panel(spark):
+    """op-126 panel: planted per-source repeats surface with EXACT
+    counts, and the panel rows equal the operator's own output."""
+    rows = (
+        [(i, "the repeated mirror page text", "siteA") for i in range(40)]
+        + [(100 + i, f"unique text number {i}", "siteA") for i in range(30)]
+        + [(500 + i, "another mirrored page", "siteB") for i in range(7)]
+        + [(900 + i, f"fresh text {i}", "siteB") for i in range(20)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    card = corpus_card(df, "doc_id", "text", source_col="source", name="m")
+    assert "## Dominant repeated texts per source" in card
+    # exact counts of the planted repeats appear against their source
+    assert "| siteA | " in card and "| 40 |" in card
+    assert "| siteB | " in card and "| 7 |" in card
+    # panel ≡ operator output (the op-86 discipline)
+    from dwca_parquet_spark.functions import hashing as H
+    from dwca_parquet_spark.operators.sketch import heavy_hitters_by_group
+
+    fp = df.select(
+        "source", H.normalize_text(F.col("text")).alias("_n")
+    ).select("source", H.poly_hash(F.col("_n")).alias("_fp"))
+    hh = {
+        (r["group"], str(r["item"])): r["cnt"]
+        for r in heavy_hitters_by_group(fp, "source", "_fp", 16)
+        .filter(F.col("cnt") >= 2)
+        .collect()
+    }
+    panel = [
+        ln for ln in card.splitlines()
+        if ln.startswith("| site") and ln.count("|") == 4
+    ]
+    assert len(panel) == len(hh) == 2
+    for ln in panel:
+        _, src, fp_s, cnt_s, _ = [p.strip() for p in ln.split("|")]
+        assert hh[(src, fp_s)] == int(cnt_s.replace(",", ""))
+
+
+def test_corpus_card_no_repeats_panel_row(spark):
+    df = spark.createDataFrame(
+        [(i, f"all unique {i}", "s") for i in range(25)],
+        "doc_id long, text string, source string",
+    )
+    card = corpus_card(df, "doc_id", "text", source_col="source", name="u")
+    assert "(no text repeated ≥ 2× within a source)" in card
