@@ -101,15 +101,66 @@ def auc_roc(
     + n), AUC = numer2 / (2·P·N) — in Decimal(38,0) so no scale
     overflows it and every engine agrees exactly. NULL when P·N = 0.
 
+    The cumulative negatives-below sum uses the op-105 two-level prefix
+    sum, never a single-partition window: percentile_approx edges
+    bucket the distinct-score table (equal scores always share a
+    bucket, so strictly-below semantics survive bucketing), the
+    in-bucket window is PARTITIONED by bucket across parallel reducers,
+    and an O(buckets) offset table (the only unpartitioned window —
+    bounded by n_buckets, the token-budget precedent) is broadcast
+    back. Result identical to the global-window form by construction;
+    the evaluation.py plan pin asserts the corpus-sized window is the
+    partitioned one.
+
     ``round_to``: quantize scores first (see module docstring — the
-    scale knob for continuous scores; the windowed table is otherwise
-    |distinct scores| rows, which for a continuous scorer is the
-    corpus).
+    windowed table is otherwise |distinct scores| rows, which for a
+    continuous scorer is the corpus — bucketing spreads it, quantizing
+    bounds it).
     """
-    g = _by_score(_labeled(df, label_col, score_col, round_to))
-    w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
-    cum_n = F.coalesce(F.sum("n").over(w), F.lit(0)).alias("cum_n")
-    terms = g.select(
+    from dwca_parquet_spark.cache import persist_tracked
+
+    # persisted: both the edges aggregate and the scoring plan consume
+    # the per-distinct-score table — without the persist the corpus
+    # aggregation runs twice (the op-123 lesson)
+    g = persist_tracked(_by_score(_labeled(df, label_col, score_col, round_to)))
+    n_buckets = 64
+    edges = (
+        g.select(
+            F.percentile_approx(
+                "score",
+                [i / n_buckets for i in range(1, n_buckets)],
+                10_000,
+            ).alias("_e")
+        ).first()["_e"]
+        or []
+    )
+    uniq = sorted(set(edges))
+    if uniq:
+        asc = sum((F.col("score") > F.lit(e)).cast("int") for e in uniq)
+        g = g.withColumn("_b", F.coalesce(asc, F.lit(0)))
+    else:
+        g = g.withColumn("_b", F.lit(0))
+    w_in = Window.partitionBy("_b").orderBy("score").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = (
+        g.groupBy("_b")
+        .agg(F.sum("n").alias("_btot"))
+        .withColumn(
+            "_noff",
+            F.coalesce(
+                F.sum("_btot").over(
+                    Window.orderBy("_b").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("_b", "_noff")
+    )
+    cum_n = F.col("_noff") + F.coalesce(F.sum("n").over(w_in), F.lit(0))
+    terms = g.join(F.broadcast(offsets), "_b").select(
         F.col("p"),
         F.col("n"),
         # promote BEFORE the multiply: p and cum_n are both corpus-sized,

@@ -61,7 +61,14 @@ from pyspark.sql import functions as F
 
 from dwca_parquet_spark.operators.similarity import VEC_SCALE
 
-__all__ = ["PCAModel", "pca_fit", "pca_transform"]
+__all__ = [
+    "PCAModel",
+    "pca_fit",
+    "pca_transform",
+    "pca_state_write",
+    "pca_state_update",
+    "pca_fit_from_state",
+]
 
 _MAX_SCALED = 3_000_000  # |scaled component| bound for in-batch int64 safety
 
@@ -202,3 +209,84 @@ def pca_transform(
         return pd.Series(out, dtype=object)
 
     return df.select(F.col(id_col), project(F.col(vec_col)).alias(out_col))
+
+
+# ---------------------------------------------------------------------------
+# Incremental PCA — persisted exact moment state (SURVEY §2 op 130)
+# ---------------------------------------------------------------------------
+# The incremental column (ops 59/78/104/118/120) extended to PCA: because
+# the fit consumes EXACT INTEGER moments, the stored state is just those
+# integers, and updating with a new batch is integer ADDITION — so
+# update-then-fit equals refit-over-everything BIT-FOR-BIT (not
+# approximately: the law test_pca.py pins). No other incremental-PCA
+# formulation (e.g. the streaming eigenvector updates in the literature)
+# gets an exact law; this one does because the sufficient statistics are
+# exact and tiny (d(d+3)/2 + 1 numbers), which is also why the state fits
+# one parquet file at any corpus size.
+
+
+def pca_state_write(
+    df: DataFrame, id_col: str, vec_col: str, dim: int, path: str
+) -> None:
+    """Materialize the exact moment state for ``df`` under ``path``:
+    ``moments/`` (pos, val DECIMAL(38,0)) + ``meta/`` (dim). One corpus
+    pass (the pca_fit scan)."""
+    path = str(path).rstrip("/")
+    n, s1, tri = _exact_moments(df, vec_col, dim)
+    _write_state(df.sparkSession, path, dim, n, s1, tri)
+
+
+def _write_state(spark, path: str, dim: int, n, s1, tri) -> None:
+    from decimal import Decimal
+
+    vals = [n] + list(s1) + list(tri)
+    rows = [(i, Decimal(int(v))) for i, v in enumerate(vals)]
+    spark.createDataFrame(rows, "pos long, val decimal(38,0)").coalesce(
+        1
+    ).write.mode("overwrite").parquet(f"{path}/moments")
+    spark.createDataFrame([(dim,)], "dim long").write.mode(
+        "overwrite"
+    ).parquet(f"{path}/meta")
+
+
+def _read_state(spark, path: str):
+    path = str(path).rstrip("/")
+    dim = int(spark.read.parquet(f"{path}/meta").collect()[0]["dim"])
+    rows = spark.read.parquet(f"{path}/moments").collect()
+    vals = {int(r["pos"]): int(r["val"]) for r in rows}
+    n = vals.get(0, 0)
+    s1 = [vals.get(1 + i, 0) for i in range(dim)]
+    n_tri = dim * (dim + 1) // 2
+    tri = [vals.get(1 + dim + t, 0) for t in range(n_tri)]
+    return dim, n, s1, tri
+
+
+def pca_state_update(
+    batch: DataFrame, id_col: str, vec_col: str, path: str
+) -> None:
+    """Fold a new batch into the stored state: ONE batch-sized moment
+    pass + exact integer addition of two bounded vectors driver-side,
+    then rewrite the (tiny) state. History vectors are never re-read —
+    the op-78/104/118 incremental contract, here with a BIT-EXACT
+    equivalence to the from-scratch fit instead of a row-equivalence."""
+    spark = batch.sparkSession
+    dim, n0, s1_0, tri0 = _read_state(spark, path)
+    n1, s1_1, tri1 = _exact_moments(batch, vec_col, dim)
+    _write_state(
+        spark,
+        path,
+        dim,
+        n0 + n1,
+        [a + b for a, b in zip(s1_0, s1_1)],
+        [a + b for a, b in zip(tri0, tri1)],
+    )
+
+
+def pca_fit_from_state(spark, path: str, k: int) -> PCAModel:
+    """Model from the stored moments — zero corpus reads. After any
+    sequence of updates, BIT-IDENTICAL to pca_fit over the union of
+    everything folded in (the exact law)."""
+    dim, n, s1, tri = _read_state(spark, path)
+    if not 1 <= k <= dim:
+        raise ValueError(f"k must be in [1, {dim}]")
+    return _model_from_moments(n, s1, tri, dim, k)

@@ -53,7 +53,7 @@ from pyspark.sql import functions as F
 from dwca_parquet_spark.functions import hashing as H
 from dwca_parquet_spark.operators.bloom import _positions, bloom_params
 
-__all__ = ["write_with_file_index", "read_pruned"]
+__all__ = ["write_with_file_index", "read_pruned", "file_index_append"]
 
 
 def _poly_hash_py(s: str) -> int:
@@ -170,3 +170,69 @@ def read_pruned(
         F.col(key_col).isin(list(values))
     )
     return out, report
+
+
+def file_index_append(df: DataFrame, path: str) -> dict:
+    """Append a batch to an indexed table (SURVEY §2 op 129 — the
+    incremental leg of op 128, the op-118/120 frozen-state discipline):
+    new data files land under ``data/``, and the sidecar gains rows FOR
+    THE NEW FILES ONLY — existing files' stats and Bloom words are never
+    recomputed or rewritten. The Bloom geometry (m, k) is frozen at
+    first write (append batches of similar file size keep the designed
+    fpp; a much larger batch should repartition first — documented, not
+    silently resized, because per-file bitmaps with mixed m could not
+    share probe positions).
+
+    Returns {"files_new", "files_total"}. Probe correctness is
+    unconditional: a pruned read after any append sequence equals the
+    full-scan filter (pinned in test_fileindex.py) because admission
+    stays no-false-negative per file regardless of when the file's
+    sidecar rows were written.
+    """
+    path = str(path).rstrip("/")
+    spark = df.sparkSession
+    meta = spark.read.parquet(f"{path}/_fileindex/meta").collect()[0]
+    m, k, key_col = int(meta["m"]), int(meta["k"]), meta["key_col"]
+    known = {
+        r["file"]
+        for r in spark.read.parquet(f"{path}/_fileindex/stats")
+        .select("file")
+        .collect()
+    }
+    df.write.mode("append").parquet(f"{path}/data")
+    back = spark.read.parquet(f"{path}/data").select(
+        F.input_file_name().alias("file"), F.col(key_col).alias("key")
+    )
+    fresh = back.filter(~F.col("file").isin(list(known)))
+    stats = fresh.groupBy("file").agg(
+        F.min("key").alias("min_key"),
+        F.max("key").alias("max_key"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    stats.write.mode("append").parquet(f"{path}/_fileindex/stats")
+    hashed = fresh.filter(F.col("key").isNotNull()).select(
+        "file", H.poly_hash(F.col("key").cast("string")).alias("_h")
+    )
+    words = (
+        hashed.select(
+            "file",
+            F.explode(F.array(*_positions(F.col("_h"), m, k))).alias("_pos"),
+        )
+        .select(
+            "file",
+            F.expr("_pos div 32").alias("word_idx"),
+            F.expr(
+                "shiftleft(cast(1 as bigint), cast(_pos % 32 as int))"
+            ).alias("_bit"),
+        )
+        .groupBy("file", "word_idx")
+        .agg(F.bit_or("_bit").alias("word_val"))
+    )
+    words.write.mode("append").parquet(f"{path}/_fileindex/words")
+    n_total = (
+        spark.read.parquet(f"{path}/_fileindex/stats")
+        .select("file")
+        .distinct()
+        .count()
+    )
+    return {"files_new": n_total - len(known), "files_total": n_total}

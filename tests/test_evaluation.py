@@ -182,12 +182,17 @@ def test_confusion_plan_is_one_aggregate(spark):
 
 def test_auc_window_runs_over_aggregated_scores(spark):
     """The rank window must consume the per-distinct-score aggregate,
-    never corpus rows: the plan's Window sits ABOVE a HashAggregate
-    keyed by score (partial+final), and with round_to set the windowed
-    relation is grid-bounded by construction."""
+    never corpus rows — and the score-ordered window must be
+    PARTITIONED by the prefix-sum bucket (the op-105 two-level shape):
+    the only unpartitioned window in the plan is the ≤ n_buckets-row
+    offset cumsum, never one ordered by score."""
     out = auc_roc(_labeled_docs(spark), "label", "score", round_to=3)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Window" in plan and "HashAggregate" in plan
     first_window = plan.index("Window")
     # tree prints top-down: an aggregate BELOW the window appears later
     assert "HashAggregate" in plan[first_window:]
+    for ln in plan.splitlines():
+        if "windowspecdefinition" in ln and "score" in ln:
+            # score-ordered window carries the _b partition spec
+            assert "windowspecdefinition(_b" in ln, ln

@@ -85,3 +85,33 @@ def test_probe_wrong_column_raises(spark, indexed_orders):
     path, _ = indexed_orders
     with pytest.raises(ValueError, match="index is on"):
         read_pruned(spark, path, "o_custkey", [1])
+
+
+def test_append_extends_index_without_touching_old_rows(spark, tmp_path):
+    """op 129: pruned reads stay ≡ full-scan filter across appends, the
+    pre-existing sidecar rows are byte-identical, and only the new
+    files gain rows."""
+    p = str(tmp_path / "appendable")
+    base = spark.range(0, 3_000).select(F.col("id").alias("k"))
+    write_with_file_index(base, p, "k", files=8)
+    before = sorted(
+        tuple(r)
+        for r in spark.read.parquet(f"{p}/_fileindex/stats").collect()
+    )
+    from dwca_parquet_spark.sinks.fileindex import file_index_append
+
+    batch = spark.range(50_000, 52_000).select(F.col("id").alias("k"))
+    rep = file_index_append(batch.repartition(4), p)
+    assert rep["files_new"] == 4 and rep["files_total"] == 12
+    after = {
+        tuple(r)
+        for r in spark.read.parquet(f"{p}/_fileindex/stats").collect()
+    }
+    assert set(before) <= after and len(after) == 12
+    # probes across old keys, new keys, and absent keys stay exact
+    probe = [5, 2999, 50_000, 51_999, 4_000, 99_999]
+    got, rep2 = read_pruned(spark, p, "k", probe)
+    want = spark.read.parquet(f"{p}/data").filter(F.col("k").isin(probe))
+    assert _sorted_rows(got) == _sorted_rows(want)
+    assert sorted(r["k"] for r in got.collect()) == [5, 2999, 50_000, 51_999]
+    assert rep2["files_total"] == 12 and rep2["files_read"] < 12

@@ -165,3 +165,32 @@ def test_knn_recall_survives_reduction(spark):
     nn = d2.argmin(axis=1)
     same = sum(1 for i, j in enumerate(nn) if ids[i] // 10 == ids[j] // 10)
     assert same / len(ids) >= 0.95
+
+
+def test_state_update_equals_refit_bit_exact(spark, tmp_path):
+    """op 130's exact law: state(A) + update(B) + update(C) →
+    fit_from_state ≡ pca_fit over A∪B∪C BIT-FOR-BIT (integer moment
+    addition commutes and the driver math is shared)."""
+    from dwca_parquet_spark.operators.pca import (
+        pca_fit_from_state,
+        pca_state_update,
+        pca_state_write,
+    )
+
+    emb = _emb(spark).select("vec_id", "embedding")
+    a = emb.filter(F.col("vec_id") % 3 == 0)
+    b = emb.filter(F.col("vec_id") % 3 == 1)
+    c = emb.filter(F.col("vec_id") % 3 == 2)
+    p = str(tmp_path / "pca_state")
+    pca_state_write(a, "vec_id", "embedding", DIM, p)
+    pca_state_update(b, "vec_id", "embedding", p)
+    pca_state_update(c, "vec_id", "embedding", p)
+    got = pca_fit_from_state(spark, p, 8)
+    want = pca_fit(emb, "vec_id", "embedding", DIM, 8)
+    assert got.n == want.n
+    assert np.array_equal(got.mean, want.mean)
+    assert np.array_equal(got.components, want.components)
+    assert np.array_equal(got.eigvals, want.eigvals)
+    # and the state survives a cold read (nothing driver-resident)
+    again = pca_fit_from_state(spark, p, 8)
+    assert np.array_equal(again.components, want.components)
