@@ -542,6 +542,25 @@ def main() -> None:
                 out["r5_vs_oracle"] = round(
                     sum(r5_times[q] for q in common) / osum, 4
                 )
+            # stable-composition ratio: the tier gained rows in round 8,
+            # which shifts the aggregate (new sub-second rows sit on the
+            # Spark dispatch floor while their oracles are trivial at
+            # sf0.1) — this fixed row set keeps round-over-round
+            # comparisons apples-to-apples
+            r7_rows = [
+                "r5_html_extract", "r5_gopher_quality",
+                "r5_dedup_paragraphs", "r5_c4_clean", "r5_global_shuffle",
+                "r5_token_budget", "r6_word_entropy", "r6_unicode_clean",
+                "r6_bottomk_build", "r7_bm25", "r7_url_blocklist",
+            ]
+            common7 = [
+                q for q in r7_rows if q in r5_times and q in r5_oracle
+            ]
+            osum7 = sum(r5_oracle[q] for q in common7)
+            if osum7 > 0:
+                out["r5_vs_oracle_r7rows"] = round(
+                    sum(r5_times[q] for q in common7) / osum7, 4
+                )
     # Artifact-of-record discipline (round 7): the full detail (per-query
     # oracle timings included) goes to bench_summary.json next to this
     # script; stdout gets a SLIM one-line JSON — same headline metric,
