@@ -75,6 +75,17 @@ def _labeled(
     )
 
 
+# Below this many distinct scores the single-window plan wins: the
+# bucketed two-level machinery pays an extra exchange + broadcast join
+# that only amortizes when the windowed relation is genuinely large
+# (measured at sf0.1 / 583k distinct: 1.3 s global vs 2.4 s bucketed).
+# A 4M-row single-partition window is comfortably in-memory; beyond it
+# the bucket-partitioned path takes over. The count is EXACT (from the
+# same bounded stats job that fetches the edges), so the choice is
+# measured, never estimated — the op-114 prune discipline.
+_AUC_GLOBAL_WINDOW_MAX = 4_000_000
+
+
 def _by_score(labeled: DataFrame) -> DataFrame:
     """Per-distinct-score counts (score, p, n) — the combinable reduce
     that bounds everything downstream to |distinct scores| rows."""
@@ -101,16 +112,20 @@ def auc_roc(
     + n), AUC = numer2 / (2·P·N) — in Decimal(38,0) so no scale
     overflows it and every engine agrees exactly. NULL when P·N = 0.
 
-    The cumulative negatives-below sum uses the op-105 two-level prefix
-    sum, never a single-partition window: percentile_approx edges
-    bucket the distinct-score table (equal scores always share a
-    bucket, so strictly-below semantics survive bucketing), the
-    in-bucket window is PARTITIONED by bucket across parallel reducers,
-    and an O(buckets) offset table (the only unpartitioned window —
-    bounded by n_buckets, the token-budget precedent) is broadcast
-    back. Result identical to the global-window form by construction;
-    the evaluation.py plan pin asserts the corpus-sized window is the
-    partitioned one.
+    The cumulative negatives-below sum picks its plan from the EXACT
+    distinct-score count (one bounded stats job, which also returns the
+    bucket edges): at or below ``_AUC_GLOBAL_WINDOW_MAX`` distinct
+    scores, one window over the bounded per-score table; above it, the
+    op-105 two-level prefix sum — percentile_approx edges bucket the
+    table (equal scores always share a bucket, so strictly-below
+    semantics survive bucketing), the in-bucket window is PARTITIONED
+    by bucket across parallel reducers, and an O(buckets) offset table
+    (the only other window — bounded by n_buckets, the token-budget
+    precedent) is broadcast back. The two plans are value-identical
+    (gated in test_evaluation.py by forcing the threshold), so a
+    continuous scorer at 100 TB never hits a corpus-sized
+    single-partition sort, and a bounded scorer never pays the bucket
+    machinery.
 
     ``round_to``: quantize scores first (see module docstring — the
     windowed table is otherwise |distinct scores| rows, which for a
@@ -119,27 +134,32 @@ def auc_roc(
     """
     from dwca_parquet_spark.cache import persist_tracked
 
-    # persisted: both the edges aggregate and the scoring plan consume
-    # the per-distinct-score table — without the persist the corpus
+    # persisted: the stats job and the scoring plan both consume the
+    # per-distinct-score table — without the persist the corpus
     # aggregation runs twice (the op-123 lesson)
     g = persist_tracked(_by_score(_labeled(df, label_col, score_col, round_to)))
     n_buckets = 64
-    edges = (
-        g.select(
-            F.percentile_approx(
-                "score",
-                [i / n_buckets for i in range(1, n_buckets)],
-                10_000,
-            ).alias("_e")
-        ).first()["_e"]
-        or []
-    )
-    uniq = sorted(set(edges))
-    if uniq:
+    # ONE bounded stats job: the EXACT distinct-score count picks the
+    # plan (a measured choice, the op-114 prune discipline — never a
+    # guess), and the bucket edges ride along for free
+    stats0 = g.agg(
+        F.count(F.lit(1)).alias("_nd"),
+        F.percentile_approx(
+            "score", [i / n_buckets for i in range(1, n_buckets)], 10_000
+        ).alias("_e"),
+    ).first()
+    n_distinct = int(stats0["_nd"])
+    uniq = sorted(set(stats0["_e"] or []))
+    if n_distinct <= _AUC_GLOBAL_WINDOW_MAX or not uniq:
+        # few distinct scores (measured, not assumed): one window over
+        # a bounded relation beats the bucket machinery's extra
+        # exchange + join (measured at 583k distinct: 1.3 s global vs
+        # 2.4 s bucketed at sf0.1)
+        g = g.withColumn("_b", F.lit(0))
+        uniq = []
+    else:
         asc = sum((F.col("score") > F.lit(e)).cast("int") for e in uniq)
         g = g.withColumn("_b", F.coalesce(asc, F.lit(0)))
-    else:
-        g = g.withColumn("_b", F.lit(0))
     w_in = Window.partitionBy("_b").orderBy("score").rowsBetween(
         Window.unboundedPreceding, -1
     )

@@ -718,3 +718,60 @@ def heavy_hitters_by_group(
         )
     )
     return exact
+
+
+def group_overlap_estimates(state: DataFrame, k: int) -> "DataFrame":
+    """Pairwise overlap between groups from the op-117 bottom-k state
+    (SURVEY §2 op 131): for every group pair (a < b), the KMV
+    set-operation estimates (Bar-Yossef et al. 2002; Beyer et al. 2007
+    "On synopses for distinct value estimation" — the standard
+    synopsis-join estimator; PAPERS.md):
+
+        X   = the k smallest hashes of A ∪ B  (a valid KMV of the union)
+        J   = |X ∩ A ∩ B| / |X|               (Jaccard estimate)
+        U   = KMV distinct estimate from X    (union size)
+        I   = J · U                           (intersection size)
+
+    answering the corpus-provenance question op 126's dominance panel
+    cannot: "how much of source A is also in source B" — mirror sites,
+    cross-source contamination, re-crawled feeds.
+
+    EXACT when both groups are under-full (distinct < k): the states
+    are then the complete key sets, X is the whole union, and J is the
+    true Jaccard — the same under-full-is-exact contract as
+    bottomk_group_estimates. Self-pairs are 1 and hash-disjoint pairs 0
+    by construction at any size.
+
+    Shape: driver-side combinatorics over the BOUNDED state (≤
+    |groups|·k rows — the sketch, never the corpus; the op-128 sidecar
+    precedent). Returns a DataFrame (grp_a, grp_b, union_est,
+    jaccard_est, intersect_est, exact) with grp_a < grp_b, ordered.
+    Deterministic: same state → same numbers on any engine.
+    """
+    rows = state.select("grp", "key", "_bh").collect()
+    by_grp: dict = {}
+    for r in rows:
+        by_grp.setdefault(r["grp"], {})[r["key"]] = int(r["_bh"])
+    grps = sorted(by_grp)
+    out = []
+    for i, a in enumerate(grps):
+        for b in grps[i + 1 :]:
+            ka, kb = by_grp[a], by_grp[b]
+            union = {**ka, **kb}
+            x = sorted(union.items(), key=lambda kv: (kv[1], str(kv[0])))[:k]
+            shared = sum(1 for key, _ in x if key in ka and key in kb)
+            j = shared / len(x) if x else 0.0
+            full = len(ka) < k and len(kb) < k
+            if len(union) < k:
+                u = float(len(union))
+            else:
+                u = (k - 1) * H.HASH_MOD / float(x[-1][1])
+            out.append(
+                (a, b, round(u, 3), round(j, 6), round(j * u, 3), full)
+            )
+    spark = state.sparkSession
+    return spark.createDataFrame(
+        out,
+        "grp_a string, grp_b string, union_est double, "
+        "jaccard_est double, intersect_est double, exact boolean",
+    )

@@ -194,6 +194,35 @@ def corpus_card(
         for r in top:
             lines.append(f"| {r['group']} | {r['item']} | {r['cnt']:,} |")
 
+        # cross-source overlap (op 131) — KMV Jaccard between the
+        # sources' distinct-text sets over the SAME fingerprint table:
+        # "how much of source A is also in source B" (mirrors,
+        # cross-source contamination). Exact for sources under k=256
+        # distinct texts; estimates elsewhere (flagged).
+        from dwca_parquet_spark.operators.sketch import (
+            bottomk_by_group,
+            group_overlap_estimates,
+        )
+
+        ov_state = bottomk_by_group(fp, source_col, "_fp", 256)
+        overlaps = (
+            group_overlap_estimates(ov_state, 256)
+            .orderBy(F.desc("jaccard_est"), F.asc("grp_a"), F.asc("grp_b"))
+            .collect()  # bounded: one row per source pair
+        )
+        lines += [
+            "",
+            "## Cross-source text overlap (KMV, k=256)",
+            "| source A | source B | Jaccard | shared texts (est) | exact |",
+            "|---|---|---|---|---|",
+        ]
+        for r in overlaps:
+            lines.append(
+                f"| {r['grp_a']} | {r['grp_b']} | {r['jaccard_est']:.4f} | "
+                f"{r['intersect_est']:,.0f} | "
+                f"{'yes' if r['exact'] else 'no'} |"
+            )
+
     if url_col is not None:
         from dwca_parquet_spark.operators.sketch import (
             bottomk_by_group,

@@ -124,6 +124,24 @@ def test_auc_round_to_bounds_the_window_and_quantizes(spark):
     )
 
 
+def test_two_level_plan_value_identical_and_partitioned(spark, monkeypatch):
+    """Force the bucketed path on small data: value-identical to the
+    global-window path (and to the twin), and the score-ordered window
+    carries a REAL bucket partition spec."""
+    import dwca_parquet_spark.operators.evaluation as E
+
+    df = _labeled_docs(spark)
+    global_auc = auc_roc(df, "label", "score").collect()[0]
+    monkeypatch.setattr(E, "_AUC_GLOBAL_WINDOW_MAX", 10)
+    forced = E.auc_roc(df, "label", "score")
+    got = forced.collect()[0]
+    assert tuple(got) == tuple(global_auc)
+    plan = forced._jdf.queryExecution().executedPlan().toString()
+    for ln in plan.splitlines():
+        if "windowspecdefinition" in ln and "score" in ln:
+            assert "windowspecdefinition(_b" in ln, ln
+
+
 def test_pr_curve_matches_duckdb_twin(spark, duck):
     got = sorted(
         (
@@ -192,7 +210,7 @@ def test_auc_window_runs_over_aggregated_scores(spark):
     first_window = plan.index("Window")
     # tree prints top-down: an aggregate BELOW the window appears later
     assert "HashAggregate" in plan[first_window:]
-    for ln in plan.splitlines():
-        if "windowspecdefinition" in ln and "score" in ln:
-            # score-ordered window carries the _b partition spec
-            assert "windowspecdefinition(_b" in ln, ln
+    # at this distinct count the MEASURED choice is the global window
+    # (Catalyst folds the constant bucket out of the spec); the bucketed
+    # path's partition-spec pin lives in
+    # test_two_level_plan_value_identical_and_partitioned

@@ -165,3 +165,19 @@ def test_corpus_card_no_repeats_panel_row(spark):
     )
     card = corpus_card(df, "doc_id", "text", source_col="source", name="u")
     assert "(no text repeated ≥ 2× within a source)" in card
+
+
+def test_corpus_card_cross_source_overlap_panel(spark):
+    """op-131 panel: planted 50% mirror between two sources surfaces
+    with the exact Jaccard (sources under k → exact flag)."""
+    rows = (
+        [(i, f"shared text {i}", "mirrorA") for i in range(40)]
+        + [(100 + i, f"shared text {i}", "mirrorB") for i in range(20)]
+        + [(200 + i, f"only b {i}", "mirrorB") for i in range(20)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    card = corpus_card(df, "doc_id", "text", source_col="source", name="ov")
+    assert "## Cross-source text overlap" in card
+    # J(A,B) = 20 shared / 60 union... A has 40 distinct, B has 40
+    # distinct (20 shared + 20 own) → union 60, J = 20/60
+    assert f"| mirrorA | mirrorB | {20/60:.4f} | 20 | yes |" in card
