@@ -85,6 +85,12 @@ def _labeled(
 # measured, never estimated — the op-114 prune discipline.
 _AUC_GLOBAL_WINDOW_MAX = 4_000_000
 
+# Inputs under this size estimate skip even the careful path's persist
+# and exact count: their distinct-score table is bounded by the input
+# itself (the op-114 _BK_PRUNE_MIN_BYTES discipline — at sf0.1 the
+# persist+count machinery alone measured +0.6 s on a 1.3 s query).
+_AUC_INPUT_SMALL_BYTES = 256 << 20
+
 
 def _by_score(labeled: DataFrame) -> DataFrame:
     """Per-distinct-score counts (score, p, n) — the combinable reduce
@@ -132,34 +138,53 @@ def auc_roc(
     continuous scorer is the corpus — bucketing spreads it, quantizing
     bounds it).
     """
-    from dwca_parquet_spark.cache import persist_tracked
-
-    # persisted: the stats job and the scoring plan both consume the
-    # per-distinct-score table — without the persist the corpus
-    # aggregation runs twice (the op-123 lesson)
-    g = persist_tracked(_by_score(_labeled(df, label_col, score_col, round_to)))
+    labeled = _labeled(df, label_col, score_col, round_to)
+    g = _by_score(labeled)
     n_buckets = 64
-    # ONE bounded stats job: the EXACT distinct-score count picks the
-    # plan (a measured choice, the op-114 prune discipline — never a
-    # guess), and the bucket edges ride along for free
-    stats0 = g.agg(
-        F.count(F.lit(1)).alias("_nd"),
-        F.percentile_approx(
-            "score", [i / n_buckets for i in range(1, n_buckets)], 10_000
-        ).alias("_e"),
-    ).first()
-    n_distinct = int(stats0["_nd"])
-    uniq = sorted(set(stats0["_e"] or []))
-    if n_distinct <= _AUC_GLOBAL_WINDOW_MAX or not uniq:
-        # few distinct scores (measured, not assumed): one window over
-        # a bounded relation beats the bucket machinery's extra
-        # exchange + join (measured at 583k distinct: 1.3 s global vs
-        # 2.4 s bucketed at sf0.1)
-        g = g.withColumn("_b", F.lit(0))
-        uniq = []
-    else:
+    # Plan choice, two tiers of evidence (the op-114 prune discipline):
+    # (1) the optimizer's INPUT size estimate — an input under the
+    # threshold cannot produce a problematic distinct-score table, so
+    # the single-window plan runs as ONE job with zero extra machinery
+    # (no persist, no stats job — measured at sf0.1: the careful path's
+    # persist+count alone cost +0.6 s); (2) above the threshold, the
+    # table is persisted, the EXACT distinct count is measured, and
+    # only a genuinely large count pays the bucket machinery (with the
+    # edges as a second tiny job over the cache).
+    big_input = True
+    try:
+        stats = labeled._jdf.queryExecution().optimizedPlan().stats()
+        big_input = int(str(stats.sizeInBytes())) > _AUC_INPUT_SMALL_BYTES
+    except Exception:
+        pass  # stats unavailable → keep the scale-safe careful path
+    uniq: list = []
+    if big_input:
+        from dwca_parquet_spark.cache import persist_tracked
+
+        # persisted: the stats job and the scoring plan both consume
+        # this table — without the persist the corpus aggregation runs
+        # twice (the op-123 lesson)
+        g = persist_tracked(g)
+        if g.count() > _AUC_GLOBAL_WINDOW_MAX:
+            uniq = sorted(
+                set(
+                    g.agg(
+                        F.percentile_approx(
+                            "score",
+                            [i / n_buckets for i in range(1, n_buckets)],
+                            10_000,
+                        ).alias("_e")
+                    ).first()["_e"]
+                    or []
+                )
+            )
+    if uniq:
         asc = sum((F.col("score") > F.lit(e)).cast("int") for e in uniq)
         g = g.withColumn("_b", F.coalesce(asc, F.lit(0)))
+    else:
+        # bounded distinct scores (measured or implied by input size):
+        # one window over a bounded relation beats the bucket
+        # machinery's extra exchange + join
+        g = g.withColumn("_b", F.lit(0))
     w_in = Window.partitionBy("_b").orderBy("score").rowsBetween(
         Window.unboundedPreceding, -1
     )

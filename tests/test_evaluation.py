@@ -133,6 +133,7 @@ def test_two_level_plan_value_identical_and_partitioned(spark, monkeypatch):
     df = _labeled_docs(spark)
     global_auc = auc_roc(df, "label", "score").collect()[0]
     monkeypatch.setattr(E, "_AUC_GLOBAL_WINDOW_MAX", 10)
+    monkeypatch.setattr(E, "_AUC_INPUT_SMALL_BYTES", 0)
     forced = E.auc_roc(df, "label", "score")
     got = forced.collect()[0]
     assert tuple(got) == tuple(global_auc)
