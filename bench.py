@@ -193,10 +193,7 @@ def r5_tier_specs():
     )
     from dwca_parquet_spark.operators.pca import pca_fit, pca_transform
     from dwca_parquet_spark.operators.sketch import heavy_hitters_by_group
-    from dwca_parquet_spark.sinks.fileindex import (
-        read_pruned,
-        write_with_file_index,
-    )
+    from dwca_parquet_spark.sinks.fileindex import write_with_file_index
 
     _semdedup_state_memo: dict = {}
 
@@ -242,11 +239,16 @@ def r5_tier_specs():
     _FIDX_PROBE = [19, 101, 2500, 4242, 31415, 271828, 999999999, 777]
 
     def _fidx(s):
+        # build + sidecar load are the once-per-corpus/session costs
+        # (the semdedup-row discipline) — the median times the
+        # steady-state probe: one driver admission pass + ONE Spark job
         if "fidx" not in _r8_memo:
+            from dwca_parquet_spark.sinks.fileindex import FileIndex
+
             write_with_file_index(
                 lineitem(s), _FIDX_DIR, "l_orderkey", files=32
             )
-            _r8_memo["fidx"] = _FIDX_DIR
+            _r8_memo["fidx"] = FileIndex.load(s, _FIDX_DIR)
         return _r8_memo["fidx"]
 
     budget_sql = sql_select_to_token_budget(
@@ -417,7 +419,7 @@ def r5_tier_specs():
         # (test_fileindex.py); the row exists so probe-path regressions
         # are visible round-over-round.
         "r8_fileindex_probe": (
-            lambda s: read_pruned(s, _fidx(s), "l_orderkey", _FIDX_PROBE)[0],
+            lambda s: _fidx(s).probe("l_orderkey", _FIDX_PROBE)[0],
             None,
         ),
     }

@@ -53,7 +53,12 @@ from pyspark.sql import functions as F
 from dwca_parquet_spark.functions import hashing as H
 from dwca_parquet_spark.operators.bloom import _positions, bloom_params
 
-__all__ = ["write_with_file_index", "read_pruned", "file_index_append"]
+__all__ = [
+    "FileIndex",
+    "write_with_file_index",
+    "read_pruned",
+    "file_index_append",
+]
 
 
 def _poly_hash_py(s: str) -> int:
@@ -117,59 +122,89 @@ def write_with_file_index(
     return {"files": n_files, "m": m, "k": k}
 
 
+class FileIndex:
+    """A LOADED sidecar index: the bounded per-file stats/words tables
+    held driver-side, so a point-lookup workload (many probes against a
+    frozen table) reads the sidecar ONCE instead of three jobs per
+    probe. `load` is the once-per-session cost; `probe` spawns exactly
+    one Spark job (the pruned read). One-shot callers use
+    :func:`read_pruned`, which is load + probe."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = str(path).rstrip("/")
+        meta = spark.read.parquet(f"{self.path}/_fileindex/meta").collect()[0]
+        self.key_col = meta["key_col"]
+        self.m, self.k = int(meta["m"]), int(meta["k"])
+        self.stats = spark.read.parquet(
+            f"{self.path}/_fileindex/stats"
+        ).collect()
+        self.words: dict[str, dict[int, int]] = {}
+        for r in spark.read.parquet(f"{self.path}/_fileindex/words").collect():
+            self.words.setdefault(r["file"], {})[int(r["word_idx"])] = int(
+                r["word_val"]
+            )
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "FileIndex":
+        return cls(spark, path)
+
+    def probe(self, key_col: str, values: list) -> tuple[DataFrame, dict]:
+        """(rows with key ∈ values, skip report). EXACTLY ≡ reading
+        ``data/`` whole and filtering (pinned); touches only files
+        whose Bloom OR min/max admits at least one probed value."""
+        if self.key_col != key_col:
+            raise ValueError(
+                f"index is on {self.key_col!r}, probe asked {key_col!r}"
+            )
+        from dwca_parquet_spark.operators.bloom import BLOOM_P, _bloom_ab
+
+        probes = []
+        for v in values:
+            hv = _poly_hash_py(str(v))
+            pos = []
+            for j in range(self.k):
+                a, b = _bloom_ab(j)
+                pos.append(((hv * a + b) % BLOOM_P) % self.m)
+            probes.append((v, pos))
+
+        def admits(file_row) -> bool:
+            w = self.words.get(file_row["file"], {})
+            lo, hi = file_row["min_key"], file_row["max_key"]
+            for v, pos in probes:
+                if (
+                    lo is not None
+                    and hi is not None
+                    and not (lo <= v <= hi)
+                ):
+                    continue  # outside the file's range → absent
+                if all((w.get(p // 32, 0) >> (p % 32)) & 1 for p in pos):
+                    return True
+            return False
+
+        survivors = [r["file"] for r in self.stats if admits(r)]
+        report = {
+            "files_total": len(self.stats),
+            "files_read": len(survivors),
+        }
+        if not survivors:
+            empty = self.spark.read.parquet(f"{self.path}/data").filter(
+                F.lit(False)
+            )
+            return empty, report
+        out = self.spark.read.parquet(*survivors).filter(
+            F.col(key_col).isin(list(values))
+        )
+        return out, report
+
+
 def read_pruned(
     spark: SparkSession, path: str, key_col: str, values: list
 ) -> tuple[DataFrame, dict]:
-    """(rows with key ∈ values, skip report). EXACTLY ≡ reading
-    ``data/`` whole and filtering (pinned); touches only files whose
-    Bloom OR min/max admits at least one probed value. The report:
-    {"files_total", "files_read"}."""
-    path = str(path).rstrip("/")
-    meta = spark.read.parquet(f"{path}/_fileindex/meta").collect()[0]
-    if meta["key_col"] != key_col:
-        raise ValueError(
-            f"index is on {meta['key_col']!r}, probe asked {key_col!r}"
-        )
-    m, k = int(meta["m"]), int(meta["k"])
-    stats = spark.read.parquet(f"{path}/_fileindex/stats").collect()
-    words_rows = spark.read.parquet(f"{path}/_fileindex/words").collect()
-    words: dict[str, dict[int, int]] = {}
-    for r in words_rows:
-        words.setdefault(r["file"], {})[int(r["word_idx"])] = int(
-            r["word_val"]
-        )
-    probes = []
-    for v in values:
-        hv = _poly_hash_py(str(v))
-        pos = []
-        from dwca_parquet_spark.operators.bloom import _bloom_ab, BLOOM_P
-
-        for j in range(k):
-            a, b = _bloom_ab(j)
-            pos.append(((hv * a + b) % BLOOM_P) % m)
-        probes.append((v, pos))
-
-    def admits(file_row) -> bool:
-        w = words.get(file_row["file"], {})
-        lo, hi = file_row["min_key"], file_row["max_key"]
-        for v, pos in probes:
-            if lo is not None and hi is not None and not (lo <= v <= hi):
-                continue  # out of the file's range → cannot be present
-            if all(
-                (w.get(p // 32, 0) >> (p % 32)) & 1 for p in pos
-            ):
-                return True
-        return False
-
-    survivors = [r["file"] for r in stats if admits(r)]
-    report = {"files_total": len(stats), "files_read": len(survivors)}
-    if not survivors:
-        empty = spark.read.parquet(f"{path}/data").filter(F.lit(False))
-        return empty, report
-    out = spark.read.parquet(*survivors).filter(
-        F.col(key_col).isin(list(values))
-    )
-    return out, report
+    """One-shot convenience: :class:`FileIndex` load + probe. Repeated
+    probes against the same frozen table should load once and reuse
+    (after an append, reload — the sidecar on disk is the truth)."""
+    return FileIndex.load(spark, path).probe(key_col, values)
 
 
 def file_index_append(df: DataFrame, path: str) -> dict:

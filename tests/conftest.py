@@ -159,6 +159,18 @@ SLOW_NODE_IDS = {
     "test_streaming_ingest.py::test_stream_paragraph_dedup_and_replay",
     "test_text_ops.py::test_contamination_overlap_sf01_timed",
     "test_text_ops.py::test_dsir_logratio_parity_and_separation",
+    # round-8 rebalance (durations measured 2026-08-15, full sweep +
+    # targeted run): the ≥4 s round-7/8 nodes move to the slow lane so
+    # the quick lane stays ≤ ~5 min; the full suite remains THE gate.
+    "test_pca.py::test_state_update_equals_refit_bit_exact",
+    "test_evaluation.py::test_auc_matches_duckdb_twin",
+    "test_evaluation.py::test_auc_exact_laws",
+    "test_streaming_ingest.py::test_stream_semantic_dedup_and_replay",
+    "test_ivf_state.py::test_ivf_append_equals_rebuild_and_plan_pin",
+    "test_ivf_state.py::test_ivf_stored_matches_one_shot",
+    "test_reports.py::test_corpus_card_no_repeats_panel_row",
+    "test_reports.py::test_corpus_card_dominant_repeats_panel",
+    "test_reports.py::test_corpus_card_cross_source_overlap_panel",
 }
 
 

@@ -115,3 +115,22 @@ def test_append_extends_index_without_touching_old_rows(spark, tmp_path):
     assert _sorted_rows(got) == _sorted_rows(want)
     assert sorted(r["k"] for r in got.collect()) == [5, 2999, 50_000, 51_999]
     assert rep2["files_total"] == 12 and rep2["files_read"] < 12
+
+
+def test_loaded_index_probe_equals_read_pruned(spark, indexed_orders):
+    """FileIndex.load + probe ≡ the one-shot read_pruned (same rows,
+    same report), and repeated probes reuse the driver-held sidecar."""
+    from dwca_parquet_spark.sinks.fileindex import FileIndex
+
+    path, _ = indexed_orders
+    keys = [r["o_orderkey"] for r in
+            spark.read.parquet(f"{path}/data").limit(3).collect()]
+    idx = FileIndex.load(spark, path)
+    a, ra = idx.probe("o_orderkey", keys)
+    b, rb = read_pruned(spark, path, "o_orderkey", keys)
+    assert _sorted_rows(a) == _sorted_rows(b) and ra == rb
+    # a second probe with different values needs no reload
+    c, rc = idx.probe("o_orderkey", [-5])
+    assert c.count() == 0 and rc["files_total"] == ra["files_total"]
+    with pytest.raises(ValueError, match="index is on"):
+        idx.probe("o_custkey", [1])
