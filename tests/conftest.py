@@ -171,6 +171,10 @@ SLOW_NODE_IDS = {
     "test_reports.py::test_corpus_card_no_repeats_panel_row",
     "test_reports.py::test_corpus_card_dominant_repeats_panel",
     "test_reports.py::test_corpus_card_cross_source_overlap_panel",
+    "test_invindex.py::test_rebuild_overwrites",
+    "test_fileindex.py::test_append_extends_index_without_touching_old_rows",
+    "test_group_hh.py::test_partitioning_never_breaks_guarantee",
+    "test_evaluation.py::test_auc_round_to_bounds_the_window_and_quantizes",
 }
 
 
