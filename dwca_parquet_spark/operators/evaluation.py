@@ -51,6 +51,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "auc_roc",
+    "auc_from_score_counts",
     "pr_curve",
     "confusion_at",
     "sql_auc_roc",
@@ -210,6 +211,42 @@ def auc_roc(
         F.col("n"),
         # promote BEFORE the multiply: p and cum_n are both corpus-sized,
         # so the product can pass 2^63 long before the Decimal sum would
+        (
+            F.col("p").cast("decimal(38,0)")
+            * (F.lit(2) * cum_n + F.col("n")).cast("decimal(38,0)")
+        )
+        .cast("decimal(38,0)")
+        .alias("numer2"),
+    )
+    return terms.agg(
+        F.sum("numer2").alias("_numer2"),
+        F.sum("p").alias("_P"),
+        F.sum("n").alias("_N"),
+    ).select(
+        (
+            F.col("_numer2").cast("double")
+            / F.nullif(
+                F.lit(2.0) * F.col("_P") * F.col("_N"), F.lit(0.0)
+            )
+        ).alias("auc"),
+        F.col("_P").cast("long").alias("n_pos"),
+        F.col("_N").cast("long").alias("n_neg"),
+    )
+
+
+def auc_from_score_counts(g: DataFrame) -> DataFrame:
+    """AUC (same output row as :func:`auc_roc`) from an ALREADY-REDUCED
+    per-distinct-score (score, p, n) table — the entry point for stored
+    evaluation state (streaming/evaluation.py), whose table is bounded
+    by the quantization grid, so the single global window is the right
+    plan here (the auc_roc plan ladder exists for corpus-derived
+    tables). Same integer rank arithmetic, bit-compatible with
+    auc_roc over the equivalent rows."""
+    w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
+    cum_n = F.coalesce(F.sum("n").over(w), F.lit(0))
+    terms = g.select(
+        F.col("p"),
+        F.col("n"),
         (
             F.col("p").cast("decimal(38,0)")
             * (F.lit(2) * cum_n + F.col("n")).cast("decimal(38,0)")
