@@ -190,25 +190,42 @@ def pca_transform(
     model: PCAModel,
     out_col: str = "pca",
 ) -> DataFrame:
-    """(id, out_col array<double>): (x − μ) @ Wᵀ per row — one Arrow-
-    batched matmul per batch against the broadcast component matrix;
-    zero shuffle, NULL vectors pass through as NULL projections."""
-    mean = model.mean
-    comps_t = model.components.T  # (d, k)
+    """(id, out_col array<double>): the projection (x − μ) @ Wᵀ as PURE
+    JVM expressions — (x − μ)·wᵢ = x·wᵢ − μ·wᵢ, where μ·wᵢ folds to a
+    literal, so each output component is one zip_with/aggregate dot
+    product against the literal component row, entirely inside
+    whole-stage codegen. Zero Python, zero Arrow crossing, zero shuffle
+    (measured at 2M×64→8: 33.6 s as an Arrow-batched pandas UDF vs
+    4–5 s as expressions — the UDF cost was the Arrow round-trip of
+    every input vector, not the matmul). NULL vectors → NULL
+    projections. Within ~1e-15 of the NumPy reference (sequential fold
+    vs BLAS accumulation order — gated at 1e-12 in test_pca.py)."""
+    comps = model.components  # (k, d)
+    mean_dots = comps @ model.mean  # (k,) — fold μ·wᵢ into literals
+    # stage the vector through its own projection: the k dot products
+    # reference it k+1 times, and a CALLER-computed vector expression
+    # would otherwise re-evaluate per reference (the shingle-staging
+    # lesson; CollapseProject keeps multiply-referenced non-cheap
+    # aliases staged)
+    staged = df.select(F.col(id_col), F.col(vec_col).alias("_pv"))
+    v = F.col("_pv")
 
-    @F.pandas_udf("array<double>")
-    def project(v: pd.Series) -> pd.Series:
-        vals = list(v)
-        idx = [i for i, x in enumerate(vals) if x is not None]
-        out: list = [None] * len(vals)
-        if idx:
-            x = np.stack([vals[i] for i in idx]).astype(np.float64)
-            p = (x - mean) @ comps_t
-            for row_i, i in enumerate(idx):
-                out[i] = p[row_i]
-        return pd.Series(out, dtype=object)
+    def dot_minus(i: int):
+        w = F.array(*[F.lit(float(x)) for x in comps[i]])
+        return (
+            F.aggregate(
+                F.zip_with(v, w, lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            - F.lit(float(mean_dots[i]))
+        )
 
-    return df.select(F.col(id_col), project(F.col(vec_col)).alias(out_col))
+    proj = F.when(
+        v.isNotNull(),
+        F.array(*[dot_minus(i) for i in range(comps.shape[0])]),
+    )
+    return staged.select(F.col(id_col), proj.alias(out_col))
 
 
 # ---------------------------------------------------------------------------
