@@ -629,18 +629,34 @@ def heavy_hitters_by_group(
     — the same mergeability op 87 relies on), so a qualifying item
     survives in at least one partial.
 
-    Shape: one mapInPandas pass holding ≤ k counters PER GROUP SEEN IN
-    THE PARTITION (bounded by k · groups-per-partition, never by rows);
-    a ≤ partitions·groups·k-row candidate aggregation; and ONE exact
-    corpus groupBy semi-filtered to candidates. The candidate join is a
-    plain left-semi on (group, item) — bounded by groups·k rows, left
-    to AQE to broadcast when small (unlike op 87's global candidates,
-    groups·k can exceed broadcast size; a forced broadcast would be the
-    100 TB failure mode).
+    Shape: the MG pass crosses to Python as (xxhash64(group),
+    xxhash64(item)) INT64 pairs — item/group strings never leave the
+    JVM, which cut the Arrow crossing of a 40M-row distinct-rich sweep
+    from 41.5 s to the measured round-8 number (SCALE.md; the
+    hash-projection is a scan-stage expression). MG holds ≤ k counters
+    PER GROUP-HASH SEEN IN THE PARTITION (bounded by k ·
+    groups-per-partition, never by rows); candidates aggregate to ≤
+    partitions·groups·k hash pairs; ONE exact corpus groupBy runs
+    semi-filtered on the hash pair (a collision only WIDENS the
+    candidate superset — counts stay exact because the final groupBy
+    keys on the real values). The candidate join is a plain left-semi —
+    bounded by groups·k rows, left to AQE to broadcast when small
+    (groups·k can exceed broadcast size; a forced broadcast would be
+    the 100 TB failure mode).
 
     NULL contract: NULL items and NULL groups are outside the universe
     (both passes exclude them identically — the op-87 discipline
     extended to the group key).
+
+    Hash-collision analysis (the op-103 discipline — state the failure
+    mode, don't hide it): an ITEM collision within a group merges two
+    counters in the sketch phase, which only inflates a candidate —
+    the superset survives and the exact pass keys real values, so
+    output counts are unconditionally exact. A GROUP collision pools
+    two groups' streams under one k-counter state, softening the
+    colliding pair's guarantee from n_g/(k+1) to (n_g1+n_g2)/(k+1) —
+    never silent data loss, and at 64-bit hashes the pair probability
+    is ~G²/2⁶⁵ (≈ 2⁻²⁵ even at a billion groups).
     """
     from collections.abc import Iterator
 
@@ -676,6 +692,17 @@ def heavy_hitters_by_group(
                 continue
             vc = trim_groups(pdf.groupby(["_grp", "_item"]).size())
             acc = vc if acc is None else acc.add(vc, fill_value=0)
+            # lazy state trim (the op-87 len(acc) > k gate, lifted to
+            # the multi-group state): defer the per-group nlargest
+            # sweep until the state passes a fixed bound — memory stays
+            # bounded (≤ bound + one batch), fewer trims only LOWER the
+            # undercount, so the guarantee is untouched. Measured on
+            # the 40M distinct-rich sweep: 37.4 → 34.9 s (the dominant
+            # cost is the per-batch pandas groupby itself — profiled,
+            # SCALE.md round 8).
+            if len(acc) > 65_536:
+                acc = trim_groups(acc)
+        if acc is not None and len(acc):
             acc = trim_groups(acc)
         if acc is None or acc.empty:
             yield pd.DataFrame(
@@ -698,15 +725,18 @@ def heavy_hitters_by_group(
         F.col(group_col).cast("string").alias("_grp"),
         F.col(item_col).cast("string").alias("_item"),
     ).filter(F.col("_grp").isNotNull() & F.col("_item").isNotNull())
-    partials = base.mapInPandas(mg, "grp string, item string, cnt long")
+    hashed = base.select(
+        F.xxhash64("_grp").alias("_grp"), F.xxhash64("_item").alias("_item")
+    )
+    partials = hashed.mapInPandas(mg, "grp long, item long, cnt long")
     candidates = (
         partials.groupBy("grp", "item").agg(F.sum("cnt")).select("grp", "item")
     )
     exact = (
         base.join(
             candidates,
-            (base["_grp"] == candidates["grp"])
-            & (base["_item"] == candidates["item"]),
+            (F.xxhash64(base["_grp"]) == candidates["grp"])
+            & (F.xxhash64(base["_item"]) == candidates["item"]),
             "left_semi",
         )
         .groupBy("_grp", "_item")
