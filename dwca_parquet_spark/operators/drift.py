@@ -1,0 +1,172 @@
+"""Corpus drift report — snapshot-to-snapshot monitoring (SURVEY §2
+op 133).
+
+A continuously-refreshed corpus needs "what changed since the last
+snapshot?" answered by the engine's own gated operators (the op-86
+datasheet rule, applied to DELTAS): did a source's token share move,
+did the length distribution shift, did the duplication rate jump, and —
+the question counts cannot answer — how much of the new snapshot's
+CONTENT is genuinely new vs carried over? Composition, not new
+machinery:
+
+* per-source document/token counts and share deltas — two bounded mix
+  aggregates (the datasheet's own);
+* length-distribution shift — op 77's mergeable log2 histograms from
+  both snapshots, compared driver-side with Jensen-Shannon divergence
+  (base-2, so JS ∈ [0, 1]; computed from ≤ 41-bucket tables, never the
+  corpus);
+* exact-duplication-rate delta — op 16's content groups on each side;
+* content novelty/retention — op 114 bottom-k states over the op-28
+  normalized-text fingerprints of both snapshots, intersected with the
+  op-131 KMV estimator: retention = |new ∩ old| / |new| (EXACT when
+  both snapshots have fewer than k distinct texts — the same
+  under-full-is-exact contract; an estimate, flagged, otherwise).
+
+Self-laws (pinned in test_drift.py): drift(X, X) has zero deltas, zero
+JS divergence, retention 1 / novelty 0 — EXACTLY, at any size (the
+same hash sets intersect fully); planted drift (a new source, shifted
+lengths, injected duplicates, fresh content) moves exactly the
+matching panel. Cost: two datasheet-class passes, one per snapshot;
+every collect is bounded (mixes, ≤ 41 buckets, k-row sketch states).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dwca_parquet_spark.functions import hashing as H
+from dwca_parquet_spark.operators.dedup import dedup_exact
+from dwca_parquet_spark.operators.rollup import log_hist_partial
+from dwca_parquet_spark.operators.sketch import bottomk_build
+from dwca_parquet_spark.operators.text import token_count
+
+__all__ = ["corpus_drift", "js_divergence"]
+
+DRIFT_K = 512  # bottom-k size for the novelty/retention estimate
+
+
+def js_divergence(pa: dict[int, int], pb: dict[int, int]) -> float:
+    """Jensen-Shannon divergence (base 2, ∈ [0,1]) between two count
+    histograms (driver-side; inputs are bounded bucket tables)."""
+    na, nb = sum(pa.values()), sum(pb.values())
+    if na == 0 or nb == 0:
+        return 1.0 if na != nb else 0.0
+    keys = set(pa) | set(pb)
+    js = 0.0
+    for kx in keys:
+        p = pa.get(kx, 0) / na
+        q = pb.get(kx, 0) / nb
+        m = (p + q) / 2
+        if p > 0:
+            js += 0.5 * p * math.log2(p / m)
+        if q > 0:
+            js += 0.5 * q * math.log2(q / m)
+    return js
+
+
+def _side_stats(df: DataFrame, id_col: str, text_col: str, source_col):
+    stats = df.select(
+        F.col(id_col),
+        F.col(source_col).alias("_src") if source_col else F.lit("all").alias("_src"),
+        token_count(F.col(text_col)).alias("_nt"),
+    )
+    mix = {
+        r["_src"]: (r["docs"], r["toks"] or 0)
+        for r in stats.groupBy("_src")
+        .agg(F.count(F.lit(1)).alias("docs"), F.sum("_nt").alias("toks"))
+        .collect()
+    }
+    hist = {
+        int(r["bucket"]): int(r["cnt"])
+        for r in log_hist_partial(stats, "_nt").collect()
+    }
+    groups = dedup_exact(df, id_col, text_col)
+    dup = groups.agg(
+        F.count(F.lit(1)).alias("distinct_texts"),
+        F.sum(F.col("n_copies") - 1).alias("redundant"),
+    ).first()
+    fp = df.select(
+        H.normalize_text(F.col(text_col)).alias("_n")
+    ).select(H.poly_hash(F.col("_n")).alias("_fp"))
+    sketch = {
+        (r["key"], r["_bh"])
+        for r in bottomk_build(fp, "_fp", DRIFT_K).collect()
+    }
+    n_docs = sum(d for d, _ in mix.values())
+    return mix, hist, dup, sketch, n_docs
+
+
+def corpus_drift(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str,
+    text_col: str,
+    source_col: str | None = None,
+    name: str = "corpus",
+) -> tuple[str, dict]:
+    """(markdown report, metrics dict) comparing two snapshots. See the
+    module docstring for the panels and their laws."""
+    mix_a, hist_a, dup_a, sk_a, n_a = _side_stats(
+        old, id_col, text_col, source_col
+    )
+    mix_b, hist_b, dup_b, sk_b, n_b = _side_stats(
+        new, id_col, text_col, source_col
+    )
+    tok_a = sum(t for _, t in mix_a.values()) or 1
+    tok_b = sum(t for _, t in mix_b.values()) or 1
+    js = js_divergence(hist_a, hist_b)
+    dup_rate_a = (dup_a["redundant"] or 0) / max(n_a, 1)
+    dup_rate_b = (dup_b["redundant"] or 0) / max(n_b, 1)
+    # novelty/retention from the two bottom-k fingerprint sketches: the
+    # k smallest of the UNION is a valid KMV of it; membership of each
+    # sampled new-snapshot key in the old key set estimates retention
+    # (op-131 estimator). Exact when both sides are under-full.
+    keys_a = {k for k, _ in sk_a}
+    union = sorted(sk_a | sk_b, key=lambda kv: (kv[1], kv[0]))[:DRIFT_K]
+    new_keys = {k for k, _ in sk_b}
+    x_new = [k for k, _ in union if k in new_keys]
+    retained = sum(1 for k in x_new if k in keys_a)
+    retention = retained / len(x_new) if x_new else 0.0
+    exact = len(sk_a) < DRIFT_K and len(sk_b) < DRIFT_K
+    metrics = {
+        "docs_old": n_a,
+        "docs_new": n_b,
+        "tokens_old": tok_a,
+        "tokens_new": tok_b,
+        "length_js_divergence": round(js, 6),
+        "dup_rate_old": round(dup_rate_a, 6),
+        "dup_rate_new": round(dup_rate_b, 6),
+        "dup_rate_delta": round(dup_rate_b - dup_rate_a, 6),
+        "retention": round(retention, 6),
+        "novelty": round(1.0 - retention, 6),
+        "overlap_exact": exact,
+        "source_deltas": {},
+    }
+    lines = [
+        f"# Drift report: {name}",
+        "",
+        f"- documents: {n_a:,} → {n_b:,} ({n_b - n_a:+,})",
+        f"- tokens: {tok_a:,} → {tok_b:,} ({tok_b - tok_a:+,})",
+        f"- token-length distribution JS divergence (base 2): {js:.6f}",
+        f"- exact-dup rate: {dup_rate_a:.4f} → {dup_rate_b:.4f} "
+        f"({dup_rate_b - dup_rate_a:+.4f})",
+        f"- content retention (new ∩ old / new, KMV k={DRIFT_K}"
+        f"{', exact' if exact else ', estimate'}): {retention:.4f}"
+        f" — novelty {1 - retention:.4f}",
+        "",
+        "## Source mix drift (token share)",
+        "| source | old share | new share | delta |",
+        "|---|---|---|---|",
+    ]
+    for src in sorted(set(mix_a) | set(mix_b)):
+        sa = mix_a.get(src, (0, 0))[1] / tok_a
+        sb = mix_b.get(src, (0, 0))[1] / tok_b
+        metrics["source_deltas"][src] = round(sb - sa, 6)
+        flag = " ⚠" if abs(sb - sa) > 0.05 else ""
+        lines.append(
+            f"| {src} | {sa:.2%} | {sb:.2%} | {sb - sa:+.2%}{flag} |"
+        )
+    return "\n".join(lines) + "\n", metrics
