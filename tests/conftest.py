@@ -175,6 +175,10 @@ SLOW_NODE_IDS = {
     "test_fileindex.py::test_append_extends_index_without_touching_old_rows",
     "test_group_hh.py::test_partitioning_never_breaks_guarantee",
     "test_evaluation.py::test_auc_round_to_bounds_the_window_and_quantizes",
+    "test_drift.py::test_identity_law_on_real_corpus",
+    "test_drift.py::test_planted_drift_moves_matching_panels",
+    "test_evaluation.py::test_two_level_plan_value_identical_and_partitioned",
+    "test_evaluation.py::test_auc_matches_pair_counting_reference_with_ties",
 }
 
 
