@@ -280,8 +280,14 @@ def pr_curve(
     score, where the operating point is predict-positive ⟺ score ≥
     threshold (the sweep every PR plot draws). Exact integer counts via
     ONE cumulative window over the per-distinct-score table; ratios are
-    the only floats. Ordered by threshold ascending. ``round_to`` as in
-    :func:`auc_roc`."""
+    the only floats. Ordered by threshold ascending.
+
+    Scale note: unlike auc_roc (a scalar, where the rank window got the
+    bucketed two-level plan), the CURVE's output is inherently
+    |distinct scores| rows — a 20M-point curve is not a useful
+    artifact, so ``round_to`` IS the scale contract here: quantize to
+    the grid you intend to plot, which bounds both the window and the
+    output (the op-101 exact-by-default / bounded-by-knob shape)."""
     g = _by_score(_labeled(df, label_col, score_col, round_to))
     # tp(t) = positives with score ≥ t: cumulative from this row UP.
     w_ge = Window.orderBy("score").rowsBetween(

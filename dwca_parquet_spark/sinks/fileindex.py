@@ -228,17 +228,16 @@ def file_index_append(df: DataFrame, path: str) -> dict:
     spark = df.sparkSession
     meta = spark.read.parquet(f"{path}/_fileindex/meta").collect()[0]
     m, k, key_col = int(meta["m"]), int(meta["k"]), meta["key_col"]
-    known = {
-        r["file"]
-        for r in spark.read.parquet(f"{path}/_fileindex/stats")
-        .select("file")
-        .collect()
-    }
+    known = spark.read.parquet(f"{path}/_fileindex/stats").select("file")
+    n_known = known.count()
     df.write.mode("append").parquet(f"{path}/data")
     back = spark.read.parquet(f"{path}/data").select(
         F.input_file_name().alias("file"), F.col(key_col).alias("key")
     )
-    fresh = back.filter(~F.col("file").isin(list(known)))
+    # anti-join against the stats table, NOT an isin literal list — at
+    # 100k+ indexed files a NOT-IN literal is a plan-sized constant and
+    # a per-row linear scan; the broadcast anti-join is one hash probe
+    fresh = back.join(F.broadcast(known), "file", "left_anti")
     stats = fresh.groupBy("file").agg(
         F.min("key").alias("min_key"),
         F.max("key").alias("max_key"),
@@ -270,4 +269,4 @@ def file_index_append(df: DataFrame, path: str) -> dict:
         .distinct()
         .count()
     )
-    return {"files_new": n_total - len(known), "files_total": n_total}
+    return {"files_new": n_total - n_known, "files_total": n_total}
