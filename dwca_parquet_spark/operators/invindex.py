@@ -29,7 +29,15 @@ Layout (all plain parquet under ``path`` — no catalog dependency):
   or idf drifts).
 
 Build cost: one tokenize pass + one (doc, term) aggregation shuffle —
-the explicit one-time price the probes amortize.
+the explicit one-time price the probes amortize. Skew note: posting
+lists are Zipfian (stopword terms are huge), so the term-hash
+repartition can produce hot partitions at build time — AQE's skew
+handling splits those during the shuffle, and because the layout
+contract is only "row groups cover narrow term ranges", a hot term
+spanning several files costs probes nothing beyond reading that term's
+own postings. Sub-splitting hot terms by doc-id range inside the
+partitioning key would tighten build parallelism further without
+changing the probe contract; not needed at tested scales.
 
 EXACT parity law (pinned in test_invindex.py): for any query,
 ``bm25_topk_indexed`` returns byte-identical rows to op 123's
