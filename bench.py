@@ -368,7 +368,12 @@ def r5_tier_specs():
         # token-level: which tokens dominate each source — ~2.7M
         # (group, item) pairs, the honest per-group-HH volume; oracle =
         # the exact per-group counts filtered to the same guarantee
-        # threshold, over the identical tokenization
+        # threshold, over the identical tokenization. Note (round 9,
+        # SCALE.md): the sf0.1 docs table is ONE 594 KB parquet file →
+        # a 1-task scan; a repartition(32) was tried and measured WORSE
+        # (AQE coalesces the tiny shuffle back down, and the extra
+        # exchange feeds both plan branches), so the row keeps the
+        # natural input and its ratio carries the small-fixture floor.
         "r8_group_hh": (
             lambda s: heavy_hitters_by_group(
                 docs(s)

@@ -92,6 +92,70 @@ _AUC_GLOBAL_WINDOW_MAX = 4_000_000
 # persist+count machinery alone measured +0.6 s on a 1.3 s query).
 _AUC_INPUT_SMALL_BYTES = 256 << 20
 
+# Inputs under THIS estimate take the driver tier (round 9): one
+# single-stage Arrow collect of (score, pos) plus an exact NumPy rank
+# reduction on the driver — no aggregation exchange, no window sort.
+# Measured at sf0.1 (600k rows, 583k distinct): 1.5 s for the
+# groupBy+window plan vs 0.59 s here, identical integers. The
+# optimizer estimate is file-size-derived (compressed); 32 MiB
+# estimated bounds the Arrow transfer to a few hundred MB worst case —
+# the bounded-state-to-driver contract every sketch op already uses.
+_AUC_DRIVER_MAX_BYTES = 32 << 20
+
+
+def _auc_driver(labeled: DataFrame) -> DataFrame:
+    """Driver tier: exact rank reduction over a SMALL evaluation set
+    (plan-chosen by the optimizer's input-size estimate). ONE
+    single-stage job — Arrow-collect (score, pos), then the identical
+    integer arithmetic in NumPy: per-distinct (p, n) via sort +
+    reduceat, numer2 = Σ p·(2·cum_n + n) in int64 (safe while the
+    evaluation set is < ~3·10⁹ rows — numer2 ≤ 2·P·N < 2⁶³; the size
+    trigger keeps actual inputs orders of magnitude below that), final
+    division in the exact expression shape of the SQL twin. Bit-equal
+    to the window paths (pinned in test_evaluation.py).
+
+    Tie semantics match the JVM paths exactly, including the two float
+    traps: consecutive NaNs group together (np's NaN != NaN would split
+    them; Spark's groupBy and DuckDB's GROUP BY both pool NaNs), and
+    -0.0 groups with 0.0 (numpy == agrees)."""
+    import numpy as np
+
+    spark = labeled.sparkSession
+
+    def row(auc, p, n) -> DataFrame:
+        # range(1).select(lit…) folds to a LocalRelation — measured 2.3×
+        # cheaper to materialize than createDataFrame's RDD round-trip
+        return spark.range(1).select(
+            F.lit(auc).cast("double").alias("auc"),
+            F.lit(p).cast("long").alias("n_pos"),
+            F.lit(n).cast("long").alias("n_neg"),
+        )
+
+    tbl = labeled.toArrow()  # one single-stage job, no pandas detour
+    if tbl.num_rows == 0:
+        # empty universe: the aggregate paths return NULL sums (SQL
+        # sum-over-nothing), so the driver tier must too
+        return row(None, None, None)
+    s = tbl.column("score").to_numpy(zero_copy_only=False)
+    pos = tbl.column("pos").to_numpy(zero_copy_only=False)
+    order = np.argsort(s, kind="stable")  # NaNs sort last, like both engines
+    s = s[order]
+    pos = pos[order]
+    first = np.r_[
+        True, (s[1:] != s[:-1]) & ~(np.isnan(s[1:]) & np.isnan(s[:-1]))
+    ]
+    idx = np.flatnonzero(first)
+    cnt = np.diff(np.r_[idx, s.size])
+    p = np.add.reduceat(pos, idx)
+    n = cnt - p
+    cumn = np.concatenate(([0], np.cumsum(n)[:-1]))
+    numer2 = int((p * (2 * cumn + n)).sum())
+    p_tot, n_tot = int(p.sum()), int(n.sum())
+    auc = (
+        float(numer2) / (2.0 * p_tot * n_tot) if p_tot and n_tot else None
+    )  # same association as the twins: (2.0 * P) * N, then one divide
+    return row(auc, p_tot, n_tot)
+
 
 def _by_score(labeled: DataFrame) -> DataFrame:
     """Per-distinct-score counts (score, p, n) — the combinable reduce
@@ -140,23 +204,28 @@ def auc_roc(
     bounds it).
     """
     labeled = _labeled(df, label_col, score_col, round_to)
-    g = _by_score(labeled)
-    n_buckets = 64
-    # Plan choice, two tiers of evidence (the op-114 prune discipline):
-    # (1) the optimizer's INPUT size estimate — an input under the
-    # threshold cannot produce a problematic distinct-score table, so
-    # the single-window plan runs as ONE job with zero extra machinery
-    # (no persist, no stats job — measured at sf0.1: the careful path's
-    # persist+count alone cost +0.6 s); (2) above the threshold, the
-    # table is persisted, the EXACT distinct count is measured, and
-    # only a genuinely large count pays the bucket machinery (with the
-    # edges as a second tiny job over the cache).
-    big_input = True
+    # Plan choice, three tiers of evidence (the op-114 prune
+    # discipline), each selected by a strictly cheaper signal than the
+    # machinery it avoids: (1) a driver-tier-small INPUT estimate → one
+    # single-stage Arrow collect + exact NumPy rank reduce (no shuffle,
+    # no window — the r8 6.2×-vs-oracle tier cell was this machinery on
+    # sub-megabyte inputs); (2) a small estimate → the single-window
+    # plan as ONE job with zero extra machinery (no persist, no stats
+    # job); (3) above the threshold, the per-score table is persisted,
+    # the EXACT distinct count is measured, and only a genuinely large
+    # count pays the bucket machinery (with the edges as a second tiny
+    # job over the cache). All three tiers are bit-identical (pinned).
+    est = None
     try:
         stats = labeled._jdf.queryExecution().optimizedPlan().stats()
-        big_input = int(str(stats.sizeInBytes())) > _AUC_INPUT_SMALL_BYTES
+        est = int(str(stats.sizeInBytes()))
     except Exception:
         pass  # stats unavailable → keep the scale-safe careful path
+    if est is not None and est <= _AUC_DRIVER_MAX_BYTES:
+        return _auc_driver(labeled)
+    g = _by_score(labeled)
+    n_buckets = 64
+    big_input = est is None or est > _AUC_INPUT_SMALL_BYTES
     uniq: list = []
     if big_input:
         from dwca_parquet_spark.cache import persist_tracked
@@ -178,14 +247,19 @@ def auc_roc(
                     or []
                 )
             )
-    if uniq:
-        asc = sum((F.col("score") > F.lit(e)).cast("int") for e in uniq)
-        g = g.withColumn("_b", F.coalesce(asc, F.lit(0)))
-    else:
+    if not uniq:
         # bounded distinct scores (measured or implied by input size):
-        # one window over a bounded relation beats the bucket
-        # machinery's extra exchange + join
-        g = g.withColumn("_b", F.lit(0))
+        # single-bucket short-circuit (round 9 — erases the r8 6.2×
+        # tier cell). With no bucket edges, "_b" is the literal 0, the
+        # offsets table is identically (0, 0), and yet the old plan
+        # still ran the offsets aggregate, its window and a broadcast
+        # join against the full per-score table on EVERY sub-4M-distinct
+        # input. The bounded per-score table needs exactly one window —
+        # the same integer arithmetic auc_from_score_counts already
+        # implements (bit-compatible by construction).
+        return auc_from_score_counts(g)
+    asc = sum((F.col("score") > F.lit(e)).cast("int") for e in uniq)
+    g = g.withColumn("_b", F.coalesce(asc, F.lit(0)))
     w_in = Window.partitionBy("_b").orderBy("score").rowsBetween(
         Window.unboundedPreceding, -1
     )

@@ -134,6 +134,7 @@ def test_two_level_plan_value_identical_and_partitioned(spark, monkeypatch):
     global_auc = auc_roc(df, "label", "score").collect()[0]
     monkeypatch.setattr(E, "_AUC_GLOBAL_WINDOW_MAX", 10)
     monkeypatch.setattr(E, "_AUC_INPUT_SMALL_BYTES", 0)
+    monkeypatch.setattr(E, "_AUC_DRIVER_MAX_BYTES", 0)
     forced = E.auc_roc(df, "label", "score")
     got = forced.collect()[0]
     assert tuple(got) == tuple(global_auc)
@@ -199,13 +200,17 @@ def test_confusion_plan_is_one_aggregate(spark):
     assert plan.count("Exchange") <= 1
 
 
-def test_auc_window_runs_over_aggregated_scores(spark):
-    """The rank window must consume the per-distinct-score aggregate,
-    never corpus rows — and the score-ordered window must be
-    PARTITIONED by the prefix-sum bucket (the op-105 two-level shape):
-    the only unpartitioned window in the plan is the ≤ n_buckets-row
-    offset cumsum, never one ordered by score."""
-    out = auc_roc(_labeled_docs(spark), "label", "score", round_to=3)
+def test_auc_window_runs_over_aggregated_scores(spark, monkeypatch):
+    """Mid-tier plan pin (driver tier disabled): the rank window must
+    consume the per-distinct-score aggregate, never corpus rows — and
+    the score-ordered window must be PARTITIONED by the prefix-sum
+    bucket (the op-105 two-level shape): the only unpartitioned window
+    in the plan is the ≤ n_buckets-row offset cumsum, never one
+    ordered by score."""
+    import dwca_parquet_spark.operators.evaluation as E
+
+    monkeypatch.setattr(E, "_AUC_DRIVER_MAX_BYTES", 0)
+    out = E.auc_roc(_labeled_docs(spark), "label", "score", round_to=3)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Window" in plan and "HashAggregate" in plan
     first_window = plan.index("Window")
@@ -215,3 +220,35 @@ def test_auc_window_runs_over_aggregated_scores(spark):
     # (Catalyst folds the constant bucket out of the spec); the bucketed
     # path's partition-spec pin lives in
     # test_two_level_plan_value_identical_and_partitioned
+
+
+def test_driver_tier_bit_identical_to_window_tier(spark, monkeypatch):
+    """The round-9 driver tier (single-stage Arrow collect + NumPy rank
+    reduce) must return BIT-identical rows to the window plan on the
+    same input — including the float traps the NumPy side must handle
+    deliberately: NaN scores pool into one tie group (both engines'
+    GROUP BY semantics) and -0.0 ties with 0.0."""
+    import dwca_parquet_spark.operators.evaluation as E
+
+    base = _labeled_docs(spark)
+    # parquet-backed input: the size estimate is real → the default
+    # call takes the driver tier (no Window in the returned plan)
+    via_driver = E.auc_roc(base, "label", "score").collect()[0]
+    plan = E.auc_roc(base, "label", "score")._jdf.queryExecution()
+    assert "Window" not in plan.executedPlan().toString()
+    monkeypatch.setattr(E, "_AUC_DRIVER_MAX_BYTES", 0)
+    via_window = E.auc_roc(base, "label", "score").collect()[0]
+    assert tuple(via_driver) == tuple(via_window)
+    # createDataFrame inputs are RDD-backed (unknown stats → careful
+    # path), so exercise the driver tier on the float traps directly
+    traps = spark.createDataFrame(
+        [
+            (True, float("nan")), (False, float("nan")),
+            (True, -0.0), (False, 0.0), (True, 7.5),
+        ],
+        "label boolean, score double",
+    )
+    lab = E._labeled(traps, "label", "score", None)
+    direct = E._auc_driver(lab).collect()[0]
+    via_jvm = E.auc_roc(traps, "label", "score").collect()[0]
+    assert tuple(direct) == tuple(via_jvm)
