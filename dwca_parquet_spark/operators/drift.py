@@ -19,8 +19,10 @@ machinery:
 * content novelty/retention — op 114 bottom-k states over the op-28
   normalized-text fingerprints of both snapshots, intersected with the
   op-131 KMV estimator: retention = |new ∩ old| / |new| (EXACT when
-  both snapshots have fewer than k distinct texts — the same
-  under-full-is-exact contract; an estimate, flagged, otherwise).
+  both snapshots have fewer than k distinct texts AND their union fits
+  in k — the op-131 tightened under-full contract; an estimate,
+  flagged, otherwise; None when the union sample holds no new-snapshot
+  key, where any number would be a guess).
 
 Self-laws (pinned in test_drift.py): drift(X, X) has zero deltas, zero
 JS divergence, retention 1 / novelty 0 — EXACTLY, at any size (the
@@ -43,7 +45,7 @@ from dwca_parquet_spark.operators.rollup import log_hist_partial
 from dwca_parquet_spark.operators.sketch import bottomk_build
 from dwca_parquet_spark.operators.text import token_count
 
-__all__ = ["corpus_drift", "js_divergence"]
+__all__ = ["corpus_drift", "js_divergence", "kmv_retention"]
 
 DRIFT_K = 512  # bottom-k size for the novelty/retention estimate
 
@@ -65,6 +67,28 @@ def js_divergence(pa: dict[int, int], pb: dict[int, int]) -> float:
         if q > 0:
             js += 0.5 * q * math.log2(q / m)
     return js
+
+
+def kmv_retention(
+    sk_a: set, sk_b: set, k: int
+) -> tuple[float | None, bool]:
+    """(retention, exact) from two bottom-k fingerprint states (sets of
+    (key, bottomk_hash) pairs): the k smallest of the union is a valid
+    KMV of it; membership of each sampled new-side key in the old key
+    set estimates retention = |new ∩ old| / |new| (the op-131
+    estimator). retention is None when the union sample holds no
+    new-side key (possible when new ≪ old — any number would be a
+    guess; ADVICE round 8). exact ⟺ both states are complete key sets
+    (under-full) AND the union fits in k, the op-131 tightened
+    condition."""
+    keys_a = {key for key, _ in sk_a}
+    union = sorted(sk_a | sk_b, key=lambda kv: (kv[1], kv[0]))[:k]
+    new_keys = {key for key, _ in sk_b}
+    x_new = [key for key, _ in union if key in new_keys]
+    retained = sum(1 for key in x_new if key in keys_a)
+    retention = retained / len(x_new) if x_new else None
+    exact = len(sk_a) < k and len(sk_b) < k and len(sk_a | sk_b) <= k
+    return retention, exact
 
 
 def _side_stats(df: DataFrame, id_col: str, text_col: str, source_col):
@@ -120,17 +144,7 @@ def corpus_drift(
     js = js_divergence(hist_a, hist_b)
     dup_rate_a = (dup_a["redundant"] or 0) / max(n_a, 1)
     dup_rate_b = (dup_b["redundant"] or 0) / max(n_b, 1)
-    # novelty/retention from the two bottom-k fingerprint sketches: the
-    # k smallest of the UNION is a valid KMV of it; membership of each
-    # sampled new-snapshot key in the old key set estimates retention
-    # (op-131 estimator). Exact when both sides are under-full.
-    keys_a = {k for k, _ in sk_a}
-    union = sorted(sk_a | sk_b, key=lambda kv: (kv[1], kv[0]))[:DRIFT_K]
-    new_keys = {k for k, _ in sk_b}
-    x_new = [k for k, _ in union if k in new_keys]
-    retained = sum(1 for k in x_new if k in keys_a)
-    retention = retained / len(x_new) if x_new else 0.0
-    exact = len(sk_a) < DRIFT_K and len(sk_b) < DRIFT_K
+    retention, exact = kmv_retention(sk_a, sk_b, DRIFT_K)
     metrics = {
         "docs_old": n_a,
         "docs_new": n_b,
@@ -140,8 +154,10 @@ def corpus_drift(
         "dup_rate_old": round(dup_rate_a, 6),
         "dup_rate_new": round(dup_rate_b, 6),
         "dup_rate_delta": round(dup_rate_b - dup_rate_a, 6),
-        "retention": round(retention, 6),
-        "novelty": round(1.0 - retention, 6),
+        "retention": round(retention, 6) if retention is not None else None,
+        "novelty": (
+            round(1.0 - retention, 6) if retention is not None else None
+        ),
         "overlap_exact": exact,
         "source_deltas": {},
     }
@@ -153,9 +169,14 @@ def corpus_drift(
         f"- token-length distribution JS divergence (base 2): {js:.6f}",
         f"- exact-dup rate: {dup_rate_a:.4f} → {dup_rate_b:.4f} "
         f"({dup_rate_b - dup_rate_a:+.4f})",
-        f"- content retention (new ∩ old / new, KMV k={DRIFT_K}"
-        f"{', exact' if exact else ', estimate'}): {retention:.4f}"
-        f" — novelty {1 - retention:.4f}",
+        (
+            f"- content retention (new ∩ old / new, KMV k={DRIFT_K}"
+            f"{', exact' if exact else ', estimate'}): {retention:.4f}"
+            f" — novelty {1 - retention:.4f}"
+            if retention is not None
+            else f"- content retention (KMV k={DRIFT_K}): UNKNOWN — no "
+            "new-snapshot key in the union sample (degenerate estimate)"
+        ),
         "",
         "## Source mix drift (token share)",
         "| source | old share | new share | delta |",

@@ -9,7 +9,10 @@ once and making each probe touch only the queried terms' postings.
 Public semantics throughout (the textbook postings/BM25 design every
 search engine uses; Robertson & Zaragoza 2009 for the scoring).
 
-Layout (all plain parquet under ``path`` — no catalog dependency):
+Layout (all plain parquet under ``path`` — no catalog dependency; since
+round 9 every table is SEGMENTED, ``…/seg=N/``, the Lucene segment
+model: a build writes segment 0, each append adds a new segment and
+never touches existing files — the op-129 frozen-state discipline):
 
 * ``postings/``  (term, doc_id, tf, dl) — ONE row per (document, term),
   dl DENORMALIZED onto every posting so the probe never joins a
@@ -20,16 +23,30 @@ Layout (all plain parquet under ``path`` — no catalog dependency):
   min/max statistics skip everything else. At cluster scale the same
   layout bounds a probe to the handful of row groups containing the
   queried terms, independent of corpus size.
-* ``termstats/`` (term, df) — per-term document frequency, so idf needs
-  no corpus pass at probe time. Filtered to the query terms before the
-  bounded (≤ |query| rows) collect.
-* ``meta/`` one row (n_docs, total_dl) — the corpus constants avgdl/idf
-  need. n_docs counts EVERY document (op 123 counts NULL-text and
-  empty-text docs in N and avgdl's denominator; the index must agree
-  or idf drifts).
+* ``termstats/`` (term, df) — PER-SEGMENT term document frequency;
+  global df is the sum over segments (segments hold disjoint doc sets),
+  taken over ≤ |query|·segments rows at probe time, so idf needs no
+  corpus pass.
+* ``meta/`` one row PER SEGMENT (n_docs, total_dl) — the corpus
+  constants avgdl/idf need, summed at probe time. n_docs counts EVERY
+  document (op 123 counts NULL-text and empty-text docs in N and
+  avgdl's denominator; the index must agree or idf drifts).
 
-Build cost: one tokenize pass + one (doc, term) aggregation shuffle —
-the explicit one-time price the probes amortize. Skew note: posting
+Incremental leg (``bm25_index_append``, SURVEY §2 op 134): new
+documents land as a NEW segment — postings/termstats/meta deltas only;
+existing segments' files are never rewritten (byte-identity pinned in
+test_invindex.py). Because df/N/avgdl are per-segment and summed at
+probe time, a probe over build(A)+append(B) is byte-identical to a
+probe over rebuild(A ∪ B) — gated, the op-120/129 append ≡ rebuild
+law. Caller contract: appended doc_ids must be NEW documents (an
+existing id would double-count in stats and duplicate in results —
+the same append-not-upsert contract as op 129; use op 61 CDC merge
+upstream when ids can repeat).
+
+Build cost: one tokenize pass (the staged (doc, dl, tokens) frame is
+persisted across the postings/meta jobs — round 9; it was re-derived
+per consumer before) + one (doc, term) aggregation shuffle — the
+explicit one-time price the probes amortize. Skew note: posting
 lists are Zipfian (stopword terms are huge), so the term-hash
 repartition can produce hot partitions at build time — AQE's skew
 handling splits those during the shuffle, and because the layout
@@ -60,7 +77,12 @@ from pyspark.sql import functions as F
 from dwca_parquet_spark.functions import hashing as H
 from dwca_parquet_spark.operators.text import BM25_B, BM25_K1, tokens
 
-__all__ = ["bm25_index_build", "bm25_topk_indexed", "query_terms"]
+__all__ = [
+    "bm25_index_build",
+    "bm25_index_append",
+    "bm25_topk_indexed",
+    "query_terms",
+]
 
 
 def query_terms(query: str) -> list[str]:
@@ -75,46 +97,114 @@ def query_terms(query: str) -> list[str]:
     return terms
 
 
-def bm25_index_build(
-    df: DataFrame, id_col: str, text_col: str, path: str
-) -> dict:
-    """Materialize the inverted index for (id, text) under ``path``.
-    Returns {"n_docs", "total_dl", "n_terms"} (also persisted in the
-    index). Overwrites any previous index at the path (a frozen-corpus
-    index is rebuilt, never patched — the op-100 shard discipline)."""
-    path = str(path).rstrip("/")
+def _write_segment(
+    df: DataFrame, id_col: str, text_col: str, path: str, seg: int
+) -> None:
+    """Tokenize ``df`` ONCE and write one segment's postings/termstats/
+    meta under ``path``. The staged (doc_id, dl, tokens) frame is
+    persisted so the postings write and the meta aggregate share a
+    single tokenize pass (round 9 — the unpersisted frame re-tokenized
+    the corpus three times per build: postings, meta write, meta
+    collect; the op-123 persist lesson, one module over)."""
+    spark = df.sparkSession
     staged = df.select(
         F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("_tk")
     ).select("doc_id", F.size("_tk").alias("dl"), F.col("_tk"))
-    postings = (
-        staged.select("doc_id", "dl", F.explode("_tk").alias("term"))
-        .groupBy("term", "doc_id", "dl")
-        .agg(F.count(F.lit(1)).alias("tf"))
-        .select("term", "doc_id", "tf", "dl")
+    staged = staged.persist()
+    try:
+        postings = (
+            staged.select("doc_id", "dl", F.explode("_tk").alias("term"))
+            .groupBy("term", "doc_id", "dl")
+            .agg(F.count(F.lit(1)).alias("tf"))
+            .select("term", "doc_id", "tf", "dl")
+        )
+        (
+            postings.repartition(F.col("term"))
+            .sortWithinPartitions("term", "doc_id")
+            .write.mode("overwrite")
+            .parquet(f"{path}/postings/seg={seg}")
+        )
+        meta = staged.agg(
+            F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_dl")
+        ).collect()[0]  # reads the cache — no second tokenize
+    finally:
+        staged.unpersist()
+    written = spark.read.parquet(f"{path}/postings/seg={seg}")
+    termstats = written.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    termstats.write.mode("overwrite").parquet(f"{path}/termstats/seg={seg}")
+    spark.createDataFrame(
+        [(int(meta["n_docs"]),
+          int(meta["total_dl"]) if meta["total_dl"] is not None else None)],
+        "n_docs long, total_dl long",
+    ).write.mode("overwrite").parquet(f"{path}/meta/seg={seg}")
+
+
+def _index_totals(spark: SparkSession, path: str) -> dict:
+    """Summed corpus constants + distinct term count over all segments
+    (bounded reads: meta is one row per segment; the term distinct is
+    over the per-segment stats tables, never the corpus)."""
+    meta = spark.read.parquet(f"{path}/meta").agg(
+        F.sum("n_docs").alias("n_docs"), F.sum("total_dl").alias("total_dl")
+    ).collect()[0]
+    n_terms = (
+        spark.read.parquet(f"{path}/termstats")
+        .select("term")
+        .distinct()
+        .count()
     )
-    (
-        postings.repartition(F.col("term"))
-        .sortWithinPartitions("term", "doc_id")
-        .write.mode("overwrite")
-        .parquet(f"{path}/postings")
-    )
-    spark = df.sparkSession
-    written = spark.read.parquet(f"{path}/postings")
-    termstats = written.groupBy("term").agg(
-        F.count(F.lit(1)).alias("df")
-    )
-    termstats.write.mode("overwrite").parquet(f"{path}/termstats")
-    meta_row = staged.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_dl")
-    )
-    meta_row.write.mode("overwrite").parquet(f"{path}/meta")
-    meta = meta_row.collect()[0]
-    n_terms = spark.read.parquet(f"{path}/termstats").count()
     return {
-        "n_docs": int(meta["n_docs"]),
-        "total_dl": int(meta["total_dl"]) if meta["total_dl"] is not None else None,
+        "n_docs": int(meta["n_docs"] or 0),
+        "total_dl": (
+            int(meta["total_dl"]) if meta["total_dl"] is not None else None
+        ),
         "n_terms": int(n_terms),
     }
+
+
+def bm25_index_build(
+    df: DataFrame, id_col: str, text_col: str, path: str
+) -> dict:
+    """Materialize the inverted index for (id, text) under ``path`` as
+    segment 0. Returns {"n_docs", "total_dl", "n_terms"} (also
+    persisted in the index). Overwrites any previous index at the path;
+    growth goes through :func:`bm25_index_append`."""
+    path = str(path).rstrip("/")
+    spark = df.sparkSession
+    # drop any previous segment layout so a rebuild never leaves stale
+    # higher segments behind the fresh seg 0
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(hpath):
+        fs.delete(hpath, True)
+    _write_segment(df, id_col, text_col, path, 0)
+    return _index_totals(spark, path)
+
+
+def bm25_index_append(
+    df: DataFrame, id_col: str, text_col: str, path: str
+) -> dict:
+    """Append a batch of NEW documents to an existing index as the next
+    segment (SURVEY §2 op 134 — the incremental leg of op 127). Cost is
+    batch-proportional: one tokenize pass over the BATCH, one postings
+    shuffle of the batch, one per-segment stats/meta write; existing
+    segments' files are never read or rewritten. Probe over
+    state(A)+append(B) ≡ rebuild over A ∪ B byte-identically (module
+    docstring; pinned). Returns the updated whole-index totals plus
+    {"segment": new segment id}."""
+    path = str(path).rstrip("/")
+    spark = df.sparkSession
+    segs = [
+        int(r["seg"])
+        for r in spark.read.parquet(f"{path}/meta").select("seg").distinct().collect()
+    ]
+    if not segs:
+        raise ValueError(f"no index at {path!r} — build first")
+    seg = max(segs) + 1
+    _write_segment(df, id_col, text_col, path, seg)
+    out = _index_totals(spark, path)
+    out["segment"] = seg
+    return out
 
 
 def bm25_topk_indexed(
@@ -133,8 +223,10 @@ def bm25_topk_indexed(
     the indexed table (module docstring; pinned)."""
     path = str(path).rstrip("/")
     terms = query_terms(query)
-    meta = spark.read.parquet(f"{path}/meta").collect()[0]
-    n_docs = int(meta["n_docs"])
+    meta = spark.read.parquet(f"{path}/meta").agg(
+        F.sum("n_docs").alias("n_docs"), F.sum("total_dl").alias("total_dl")
+    ).collect()[0]  # one row per segment, summed — bounded
+    n_docs = int(meta["n_docs"] or 0)
     if n_docs == 0:
         raise ValueError("empty corpus")
     if meta["total_dl"] is None:
@@ -143,6 +235,8 @@ def bm25_topk_indexed(
     df_rows = (
         spark.read.parquet(f"{path}/termstats")
         .filter(F.col("term").isin(terms))
+        .groupBy("term")
+        .agg(F.sum("df").alias("df"))  # per-segment dfs sum (disjoint docs)
         .collect()  # bounded: ≤ |query| rows
     )
     dfs = {r["term"]: int(r["df"]) for r in df_rows}

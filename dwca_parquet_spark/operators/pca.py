@@ -72,6 +72,16 @@ __all__ = [
 
 _MAX_SCALED = 3_000_000  # |scaled component| bound for in-batch int64 safety
 
+# Per-matmul row bound (ADVICE round 8): each x.T @ x cell is a sum of
+# len(x) products, each ≤ _MAX_SCALED², so int64 exactness needs
+# len(x)·_MAX_SCALED² < 2⁶³ — i.e. len(x) ≤ ~1.02M. The default Arrow
+# batch (10k rows) sits far inside, but the bound must be ENFORCED, not
+# assumed from spark.sql.execution.arrow.maxRecordsPerBatch: a raised
+# batch size would otherwise wrap silently. 100k rows keeps a 10×
+# margin; oversized batches are sliced, and the downstream groupBy(pos)
+# sums slices exactly like batches.
+_MOMENT_SLICE_ROWS = 100_000
+
 
 @dataclass(frozen=True)
 class PCAModel:
@@ -105,13 +115,21 @@ def _moment_rows_factory(dim: int):
                     "scaled component exceeds the magnitude contract "
                     f"(|x| > {_MAX_SCALED / VEC_SCALE:g})"
                 )
-            tri = (x.T @ x)[iu]  # int64-exact under the magnitude bound
-            vals = np.concatenate(
-                ([np.int64(len(x))], x.sum(axis=0, dtype=np.int64), tri)
-            )
-            yield pd.DataFrame(
-                {"pos": np.arange(len(vals), dtype=np.int64), "val": vals}
-            )
+            # slice so every matmul stays under the documented 2⁶³
+            # bound regardless of the session's Arrow batch size
+            for lo in range(0, len(x), _MOMENT_SLICE_ROWS):
+                xs = x[lo : lo + _MOMENT_SLICE_ROWS]
+                tri = (xs.T @ xs)[iu]  # int64-exact: rows·mag² < 2⁶³
+                vals = np.concatenate(
+                    (
+                        [np.int64(len(xs))],
+                        xs.sum(axis=0, dtype=np.int64),
+                        tri,
+                    )
+                )
+                yield pd.DataFrame(
+                    {"pos": np.arange(len(vals), dtype=np.int64), "val": vals}
+                )
 
     return moments
 

@@ -778,11 +778,13 @@ def group_overlap_estimates(state: DataFrame, k: int) -> "DataFrame":
     cannot: "how much of source A is also in source B" — mirror sites,
     cross-source contamination, re-crawled feeds.
 
-    EXACT when both groups are under-full (distinct < k): the states
-    are then the complete key sets, X is the whole union, and J is the
-    true Jaccard — the same under-full-is-exact contract as
-    bottomk_group_estimates. Self-pairs are 1 and hash-disjoint pairs 0
-    by construction at any size.
+    EXACT when both groups are under-full (distinct < k) AND the union
+    fits in k: the states are then the complete key sets, X is the
+    whole union, and J is the true Jaccard — the under-full-is-exact
+    contract of bottomk_group_estimates tightened by the union-size
+    condition (two complete-but-large sets still force X to truncate).
+    Self-pairs are 1 and hash-disjoint pairs 0 by construction at any
+    size.
 
     Shape: driver-side combinatorics over the BOUNDED state (≤
     |groups|·k rows — the sketch, never the corpus; the op-128 sidecar
@@ -803,13 +805,21 @@ def group_overlap_estimates(state: DataFrame, k: int) -> "DataFrame":
             x = sorted(union.items(), key=lambda kv: (kv[1], str(kv[0])))[:k]
             shared = sum(1 for key, _ in x if key in ka and key in kb)
             j = shared / len(x) if x else 0.0
+            # exact ⟺ both states are complete key sets (under-full) AND
+            # their union fits in k, so x above is the WHOLE union and j
+            # the true Jaccard. Two under-full states alone are not
+            # enough: 200+200 disjoint keys at k=256 give a 400-key
+            # union that x truncates — an estimate, not exact (ADVICE
+            # round 8). len(union) < k alone implies under-full, so the
+            # conjunction is the precise condition.
             full = len(ka) < k and len(kb) < k
-            if len(union) < k:
-                u = float(len(union))
+            exact = full and len(union) <= k
+            if exact:
+                u = float(len(union))  # complete union — no estimator
             else:
                 u = (k - 1) * H.HASH_MOD / float(x[-1][1])
             out.append(
-                (a, b, round(u, 3), round(j, 6), round(j * u, 3), full)
+                (a, b, round(u, 3), round(j, 6), round(j * u, 3), exact)
             )
     spark = state.sparkSession
     return spark.createDataFrame(

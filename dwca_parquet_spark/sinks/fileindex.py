@@ -50,8 +50,33 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pyspark.sql.types import (
+    ByteType,
+    IntegerType,
+    LongType,
+    ShortType,
+    StringType,
+)
+
 from dwca_parquet_spark.functions import hashing as H
 from dwca_parquet_spark.operators.bloom import _positions, bloom_params
+
+_INTEGRAL_TYPES = (ByteType, ShortType, IntegerType, LongType)
+
+
+def _require_indexable_key(df: DataFrame, key_col: str) -> None:
+    """The documented key contract — integral or string only (ADVICE
+    round 8): for any other type (double, date, decimal) the driver-side
+    str(v) hash recompute and the Python `lo <= v <= hi` range check can
+    disagree with Spark's string cast / ordering, silently breaking the
+    no-false-negative claim. Enforced at build AND append."""
+    kt = df.schema[key_col].dataType
+    if not isinstance(kt, _INTEGRAL_TYPES + (StringType,)):
+        raise ValueError(
+            f"file index key {key_col!r} has type {kt.simpleString()}; "
+            "only integral or string keys are indexable (the portable-"
+            "hash contract — see module docstring)"
+        )
 
 __all__ = [
     "FileIndex",
@@ -81,6 +106,7 @@ def write_with_file_index(
     (None keeps the incoming partitioning). Returns {"files", "m", "k"}.
     """
     path = str(path).rstrip("/")
+    _require_indexable_key(df, key_col)
     out = df.repartition(files) if files else df
     out.write.mode("overwrite").parquet(f"{path}/data")
     spark = df.sparkSession
@@ -136,9 +162,11 @@ class FileIndex:
         meta = spark.read.parquet(f"{self.path}/_fileindex/meta").collect()[0]
         self.key_col = meta["key_col"]
         self.m, self.k = int(meta["m"]), int(meta["k"])
-        self.stats = spark.read.parquet(
-            f"{self.path}/_fileindex/stats"
-        ).collect()
+        stats_df = spark.read.parquet(f"{self.path}/_fileindex/stats")
+        # the key's type travels in the stats schema — probes coerce to
+        # it so hash text and range comparisons match the build exactly
+        self.key_type = stats_df.schema["min_key"].dataType
+        self.stats = stats_df.collect()
         self.words: dict[str, dict[int, int]] = {}
         for r in spark.read.parquet(f"{self.path}/_fileindex/words").collect():
             self.words.setdefault(r["file"], {})[int(r["word_idx"])] = int(
@@ -159,6 +187,14 @@ class FileIndex:
             )
         from dwca_parquet_spark.operators.bloom import BLOOM_P, _bloom_ab
 
+        # coerce probe values to the indexed key's type (ADVICE round
+        # 8): an int probed against a string key (or "42" against a
+        # long key) must hash and range-compare exactly as the build
+        # did, or admission silently loses its no-false-negative law
+        if isinstance(self.key_type, _INTEGRAL_TYPES):
+            values = [int(v) for v in values]
+        else:
+            values = [v if isinstance(v, str) else str(v) for v in values]
         probes = []
         for v in values:
             hv = _poly_hash_py(str(v))
@@ -228,6 +264,7 @@ def file_index_append(df: DataFrame, path: str) -> dict:
     spark = df.sparkSession
     meta = spark.read.parquet(f"{path}/_fileindex/meta").collect()[0]
     m, k, key_col = int(meta["m"]), int(meta["k"]), meta["key_col"]
+    _require_indexable_key(df, key_col)
     known = spark.read.parquet(f"{path}/_fileindex/stats").select("file")
     n_known = known.count()
     df.write.mode("append").parquet(f"{path}/data")

@@ -7,7 +7,11 @@ from __future__ import annotations
 
 import pytest
 
-from dwca_parquet_spark.operators.drift import corpus_drift, js_divergence
+from dwca_parquet_spark.operators.drift import (
+    corpus_drift,
+    js_divergence,
+    kmv_retention,
+)
 from tests.conftest import SF_T2
 
 
@@ -16,6 +20,37 @@ def test_js_divergence_laws():
     assert js_divergence({1: 5, 2: 15}, {1: 10, 2: 30}) == 0.0  # scale-free
     assert js_divergence({1: 10}, {2: 10}) == pytest.approx(1.0)
     assert 0.0 < js_divergence({1: 10, 2: 10}, {1: 19, 2: 1}) < 1.0
+
+
+def test_kmv_retention_degenerate_and_exactness_laws():
+    """ADVICE r8: (1) when no new-side key lands in the union's
+    bottom-k sample (tiny new snapshot vs huge old), retention is None
+    — never a false 0/novelty-1; (2) exact requires the UNION to fit
+    in k, not merely both states under-full."""
+    k = 8
+    # old fills the bottom-k with hashes 0..9; new's keys hash higher →
+    # the union's bottom-8 holds no new key → degenerate, not 0.0
+    old = {(f"o{i}", i) for i in range(10)}
+    new = {(f"o{i}", i) for i in range(3)} | {(f"n{i}", 100 + i) for i in range(2)}
+    big_new = {(f"n{i}", 100 + i) for i in range(5)}
+    r, exact = kmv_retention(old, big_new, k)
+    assert r is None and exact is False
+    # sampled case: bottom-8 of the union includes new keys o0..o2 —
+    # all retained → 1.0
+    r, _ = kmv_retention(old, new, k)
+    assert r == 1.0
+    # both under-full but union of 5+5 disjoint keys > k=8 → not exact
+    a = {(f"a{i}", i) for i in range(5)}
+    b = {(f"b{i}", 50 + i) for i in range(5)}
+    r, exact = kmv_retention(a, b, k)  # sampled new keys, none in old
+    assert exact is False and r == 0.0
+    # union fits in k → exact, true ratio
+    c = {(f"a{i}", i) for i in range(3)} | {("c0", 90)}
+    r, exact = kmv_retention(a, c, k)
+    assert exact is True and r == pytest.approx(3 / 4)
+    # empty new snapshot → no sample → None
+    r, exact = kmv_retention(a, set(), k)
+    assert r is None and exact is True
 
 
 def test_identity_law_on_real_corpus(spark):

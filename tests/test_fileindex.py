@@ -81,6 +81,30 @@ def test_null_keys_indexed_and_never_matched(spark, tmp_path):
     assert sorted(r["k"] for r in got.collect()) == [1, 3]
 
 
+def test_non_indexable_key_type_rejected_at_build(spark, tmp_path):
+    """ADVICE r8: double/date/decimal keys are outside the portable-
+    hash contract — the build must refuse them instead of silently
+    breaking the no-false-negative law at probe time."""
+    orders = spark.read.parquet(f"{SF_T2}/orders.parquet")
+    dbl = orders.select(F.col("o_totalprice").alias("price"), "o_orderkey")
+    with pytest.raises(ValueError, match="integral or string"):
+        write_with_file_index(dbl, str(tmp_path / "bad"), "price", files=4)
+
+
+def test_probe_values_coerced_to_key_type(spark, indexed_orders):
+    """ADVICE r8: a string-typed probe value against a long key must
+    hash and range-compare exactly as the build did — the probe
+    coerces, so '<int>' and int return identical rows."""
+    path, _ = indexed_orders
+    keys = [19, 101, 999999999]
+    as_int, rep_i = read_pruned(spark, path, "o_orderkey", keys)
+    as_str, rep_s = read_pruned(
+        spark, path, "o_orderkey", [str(v) for v in keys]
+    )
+    assert _sorted_rows(as_int) == _sorted_rows(as_str)
+    assert rep_i == rep_s and rep_i["files_read"] >= 1
+
+
 def test_probe_wrong_column_raises(spark, indexed_orders):
     path, _ = indexed_orders
     with pytest.raises(ValueError, match="index is on"):

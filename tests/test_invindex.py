@@ -8,6 +8,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from dwca_parquet_spark.operators.invindex import (
+    bm25_index_append,
     bm25_index_build,
     bm25_topk_indexed,
 )
@@ -78,6 +79,82 @@ def test_rebuild_overwrites(spark, tmp_path):
     assert meta["n_docs"] == 2
     got = _rows(bm25_topk_indexed(spark, p, "corpus", 10))
     assert [g[0] for g in got] == [7]
+
+
+def _seg_files(root):
+    """{relative_path: (size, sha256)} for every data file under root."""
+    import hashlib
+    import os
+
+    out = {}
+    for dirpath, _dirs, files in os.walk(root):
+        for fn in files:
+            if fn.startswith(("_", ".")):
+                continue
+            p = os.path.join(dirpath, fn)
+            with open(p, "rb") as fh:
+                digest = hashlib.sha256(fh.read()).hexdigest()
+            out[os.path.relpath(p, root)] = (os.path.getsize(p), digest)
+    return out
+
+
+def _corpus_halves(spark):
+    docs = spark.read.parquet(f"{SF_T2}/documents.parquet")
+    a = docs.filter(F.pmod(F.xxhash64("doc_id"), F.lit(3)) != 0)
+    b = docs.filter(F.pmod(F.xxhash64("doc_id"), F.lit(3)) == 0)
+    return docs, a, b
+
+
+@pytest.mark.parametrize(
+    "query", ["data quality", "the", "model training data corpus"]
+)
+def test_append_equals_rebuild_and_direct(spark, tmp_path, query):
+    """op 134 law: probe over build(A)+append(B) is byte-identical to
+    probe over rebuild(A ∪ B), and both equal the direct op-123 scan on
+    the union — across query shapes."""
+    docs, a, b = _corpus_halves(spark)
+    inc, full = str(tmp_path / "inc"), str(tmp_path / "full")
+    bm25_index_build(a, "doc_id", "text", inc)
+    got_meta = bm25_index_append(b, "doc_id", "text", inc)
+    want_meta = bm25_index_build(docs, "doc_id", "text", full)
+    assert got_meta["segment"] == 1
+    for key in ("n_docs", "total_dl", "n_terms"):
+        assert got_meta[key] == want_meta[key]
+    inc_rows = _rows(bm25_topk_indexed(spark, inc, query, 25))
+    full_rows = _rows(bm25_topk_indexed(spark, full, query, 25))
+    direct = _rows(bm25_topk(docs, "doc_id", "text", query, 25))
+    assert inc_rows == full_rows == direct and len(direct) > 0
+
+
+def test_append_never_rewrites_existing_segments(spark, tmp_path):
+    """Frozen-state discipline (the op-129 gate pattern): after an
+    append, every pre-existing segment data file is byte-identical,
+    and two appends stack as segments 1 and 2."""
+    docs, a, b = _corpus_halves(spark)
+    p = str(tmp_path / "idx")
+    bm25_index_build(a, "doc_id", "text", p)
+    before = _seg_files(p)
+    b1 = b.filter(F.pmod(F.xxhash64("doc_id"), F.lit(2)) == 0)
+    b2 = b.filter(F.pmod(F.xxhash64("doc_id"), F.lit(2)) != 0)
+    m1 = bm25_index_append(b1, "doc_id", "text", p)
+    mid = _seg_files(p)
+    assert all(mid[f] == before[f] for f in before)  # seg 0 untouched
+    m2 = bm25_index_append(b2, "doc_id", "text", p)
+    after = _seg_files(p)
+    assert all(after[f] == mid[f] for f in mid)  # segs 0-1 untouched
+    assert (m1["segment"], m2["segment"]) == (1, 2)
+    # and the three-segment probe still equals the one-shot rebuild
+    full = str(tmp_path / "full")
+    bm25_index_build(docs, "doc_id", "text", full)
+    assert _rows(bm25_topk_indexed(spark, p, "data quality", 25)) == _rows(
+        bm25_topk_indexed(spark, full, "data quality", 25)
+    )
+
+
+def test_append_to_missing_index_raises(spark, tmp_path):
+    df = spark.createDataFrame([(1, "alpha")], "doc_id long, text string")
+    with pytest.raises(Exception):
+        bm25_index_append(df, "doc_id", "text", str(tmp_path / "nope"))
 
 
 def test_all_null_corpus_raises(spark, tmp_path):

@@ -41,6 +41,30 @@ def test_underfull_groups_are_exact(spark):
     assert len(got) == 3  # each unordered pair exactly once, a < b
 
 
+def test_two_underfull_groups_with_large_union_are_not_exact(spark):
+    """ADVICE r8 regression: 200 + 200 DISJOINT keys at k=256 — both
+    states under-full, but the 400-key union exceeds k, so the bottom-k
+    truncates it and the numbers are KMV estimates, never exact=True.
+    The estimates must still be sane (true J=0 here: x holds no shared
+    key), and a pair whose union DOES fit in k stays exact."""
+    rows = (
+        [("A", f"a{i}") for i in range(200)]
+        + [("B", f"b{i}") for i in range(200)]
+        + [("C", f"a{i}") for i in range(40)]  # C ⊂ A, union(A,C)=200 ≤ k
+    )
+    got = {
+        (r["grp_a"], r["grp_b"]): r
+        for r in group_overlap_estimates(_state(spark, rows), K).collect()
+    }
+    ab = got[("A", "B")]
+    assert ab["exact"] is False  # was True before the union-size fix
+    assert ab["jaccard_est"] == 0.0  # disjoint: no shared key in x
+    ac = got[("A", "C")]
+    assert ac["exact"] is True
+    assert ac["union_est"] == 200.0
+    assert ac["jaccard_est"] == pytest.approx(40 / 200, abs=1e-6)
+
+
 def test_estimator_accuracy_on_overfull_groups(spark):
     rows = [("A", f"k{i}") for i in range(10_000)] + [
         ("B", f"k{i}") for i in range(7_000, 17_000)

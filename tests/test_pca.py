@@ -140,6 +140,40 @@ def test_magnitude_contract_raises(spark):
         pca_fit(big, "id", "v", 2, 1)
 
 
+def test_moment_pass_slices_oversized_batches_exactly():
+    """ADVICE r8: the per-batch x.T @ x int64 bound must be ENFORCED
+    per matmul, not assumed from the default Arrow batch size. Feed one
+    250k-row batch (2.5× the slice bound) straight into the moment
+    factory: it must emit multiple slice partials whose sums equal the
+    whole-batch NumPy moments exactly."""
+    import pandas as pd
+
+    from dwca_parquet_spark.operators.pca import (
+        _MOMENT_SLICE_ROWS,
+        _moment_rows_factory,
+    )
+
+    rng = np.random.default_rng(7)
+    dim, rows = 3, 250_000
+    assert rows > 2 * _MOMENT_SLICE_ROWS
+    x = rng.integers(-1000, 1000, size=(rows, dim), dtype=np.int64)
+    pdf = pd.DataFrame({"svec": list(x)})
+    outs = list(_moment_rows_factory(dim)(iter([pdf])))
+    assert len(outs) == 3  # 250k rows → 3 slices
+    summed: dict[int, int] = {}
+    for o in outs:
+        for pos, val in zip(o["pos"], o["val"]):
+            summed[int(pos)] = summed.get(int(pos), 0) + int(val)
+    assert summed[0] == rows
+    want_s1 = x.sum(axis=0)
+    for i in range(dim):
+        assert summed[1 + i] == int(want_s1[i])
+    iu = np.triu_indices(dim)
+    want_tri = (x.T @ x)[iu]
+    for t in range(len(want_tri)):
+        assert summed[1 + dim + t] == int(want_tri[t])
+
+
 def test_knn_recall_survives_reduction(spark):
     """Composition gate: on clustered vectors, each point's top-1
     neighbor in the PCA-8 space stays within its cluster — the reduce
