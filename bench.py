@@ -430,6 +430,118 @@ def r5_tier_specs():
     }
 
 
+def r5_reference_times(spark) -> dict[str, float]:
+    """Single-process same-contract reference timings for the tier rows
+    that have no SQL twin (VERDICT r8 #5 — without a yardstick their
+    drift is unattributable; the r6 compression-ratio zlib reference is
+    the precedent). Each reference performs the row's computation with
+    the engine removed: pyarrow reads the same parquet, NumPy does the
+    same math (for pHash literally the SAME batch function the operator
+    ships to workers). Inputs/state are prepared OUTSIDE the timed
+    region exactly like the Spark rows' memoized builds; timings are
+    medians of 3.
+    """
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from dwca_parquet_spark.operators.multimodal import phash_batcher
+    from dwca_parquet_spark.operators.pca import pca_fit
+    from dwca_parquet_spark.operators.similarity import VEC_SCALE
+
+    out: dict[str, float] = {}
+
+    def timed(name, fn, runs=3):
+        times = []
+        try:
+            for _ in range(runs):
+                t0 = time.perf_counter()
+                fn()
+                times.append(time.perf_counter() - t0)
+            out[name] = round(statistics.median(times), 4)
+            print(f"  reference {name}: {out[name]}s", file=sys.stderr,
+                  flush=True)
+        except Exception as exc:
+            out[f"{name}_error"] = f"{type(exc).__name__}: {exc}"[:200]
+
+    # r8_pca: read embeddings + project (X − μ) @ Wᵀ. Model fit is the
+    # memoized once-per-corpus cost on the Spark side too.
+    model = pca_fit(
+        spark.read.parquet(f"{SF_DIR}/embeddings.parquet"),
+        "vec_id", "embedding", 64, 8,
+    )
+
+    def ref_pca():
+        tbl = pq.read_table(f"{SF_DIR}/embeddings.parquet")
+        x = np.stack(tbl.column("embedding").to_pylist()).astype(np.float64)
+        _ = (x - model.mean) @ model.components.T
+
+    timed("r8_pca", ref_pca)
+
+    # r7_phash_frames: same payload derivation (utf-8 bytes) + the
+    # operator's own batch function run serially over one pandas frame.
+    def ref_phash():
+        tbl = pq.read_table(f"{SF_DIR}/documents.parquet",
+                            columns=["doc_id", "text"])
+        pdf = tbl.to_pandas()
+        pdf = pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "payload": [
+                    (t or "").encode("utf-8") for t in pdf["text"]
+                ],
+            }
+        )
+        for _ in phash_batcher(8)(iter([pdf])):
+            pass
+
+    timed("r7_phash_frames", ref_phash)
+
+    # r7_semdedup_incremental: the probe contract in NumPy — assign each
+    # batch vector to its nearest stored centroid, cosine-compare against
+    # that cell's assigned members, keep ≥ τ. History/batch split and the
+    # k-means state mirror the Spark row's memoized state (prepared
+    # untimed, like the row's _semdedup_state_memo).
+    tbl = pq.read_table(f"{SF_DIR}/embeddings.parquet")
+    ids = np.array(tbl.column("vec_id").to_pylist())
+    X = np.stack(tbl.column("embedding").to_pylist()).astype(np.float64)
+    Xs = np.round(X * VEC_SCALE)
+    norms = np.linalg.norm(Xs, axis=1)
+    nz = norms > 0
+    mask = (ids % 10) == 0  # a deterministic ~10% batch, same volume
+    hist, batch = Xs[~mask & nz], Xs[mask & nz]
+    hn, bn = norms[~mask & nz], norms[mask & nz]
+    rng = np.random.default_rng(0)
+    cents = hist[rng.choice(len(hist), 16, replace=False)]
+    for _ in range(2):  # the same 2 Lloyd iterations as the state build
+        sim = (hist / hn[:, None]) @ cents.T
+        lab = sim.argmax(axis=1)
+        cents = np.stack(
+            [
+                hist[lab == c].mean(axis=0) if (lab == c).any() else cents[c]
+                for c in range(16)
+            ]
+        )
+    hist_lab = ((hist / hn[:, None]) @ cents.T).argmax(axis=1)
+
+    def ref_semdedup():
+        bl = ((batch / bn[:, None]) @ cents.T).argmax(axis=1)
+        n_pairs = 0
+        for c in range(16):
+            b = batch[bl == c]
+            h = hist[hist_lab == c]
+            if not len(b) or not len(h):
+                continue
+            cos = (b / np.linalg.norm(b, axis=1)[:, None]) @ (
+                h / np.linalg.norm(h, axis=1)[:, None]
+            ).T
+            n_pairs += int((cos >= 0.95).sum())
+        return n_pairs
+
+    timed("r7_semdedup_incremental", ref_semdedup)
+    return out
+
+
 def materialize(df: DataFrame) -> None:
     """Force full computation of every output column.
 
@@ -568,6 +680,10 @@ def main() -> None:
                 out["r5_vs_oracle_r7rows"] = round(
                     sum(r5_times[q] for q in common7) / osum7, 4
                 )
+        try:
+            out["r5_reference"] = r5_reference_times(spark)
+        except Exception as exc:  # the yardstick must never sink the run
+            out["r5_reference_error"] = f"{type(exc).__name__}: {exc}"[:300]
     # Artifact-of-record discipline (round 7): the full detail (per-query
     # oracle timings included) goes to bench_summary.json next to this
     # script; stdout gets a SLIM one-line JSON — same headline metric,

@@ -39,13 +39,19 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from dwca_parquet_spark.functions import hashing as H
-from dwca_parquet_spark.operators.dedup import dedup_exact
+from dwca_parquet_spark.operators.dedup import text_key
 from dwca_parquet_spark.operators.rollup import log_hist_partial
 from dwca_parquet_spark.operators.sketch import bottomk_build
 from dwca_parquet_spark.operators.text import token_count
 
-__all__ = ["corpus_drift", "js_divergence", "kmv_retention"]
+__all__ = [
+    "collect_side",
+    "compose_drift_report",
+    "corpus_drift",
+    "js_divergence",
+    "kmv_retention",
+    "side_frames",
+]
 
 DRIFT_K = 512  # bottom-k size for the novelty/retention estimate
 
@@ -91,34 +97,61 @@ def kmv_retention(
     return retention, exact
 
 
-def _side_stats(df: DataFrame, id_col: str, text_col: str, source_col):
+def side_frames(df: DataFrame, id_col: str, text_col: str, source_col):
+    """The four panel partials as DataFrames — every one a mergeable
+    summary (additive counts / additive counts / additive per-hash
+    counts / a KMV lattice element), which is exactly what lets
+    streaming/drift.py (op 135) fold them per micro-batch with a
+    bit-exact fold ≡ one-shot law:
+
+    * mix    (_src, docs, toks)
+    * hist   (bucket, cnt) — op 77 log2 partial
+    * dups   (text_hash, n) — per-content-hash multiplicities, the op-16
+             key (text_key), so dup-rate numbers equal dedup_exact's
+    * sketch (key, _bh) — op 114 bottom-k over the SAME content hash
+             (text_key's poly-hash chain is the fingerprint chain)
+    """
     stats = df.select(
         F.col(id_col),
         F.col(source_col).alias("_src") if source_col else F.lit("all").alias("_src"),
         token_count(F.col(text_col)).alias("_nt"),
     )
+    mix = stats.groupBy("_src").agg(
+        F.count(F.lit(1)).alias("docs"), F.sum("_nt").alias("toks")
+    )
+    hist = log_hist_partial(stats, "_nt")
+    keyed = text_key(df, id_col, text_col)
+    dups = keyed.groupBy("text_hash").agg(F.count(F.lit(1)).alias("n"))
+    sketch = bottomk_build(
+        keyed.select(F.col("text_hash").alias("_fp")), "_fp", DRIFT_K
+    )
+    return mix, hist, dups, sketch
+
+
+def _side_stats(df: DataFrame, id_col: str, text_col: str, source_col):
+    mix_df, hist_df, dups_df, sketch_df = side_frames(
+        df, id_col, text_col, source_col
+    )
+    return collect_side(mix_df, hist_df, dups_df, sketch_df)
+
+
+def collect_side(mix_df, hist_df, dups_df, sketch_df):
+    """Bounded collects of the panel frames into the tuple
+    compose_drift_report consumes — shared by the one-shot path and the
+    stored-state path so both sides reduce identically."""
     mix = {
-        r["_src"]: (r["docs"], r["toks"] or 0)
-        for r in stats.groupBy("_src")
-        .agg(F.count(F.lit(1)).alias("docs"), F.sum("_nt").alias("toks"))
-        .collect()
+        r["_src"]: (r["docs"], r["toks"] or 0) for r in mix_df.collect()
     }
-    hist = {
-        int(r["bucket"]): int(r["cnt"])
-        for r in log_hist_partial(stats, "_nt").collect()
-    }
-    groups = dedup_exact(df, id_col, text_col)
-    dup = groups.agg(
+    hist = {int(r["bucket"]): int(r["cnt"]) for r in hist_df.collect()}
+    dup_row = dups_df.agg(
         F.count(F.lit(1)).alias("distinct_texts"),
-        F.sum(F.col("n_copies") - 1).alias("redundant"),
+        F.sum(F.col("n") - 1).alias("redundant"),
     ).first()
-    fp = df.select(
-        H.normalize_text(F.col(text_col)).alias("_n")
-    ).select(H.poly_hash(F.col("_n")).alias("_fp"))
-    sketch = {
-        (r["key"], r["_bh"])
-        for r in bottomk_build(fp, "_fp", DRIFT_K).collect()
+    dup = {
+        "distinct_texts": dup_row["distinct_texts"],
+        "redundant": dup_row["redundant"],
     }
+    sketch = {(r["key"], r["_bh"]) for r in sketch_df.collect()}
     n_docs = sum(d for d, _ in mix.values())
     return mix, hist, dup, sketch, n_docs
 
@@ -133,12 +166,20 @@ def corpus_drift(
 ) -> tuple[str, dict]:
     """(markdown report, metrics dict) comparing two snapshots. See the
     module docstring for the panels and their laws."""
-    mix_a, hist_a, dup_a, sk_a, n_a = _side_stats(
-        old, id_col, text_col, source_col
-    )
-    mix_b, hist_b, dup_b, sk_b, n_b = _side_stats(
-        new, id_col, text_col, source_col
-    )
+    side_a = _side_stats(old, id_col, text_col, source_col)
+    side_b = _side_stats(new, id_col, text_col, source_col)
+    return compose_drift_report(side_a, side_b, name)
+
+
+def compose_drift_report(side_a, side_b, name: str) -> tuple[str, dict]:
+    """The report composition over two side-stat tuples (mix, hist,
+    dup, sketch, n_docs) — shared verbatim by the one-shot snapshot
+    compare above and the streaming state compare
+    (streaming/drift.py, op 135), which is what makes the fold ≡
+    one-shot law a statement about the STATS, not two report
+    implementations."""
+    mix_a, hist_a, dup_a, sk_a, n_a = side_a
+    mix_b, hist_b, dup_b, sk_b, n_b = side_b
     tok_a = sum(t for _, t in mix_a.values()) or 1
     tok_b = sum(t for _, t in mix_b.values()) or 1
     js = js_divergence(hist_a, hist_b)

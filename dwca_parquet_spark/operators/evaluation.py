@@ -361,8 +361,38 @@ def pr_curve(
     |distinct scores| rows — a 20M-point curve is not a useful
     artifact, so ``round_to`` IS the scale contract here: quantize to
     the grid you intend to plot, which bounds both the window and the
-    output (the op-101 exact-by-default / bounded-by-knob shape)."""
-    g = _by_score(_labeled(df, label_col, score_col, round_to))
+    output (the op-101 exact-by-default / bounded-by-knob shape).
+
+    That contract is ENFORCED, not assumed (round 9, the op-110
+    refuse-past-limit discipline): an un-quantized call over a large
+    input measures the exact distinct-score count first (persist +
+    count, the auc_roc careful-path machinery) and REFUSES above
+    ``_AUC_GLOBAL_WINDOW_MAX`` with guidance, instead of silently
+    launching a corpus-sized single-partition window sort. Bounded
+    inputs (small size estimate) and quantized calls skip the check
+    entirely — they cannot produce a problematic window."""
+    labeled = _labeled(df, label_col, score_col, round_to)
+    g = _by_score(labeled)
+    if round_to is None:
+        est = None
+        try:
+            stats = labeled._jdf.queryExecution().optimizedPlan().stats()
+            est = int(str(stats.sizeInBytes()))
+        except Exception:
+            pass  # stats unavailable → measure (the scale-safe default)
+        if est is None or est > _AUC_INPUT_SMALL_BYTES:
+            from dwca_parquet_spark.cache import persist_tracked
+
+            g = persist_tracked(g)
+            n_distinct = g.count()
+            if n_distinct > _AUC_GLOBAL_WINDOW_MAX:
+                raise ValueError(
+                    f"pr_curve over {n_distinct:,} distinct scores "
+                    "would sort a corpus-sized table in one partition "
+                    "and emit an equally large curve; pass round_to= "
+                    "to quantize scores to the grid you intend to plot "
+                    f"(bounds the curve to ≤ 2·10^round_to + 1 points)"
+                )
     # tp(t) = positives with score ≥ t: cumulative from this row UP.
     w_ge = Window.orderBy("score").rowsBetween(
         Window.currentRow, Window.unboundedFollowing

@@ -233,6 +233,16 @@ def phash_frames(
     ``decode_stub``-shaped; this operates on whatever bytes the decode
     stage produced).
     """
+    return binary_df.mapInPandas(
+        phash_batcher(n_frames, grid, block), PHASH_SCHEMA
+    )
+
+
+def phash_batcher(n_frames: int = 8, grid: int = 32, block: int = 8):
+    """The pHash per-batch function itself (pandas in → pandas out),
+    module-level so the bench harness can time the IDENTICAL math
+    single-process as the row's reference yardstick (VERDICT r8 #5 —
+    attribution needs an engine-free baseline for twin-less rows)."""
     import numpy as np
 
     C = _dct_matrix(grid)
@@ -284,7 +294,7 @@ def phash_frames(
                 {"doc_id": ids, "frame_idx": idxs, "phash": hashes}
             )
 
-    return binary_df.mapInPandas(batch_fn, PHASH_SCHEMA)
+    return batch_fn
 
 
 def phash_neardup_pairs(

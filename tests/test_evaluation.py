@@ -169,6 +169,23 @@ def test_pr_curve_matches_duckdb_twin(spark, duck):
     assert all(tp + fn == p_total for (_, tp, _, fn, _, _) in got)
 
 
+def test_pr_curve_refuses_unbounded_distinct_scores(spark, monkeypatch):
+    """round-9 guard (op-110 discipline): an un-quantized pr_curve over
+    a large input measures the distinct-score count and refuses above
+    the window bound with round_to guidance; the quantized call and
+    small inputs are untouched."""
+    import dwca_parquet_spark.operators.evaluation as E
+
+    df = _labeled_docs(spark)
+    monkeypatch.setattr(E, "_AUC_INPUT_SMALL_BYTES", 0)
+    monkeypatch.setattr(E, "_AUC_GLOBAL_WINDOW_MAX", 10)
+    with pytest.raises(ValueError, match="round_to"):
+        E.pr_curve(df, "label", "score")
+    # quantized: bounded by the grid → no refusal, curve intact
+    got = E.pr_curve(df, "label", "score", round_to=0).collect()
+    assert len(got) > 10
+
+
 def test_confusion_matches_twin_and_identities(spark, duck):
     thr = 48.0
     got = confusion_at(_labeled_docs(spark), "label", "score", thr).collect()[0]
