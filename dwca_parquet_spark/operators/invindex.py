@@ -78,6 +78,7 @@ from dwca_parquet_spark.functions import hashing as H
 from dwca_parquet_spark.operators.text import BM25_B, BM25_K1, tokens
 
 __all__ = [
+    "Bm25Index",
     "bm25_index_build",
     "bm25_index_append",
     "bm25_topk_indexed",
@@ -240,6 +241,23 @@ def bm25_topk_indexed(
         .collect()  # bounded: ≤ |query| rows
     )
     dfs = {r["term"]: int(r["df"]) for r in df_rows}
+    return _score_probe(spark, path, terms, dfs, n_docs, avgdl, k, k1, b)
+
+
+def _score_probe(
+    spark: SparkSession,
+    path: str,
+    terms: list[str],
+    dfs: dict[str, int],
+    n_docs: int,
+    avgdl: float,
+    k: int,
+    k1: float,
+    b: float,
+) -> DataFrame:
+    """The postings probe + scoring shared by the per-call path and the
+    loaded :class:`Bm25Index` — one code path, so the loaded API is
+    byte-identical by construction."""
     matched = (
         spark.read.parquet(f"{path}/postings")
         .filter(F.col("term").isin(terms))  # pushed to the scan (pinned)
@@ -272,3 +290,70 @@ def bm25_topk_indexed(
         .orderBy(F.col("score").desc(), F.col("doc_id").asc())
         .limit(k)
     )
+
+
+class Bm25Index:
+    """A LOADED index for the repeated-probe session (the op-128
+    FileIndex.load precedent): the summed corpus constants are
+    collected ONCE and the (vocabulary-sized) per-segment termstats
+    table is pinned in cluster cache, so each probe runs two jobs —
+    a bounded df lookup against the cache and the postings probe —
+    instead of re-reading meta and termstats parquet per call. The
+    stats stay cluster-side, never a driver vocabulary map, so the
+    pattern survives a 100 TB vocabulary. ``topk`` is byte-identical
+    to :func:`bm25_topk_indexed` (shared scoring path, pinned in
+    test_invindex.py). After an append, reload — the on-disk segments
+    are the truth."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = str(path).rstrip("/")
+        meta = spark.read.parquet(f"{self.path}/meta").agg(
+            F.sum("n_docs").alias("n_docs"),
+            F.sum("total_dl").alias("total_dl"),
+        ).collect()[0]
+        self.n_docs = int(meta["n_docs"] or 0)
+        if self.n_docs == 0:
+            raise ValueError("empty corpus")
+        if meta["total_dl"] is None:
+            raise ValueError("corpus has no tokenizable text")
+        self.avgdl = int(meta["total_dl"]) / self.n_docs
+        # untracked persist ON PURPOSE: the loaded index owns this
+        # cache's lifecycle (release via unload()), so a session
+        # owner's release_caches() between unrelated queries cannot
+        # silently drop the index it is still probing
+        self._termstats = spark.read.parquet(
+            f"{self.path}/termstats"
+        ).persist()
+        self._termstats.count()
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "Bm25Index":
+        return cls(spark, path)
+
+    def unload(self) -> None:
+        """Release the pinned termstats cache (idempotent)."""
+        try:
+            self._termstats.unpersist()
+        except Exception:
+            pass  # session already stopped — nothing to free
+
+    def topk(
+        self,
+        query: str,
+        k: int = 10,
+        k1: float = BM25_K1,
+        b: float = BM25_B,
+    ) -> DataFrame:
+        terms = query_terms(query)
+        df_rows = (
+            self._termstats.filter(F.col("term").isin(terms))
+            .groupBy("term")
+            .agg(F.sum("df").alias("df"))
+            .collect()  # bounded: ≤ |query| rows, against the cache
+        )
+        dfs = {r["term"]: int(r["df"]) for r in df_rows}
+        return _score_probe(
+            self.spark, self.path, terms, dfs, self.n_docs, self.avgdl,
+            k, k1, b,
+        )

@@ -8,6 +8,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from dwca_parquet_spark.operators.invindex import (
+    Bm25Index,
     bm25_index_append,
     bm25_index_build,
     bm25_topk_indexed,
@@ -149,6 +150,34 @@ def test_append_never_rewrites_existing_segments(spark, tmp_path):
     assert _rows(bm25_topk_indexed(spark, p, "data quality", 25)) == _rows(
         bm25_topk_indexed(spark, full, "data quality", 25)
     )
+
+
+def test_loaded_index_probe_equals_per_call(spark, index, tmp_path):
+    """Bm25Index (loaded API, the op-128 FileIndex.load precedent):
+    topk byte-identical to bm25_topk_indexed across query shapes, and
+    a reload after an append sees the grown corpus."""
+    path, _ = index
+    idx = Bm25Index.load(spark, path)
+    try:
+        for q in ("data quality", "the", "data quality zzzunseenterm"):
+            assert _rows(idx.topk(q, 25)) == _rows(
+                bm25_topk_indexed(spark, path, q, 25)
+            )
+    finally:
+        idx.unload()
+    # append + reload: the loaded probe equals the per-call probe on
+    # the grown index (fresh index dir — `index` is module-scoped)
+    docs, a, b = _corpus_halves(spark)
+    p = str(tmp_path / "grown")
+    bm25_index_build(a, "doc_id", "text", p)
+    bm25_index_append(b, "doc_id", "text", p)
+    idx2 = Bm25Index.load(spark, p)
+    try:
+        assert _rows(idx2.topk("data quality", 25)) == _rows(
+            bm25_topk_indexed(spark, p, "data quality", 25)
+        )
+    finally:
+        idx2.unload()
 
 
 def test_append_to_missing_index_raises(spark, tmp_path):
