@@ -739,6 +739,85 @@ def minhash_dup_pairs_incremental(
     )
 
 
+def dedup_clusters_incremental(
+    batch: DataFrame,
+    state_clusters: DataFrame,
+    state_buckets: DataFrame,
+    state_shingles: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Cluster assignments for history ∪ batch WITHOUT re-clustering
+    history (SURVEY §2 op 136 — the cluster-level leg of the
+    incremental column: op 78 advances the pair state, but its consumer
+    op 21/dedup_clusters still re-ran CC over the whole corpus; this
+    closes that gap). Returns (id, cluster_id) for every history AND
+    batch id — the new clusters table (replace the stored one with it;
+    advance the LSH state by appending the batch's own lsh_state rows,
+    the op-78 contract; id spaces must be disjoint).
+
+    Exactly ≡ ``dedup_clusters`` over history ∪ batch (pinned in
+    test_incremental_clusters.py, including the transitive case where
+    one batch doc MERGES two previously-separate history clusters):
+    the stored assignment is a star forest (cluster_id ↔ member) that
+    preserves history connectivity, the op-78 probe emits every
+    history×batch pair and ``minhash_dup_pairs`` every batch-internal
+    pair, and CC over forest ∪ new pairs therefore has from-scratch
+    components. Labels agree too: cluster_id is the component's min
+    member id (a real node), so min-label CC over the forest returns
+    the same minimum the from-scratch run finds.
+
+    Batch-proportional by construction: history components with no
+    batch contact never enter the CC — their rows pass through
+    UNTOUCHED (byte-identical, the frozen-state discipline); the CC
+    runs over (edges of touched components) ∪ (new pairs), both
+    bounded by the batch's contact surface, never corpus-sized. The
+    probe itself is op 78's (batch-side shingling only; candidate join
+    bounded by shared buckets).
+    """
+    cross = minhash_dup_pairs_incremental(
+        batch, state_buckets, state_shingles, id_col, text_col, k, threshold
+    ).select("id_a", "id_b")
+    internal = minhash_dup_pairs(
+        batch, id_col, text_col, k, threshold
+    ).select("id_a", "id_b")
+    # consumed twice (touched-root probe + CC edges) and expensive to
+    # recompute (the verify stage) — materialize once
+    new_pairs = persist_tracked(cross.unionByName(internal), eager=True)
+    touched = (
+        state_clusters.join(
+            new_pairs.select(F.col("id_a").alias(id_col)).distinct(),
+            id_col,
+            "left_semi",
+        )
+        .select("cluster_id")
+        .distinct()
+    )
+    forest = (
+        state_clusters.join(touched, "cluster_id", "left_semi")
+        .filter(F.col(id_col) != F.col("cluster_id"))
+        .select(
+            F.col("cluster_id").alias("id_a"), F.col(id_col).alias("id_b")
+        )
+    )
+    comp = connected_components(
+        new_pairs.unionByName(forest)
+    ).withColumnRenamed("node", id_col)
+    untouched = state_clusters.join(touched, "cluster_id", "left_anti")
+    to_label = (
+        state_clusters.join(touched, "cluster_id", "left_semi")
+        .select(id_col)
+        .unionByName(batch.select(F.col(id_col)))
+    )
+    relabeled = to_label.join(comp, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("label"), F.col(id_col)).alias("cluster_id"),
+    )
+    return untouched.select(id_col, "cluster_id").unionByName(relabeled)
+
+
 def trim_duplicated_spans(
     df: DataFrame, id_col: str, text_col: str, w: int = 8
 ) -> DataFrame:
