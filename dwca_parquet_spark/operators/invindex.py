@@ -172,12 +172,16 @@ def bm25_index_build(
     path = str(path).rstrip("/")
     spark = df.sparkSession
     # drop any previous segment layout so a rebuild never leaves stale
-    # higher segments behind the fresh seg 0
+    # higher segments behind the fresh seg 0 — deleting ONLY the three
+    # index subdirs, never the caller's path itself (which may hold
+    # unrelated data)
     jvm = spark._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    if fs.exists(hpath):
-        fs.delete(hpath, True)
+    conf = spark._jsc.hadoopConfiguration()
+    for sub in ("postings", "termstats", "meta"):
+        hpath = jvm.org.apache.hadoop.fs.Path(f"{path}/{sub}")
+        fs = hpath.getFileSystem(conf)
+        if fs.exists(hpath):
+            fs.delete(hpath, True)
     _write_segment(df, id_col, text_col, path, 0)
     return _index_totals(spark, path)
 

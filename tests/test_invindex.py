@@ -76,8 +76,17 @@ def test_rebuild_overwrites(spark, tmp_path):
         "doc_id long, text string",
     )
     bm25_index_build(a, "doc_id", "text", p)
+    # grow the index so the rebuild must also clear HIGHER segments,
+    # and plant unrelated data the rebuild must NOT touch (the delete
+    # is scoped to the three index subdirs, never the caller's path)
+    bm25_index_append(b, "doc_id", "text", p)
+    import pathlib
+
+    sentinel = pathlib.Path(p) / "user_data.txt"
+    sentinel.write_text("precious")
     meta = bm25_index_build(b, "doc_id", "text", p)
     assert meta["n_docs"] == 2
+    assert sentinel.read_text() == "precious"
     got = _rows(bm25_topk_indexed(spark, p, "corpus", 10))
     assert [g[0] for g in got] == [7]
 
