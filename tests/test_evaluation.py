@@ -269,3 +269,9 @@ def test_driver_tier_bit_identical_to_window_tier(spark, monkeypatch):
     direct = E._auc_driver(lab).collect()[0]
     via_jvm = E.auc_roc(traps, "label", "score").collect()[0]
     assert tuple(direct) == tuple(via_jvm)
+    # empty universe through the driver tier (parquet-backed, filter
+    # removes every row): all-NULL row, same as the aggregate paths'
+    # sum-over-nothing — and never a crash
+    empty = base.filter(F.col("score") < -1)
+    got = E.auc_roc(empty, "label", "score").collect()[0]
+    assert tuple(got) == (None, None, None)

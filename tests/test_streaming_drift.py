@@ -83,6 +83,19 @@ def test_replay_is_noop(spark, tmp_path):
         spark, state, d, 0, "doc_id", "text", "source"
     )
     assert snapshot() == before
+    # a crashed .tmp residue is ignored by reads and replaced by the
+    # next successful attempt for that id (the op-132 gate pattern)
+    import pathlib
+
+    residue = pathlib.Path(state) / "v1.tmp"
+    residue.mkdir(parents=True)
+    (residue / "junk").write_text("partial")
+    assert snapshot() == before  # watermark still 0, panels unchanged
+    assert apply_drift_batch(
+        spark, state, d.limit(40), 1, "doc_id", "text", "source"
+    )
+    _, panels = read_drift_state(spark, state)
+    assert panels is not None  # v1 committed over the residue
 
 
 def test_stream_wiring_converges(spark, tmp_path):
