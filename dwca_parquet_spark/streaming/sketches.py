@@ -47,7 +47,10 @@ from pyspark.sql import functions as F
 from dwca_parquet_spark.operators.sketch import (
     HLL_B,
     bottomk_build,
+    bottomk_by_group,
+    bottomk_group_merge,
     bottomk_merge,
+    group_overlap_estimates,
     cms_build,
     cms_merge,
     hll_build,
@@ -171,6 +174,110 @@ def stream_sketch_maintain(
         apply_batch(
             spark, state_path, batch, batch_id, item_col,
             width=width, depth=depth, b=b, k=k,
+        )
+
+    return (
+        stream.writeStream.foreachBatch(body)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming PER-GROUP bottom-k (SURVEY §2 op 137): op 117's state
+# maintained per micro-batch, so the per-group distinct dashboards
+# (op 117 estimates) and the cross-group overlap panel (op 131) are
+# continuously current without a corpus rescan. The fold is the op-117
+# lattice merge — per-group union-distinct → re-rank — which equals
+# building over the unioned inputs EXACTLY (the same KMV law op 114
+# pins), so fold ≡ one-shot bottomk_by_group row-for-row. Same
+# transactional versioned-state replay pattern as the global sketches
+# above (the module docstring carries the argument).
+# ---------------------------------------------------------------------------
+
+GBK_SCHEMA = "grp string, key string, _bh long"
+
+
+def read_group_bottomk_state(
+    spark: SparkSession, state_path: str
+) -> tuple[int, DataFrame]:
+    """(watermark, per-group state) — empty bounded table when no state
+    exists yet. The state is ≤ |groups|·k rows, never corpus-sized."""
+    wm = applied_watermark(spark, state_path)
+    if wm < 0:
+        return wm, spark.createDataFrame([], GBK_SCHEMA)
+    base = f"{str(state_path).rstrip('/')}/v{wm}"
+    return wm, spark.read.schema(GBK_SCHEMA).parquet(f"{base}/gbk.parquet")
+
+
+def apply_group_bottomk_batch(
+    spark: SparkSession,
+    state_path: str,
+    batch: DataFrame,
+    batch_id: int,
+    group_col: str,
+    key_col: str,
+    k: int = BK_K,
+    keep_versions: int = 2,
+) -> bool:
+    """Fold one micro-batch's (group, key) pairs into the stored
+    per-group bottom-k; False = replay skipped. Group and key are cast
+    to string at the head (the BK_SCHEMA stability contract above —
+    and the string domain group_overlap_estimates already reports)."""
+    wm, state = read_group_bottomk_state(spark, state_path)
+    if batch_id <= wm:
+        return False  # replayed batch: state already includes it
+    part = bottomk_by_group(
+        batch.select(
+            F.col(group_col).cast("string").alias("grp"),
+            F.col(key_col).cast("string").alias("key"),
+        ),
+        "grp",
+        "key",
+        k,
+    )
+    merged = bottomk_group_merge(state, part, k)
+    base = str(state_path).rstrip("/")
+    fs = FS(spark, base)
+    tmp, final = f"{base}/v{batch_id}.tmp", f"{base}/v{batch_id}"
+    if fs.exists(tmp):  # crashed predecessor attempt
+        fs.delete(tmp)
+    merged.coalesce(1).write.parquet(f"{tmp}/gbk.parquet")
+    fs.rename(tmp, final)  # the atomic commit point
+    for p in fs.glob(f"{base}/v*"):
+        m = _VDIR.match(p)
+        if m and int(m.group(1)) <= batch_id - keep_versions:
+            fs.delete(p)
+    return True
+
+
+def group_overlap_from_state(
+    spark: SparkSession, state_path: str, k: int = BK_K
+) -> DataFrame:
+    """op 131's pairwise overlap estimates over the STORED state — the
+    continuously-current provenance panel ("how much of source A is
+    also in B right now"), driver combinatorics over ≤ |groups|·k rows."""
+    _, state = read_group_bottomk_state(spark, state_path)
+    return group_overlap_estimates(state, k)
+
+
+def stream_group_bottomk_maintain(
+    stream: DataFrame,
+    state_path: str,
+    group_col: str,
+    key_col: str,
+    checkpoint: str,
+    k: int = BK_K,
+):
+    """Start a streaming query maintaining the per-group bottom-k state.
+    Returns the StreamingQuery; read estimates/overlaps any time with
+    :func:`read_group_bottomk_state` / :func:`group_overlap_from_state`."""
+    spark = stream.sparkSession
+
+    def body(batch: DataFrame, batch_id: int) -> None:
+        apply_group_bottomk_batch(
+            spark, state_path, batch, batch_id, group_col, key_col, k=k
         )
 
     return (
