@@ -179,6 +179,20 @@ SLOW_NODE_IDS = {
     "test_drift.py::test_planted_drift_moves_matching_panels",
     "test_evaluation.py::test_two_level_plan_value_identical_and_partitioned",
     "test_evaluation.py::test_auc_matches_pair_counting_reference_with_ties",
+    # round-9 rebalance: the new multi-second gates (streaming drift
+    # fold/wiring, incremental clusters, the segmented-index append
+    # laws, the three-tier AUC bit-identity) move to the slow lane;
+    # each module keeps at least one quick-lane node.
+    "test_streaming_drift.py::test_fold_equals_one_shot_corpus_drift_exactly",
+    "test_streaming_drift.py::test_stream_wiring_converges",
+    "test_incremental_clusters.py::test_incremental_equals_from_scratch_incl_transitive_chain",
+    "test_incremental_clusters.py::test_untouched_components_pass_through_and_two_batches_compose",
+    "test_invindex.py::test_append_equals_rebuild_and_direct[data quality]",
+    "test_invindex.py::test_append_equals_rebuild_and_direct[the]",
+    "test_invindex.py::test_append_equals_rebuild_and_direct[model training data corpus]",
+    "test_invindex.py::test_append_never_rewrites_existing_segments",
+    "test_invindex.py::test_loaded_index_probe_equals_per_call",
+    "test_evaluation.py::test_driver_tier_bit_identical_to_window_tier",
 }
 
 
