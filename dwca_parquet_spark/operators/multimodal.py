@@ -193,6 +193,26 @@ PHASH_SCHEMA = StructType(
 )
 
 
+def _fan_out(df: DataFrame) -> DataFrame:
+    """Spread a compute-bound Arrow stage across the cluster when the
+    input arrives under-partitioned.
+
+    AQE sizes shuffle partitions by BYTES, which misjudges per-row
+    CPU-heavy Python stages: a 594 KB single-file scan feeding the DCT
+    pHash keeps the whole corpus on ONE task (measured: 4–7 s median
+    with 1.9–10.5 s swing at sf0.1, worker-reuse-dependent). An explicit
+    ``repartition(n)`` is honored by AQE (user-specified numPartitions
+    is never coalesced), so the stage fans out to every core: measured
+    0.75 s median, stable (SCALE.md round 9). At 100 TB inputs arrive
+    pre-split and this is a no-op — the guard only fires when
+    partitions < defaultParallelism.
+    """
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
+
+
 def _dct_matrix(n: int):
     """Orthonormal-free DCT-II basis C[k,m] = cos(π·(m+0.5)·k/n) — the
     normalization cancels in median-relative comparisons, so it is
@@ -233,7 +253,7 @@ def phash_frames(
     ``decode_stub``-shaped; this operates on whatever bytes the decode
     stage produced).
     """
-    return binary_df.mapInPandas(
+    return _fan_out(binary_df).mapInPandas(
         phash_batcher(n_frames, grid, block), PHASH_SCHEMA
     )
 
