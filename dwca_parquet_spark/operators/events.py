@@ -205,3 +205,198 @@ def sessionize(
         F.min("ts_us").alias("start_us"),
         F.max("ts_us").alias("end_us"),
     )
+
+
+def resample_ffill(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    value_col: str = "value",
+    interval_us: int = 3_600_000_000,
+) -> DataFrame:
+    """Fixed-interval resample with gap-fill + forward-fill (SURVEY §2.G
+    op 138). Per key: bucket events to ``interval_us``-wide slots, emit a
+    DENSE per-key grid from the key's first to last active bucket (empty
+    slots materialize with n_events = 0), and carry the last non-empty
+    bucket's value sum forward onto the gaps — the resample→ffill step
+    every metrics/feature pipeline runs before joining event streams to a
+    model's time grid.
+
+    Scale shape: the observed aggregate is ONE map-side-combinable shuffle
+    on (key, bucket); the grid comes from per-key ``sequence(b0, b1)`` —
+    bounded by the key's own active span, generated executor-side, never a
+    driver loop or a global calendar cross-join; the fill is a running
+    ``last(ignoreNulls)`` window per key (the asof_join carry-forward
+    shape). Grid rows ≈ Σ_key span_buckets — at 100 TB choose interval so
+    span/interval stays ~1e4-1e5 per key; Spark hard-caps one sequence()
+    at the array limit (~2^31), which a year at 1-minute buckets (~5e5)
+    clears easily.
+
+    Output: (key, bucket BIGINT, n_events, filled_value DOUBLE) where
+    bucket = epoch_us // interval_us — surfaced as the integer slot index,
+    never a localized timestamp (differential-hash protocol).
+    """
+    obs = (
+        df.select(
+            F.col(key_col),
+            ts_micros(df, ts_col).alias("_us"),
+            F.col(value_col),
+        )
+        # integer `div`, not cast-of-double-divide: bigint/int promotes to
+        # DOUBLE (precision loss past 2^53) and cast truncates toward 0,
+        # which differs from floor for pre-epoch timestamps
+        .withColumn("bucket", F.expr(f"_us div {interval_us}"))
+        .groupBy(key_col, "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dec_sum(value_col).alias("_sum_value"),
+        )
+    )
+    bounds = obs.groupBy(key_col).agg(
+        F.min("bucket").alias("_b0"), F.max("bucket").alias("_b1")
+    )
+    grid = bounds.select(
+        F.col(key_col),
+        F.explode(F.sequence(F.col("_b0"), F.col("_b1"))).alias("bucket"),
+    )
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col("bucket").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(obs, [key_col, "bucket"], "left")
+        .select(
+            F.col(key_col),
+            F.col("bucket"),
+            F.coalesce(F.col("n_events"), F.lit(0)).cast("long").alias(
+                "n_events"
+            ),
+            F.last("_sum_value", ignorenulls=True).over(w).alias(
+                "filled_value"
+            ),
+        )
+    )
+
+
+def funnel(
+    df: DataFrame,
+    stages: tuple[str, ...],
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    horizon_us: int | None = None,
+) -> DataFrame:
+    """Ordered funnel conversion (SURVEY §2.G op 139): per user, stage i
+    counts only if its FIRST qualifying event is strictly after the user's
+    stage-(i-1) time — and, with ``horizon_us``, within the horizon of the
+    user's first stage-1 event (the classic conversion-window funnel).
+
+    Scale shape: stage 1 is one filtered groupBy(user); each later stage is
+    a filtered scan joined to the (shrinking) survivor frame on user_id and
+    re-minimized — i.e. |stages| map-side-combinable aggregates + equi-joins
+    on the SAME key, which AQE broadcasts as survivors shrink. No windows,
+    no per-user event collection; per-user event skew never materializes a
+    row wider than (user, t).
+
+    Output: (stage_idx, stage, n_users, pct_of_first) — pct rounded to 6.
+    """
+    if len(stages) < 2:
+        raise ValueError("funnel needs at least 2 stages")
+    ev = df.select(
+        F.col(user_col),
+        F.col(type_col).alias("_tp"),
+        ts_micros(df, ts_col).alias("_us"),
+    )
+    survivors = (
+        ev.filter(F.col("_tp") == stages[0])
+        .groupBy(user_col)
+        .agg(F.min("_us").alias("_t"))
+        .withColumn("_t1", F.col("_t"))
+    )
+    stage_counts = [
+        survivors.groupBy().agg(F.count(F.lit(1)).alias("n_users"))
+        .select(
+            F.lit(1).alias("stage_idx"),
+            F.lit(stages[0]).alias("stage"),
+            "n_users",
+        )
+    ]
+    for i, st in enumerate(stages[1:], start=2):
+        nxt = ev.filter(F.col("_tp") == st).join(
+            survivors.select(user_col, "_t", "_t1"), user_col
+        )
+        cond = F.col("_us") > F.col("_t")
+        if horizon_us is not None:
+            cond = cond & (F.col("_us") <= F.col("_t1") + F.lit(horizon_us))
+        survivors = (
+            nxt.filter(cond)
+            .groupBy(user_col, "_t1")
+            .agg(F.min("_us").alias("_t"))
+        )
+        stage_counts.append(
+            survivors.groupBy().agg(F.count(F.lit(1)).alias("n_users"))
+            .select(
+                F.lit(i).alias("stage_idx"),
+                F.lit(st).alias("stage"),
+                "n_users",
+            )
+        )
+    out = stage_counts[0]
+    for s in stage_counts[1:]:
+        out = out.unionByName(s)
+    # |stages| rows total — the single-partition window is bounded by design
+    first_n = F.first("n_users").over(
+        Window.orderBy(F.col("stage_idx").asc()).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+    )
+    return out.select(
+        "stage_idx",
+        "stage",
+        F.col("n_users").cast("long").alias("n_users"),
+        F.when(
+            first_n > 0,
+            F.round(F.col("n_users") / first_n.cast("double"), 6),
+        ).alias("pct_of_first"),
+    )
+
+
+def cohort_retention(
+    df: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    bucket_us: int = 7 * 86_400_000_000,
+) -> DataFrame:
+    """Cohort retention matrix (SURVEY §2.G op 140): cohort = the user's
+    first active bucket (default weekly); one output row per (cohort,
+    offset) with the count of cohort users active offset buckets later —
+    the engagement table every product/corpus-growth review reads.
+
+    Scale shape: distinct (user, bucket) activity + a min-bucket cohort
+    aggregate, joined on user_id and re-aggregated — three shuffles, all
+    on bounded-width integer rows; the matrix itself is
+    O(cohorts × offsets), tiny at any corpus size. Buckets are integer
+    epoch_us // bucket_us slots, so engines can never disagree on week
+    boundaries (ISO-week vs epoch-week truncation).
+
+    Output: (cohort_bucket, offset, n_users).
+    """
+    act = (
+        df.select(F.col(user_col), ts_micros(df, ts_col).alias("_us"))
+        .select(
+            F.col(user_col), F.expr(f"_us div {bucket_us}").alias("bucket")
+        )
+        .distinct()
+    )
+    cohort = act.groupBy(user_col).agg(F.min("bucket").alias("cohort_bucket"))
+    return (
+        act.join(cohort, user_col)
+        .select(
+            "cohort_bucket",
+            (F.col("bucket") - F.col("cohort_bucket")).alias("offset"),
+            F.col(user_col),
+        )
+        .groupBy("cohort_bucket", "offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )

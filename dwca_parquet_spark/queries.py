@@ -1784,3 +1784,128 @@ def q64_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the codec stubbed (container has no media libraries)."""
     d = _t(spark, sf_dir, "documents")
     return M.sample_frames(M.to_binary_table(d, "doc_id", "text"), n_frames=4)
+
+
+# ===========================================================================
+# Round 9: event analytics (SURVEY §2.G ops 138-140)
+# ===========================================================================
+
+_HOUR_US = 3_600_000_000
+_WEEK_US = 7 * 86_400_000_000
+
+
+@query(
+    "q65_resample_ffill",
+    f"""
+    WITH ev AS (
+        SELECT user_id, epoch_us(ts) // {_HOUR_US} AS bucket, value
+        FROM events
+    ),
+    obs AS (
+        SELECT user_id, bucket, count(*) AS n_events,
+               {_osum('value')} AS sum_value
+        FROM ev GROUP BY 1, 2
+    ),
+    bounds AS (
+        SELECT user_id, min(bucket) AS b0, max(bucket) AS b1
+        FROM obs GROUP BY 1
+    ),
+    grid AS (
+        SELECT user_id, unnest(generate_series(b0, b1)) AS bucket
+        FROM bounds
+    )
+    SELECT g.user_id, g.bucket,
+           coalesce(o.n_events, 0) AS n_events,
+           last_value(o.sum_value IGNORE NULLS) OVER (
+               PARTITION BY g.user_id ORDER BY g.bucket
+           ) AS filled_value
+    FROM grid g LEFT JOIN obs o
+      ON g.user_id = o.user_id AND g.bucket = o.bucket
+    """,
+)
+def q65_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user hourly resample: dense bucket grid (per-key sequence(),
+    executor-side) with gaps as n_events=0 and the value sum carried
+    forward by a running last(ignoreNulls) window (operators/events.py
+    resample_ffill, op 138)."""
+    return E.resample_ffill(
+        _t(spark, sf_dir, "events"),
+        ts_col="ts",
+        key_col="user_id",
+        value_col="value",
+        interval_us=_HOUR_US,
+    )
+
+
+@query(
+    "q66_funnel",
+    f"""
+    WITH ev AS (
+        SELECT user_id, event_type AS tp, epoch_us(ts) AS us FROM events
+    ),
+    s1 AS (
+        SELECT user_id, min(us) AS t, min(us) AS t1
+        FROM ev WHERE tp = 'view' GROUP BY user_id
+    ),
+    s2 AS (
+        SELECT e.user_id, min(e.us) AS t, s.t1 AS t1
+        FROM ev e JOIN s1 s ON e.user_id = s.user_id
+        WHERE e.tp = 'click' AND e.us > s.t
+          AND e.us <= s.t1 + {72 * _HOUR_US}
+        GROUP BY e.user_id, s.t1
+    ),
+    s3 AS (
+        SELECT e.user_id, min(e.us) AS t, s.t1 AS t1
+        FROM ev e JOIN s2 s ON e.user_id = s.user_id
+        WHERE e.tp = 'purchase' AND e.us > s.t
+          AND e.us <= s.t1 + {72 * _HOUR_US}
+        GROUP BY e.user_id, s.t1
+    ),
+    counts AS (
+        SELECT 1 AS stage_idx, 'view' AS stage, count(*) AS n_users FROM s1
+        UNION ALL
+        SELECT 2, 'click', count(*) FROM s2
+        UNION ALL
+        SELECT 3, 'purchase', count(*) FROM s3
+    )
+    SELECT stage_idx, stage, n_users,
+           CASE WHEN first_value(n_users) OVER (ORDER BY stage_idx) > 0
+                THEN round(n_users / CAST(first_value(n_users)
+                         OVER (ORDER BY stage_idx) AS DOUBLE), 6)
+           END AS pct_of_first
+    FROM counts
+    """,
+)
+def q66_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view→click→purchase conversion funnel with a 72 h window from the
+    first 'view': per-stage survivor counts via chained filtered
+    min-aggregates + user_id equi-joins — no windows over event rows, no
+    per-user collection (operators/events.py funnel, op 139)."""
+    return E.funnel(
+        _t(spark, sf_dir, "events"),
+        stages=("view", "click", "purchase"),
+        horizon_us=72 * _HOUR_US,
+    )
+
+
+@query(
+    "q67_cohort_retention",
+    f"""
+    WITH act AS (
+        SELECT DISTINCT user_id, epoch_us(ts) // {_WEEK_US} AS bucket
+        FROM events
+    ),
+    cohort AS (
+        SELECT user_id, min(bucket) AS cohort_bucket FROM act GROUP BY 1
+    )
+    SELECT c.cohort_bucket, a.bucket - c.cohort_bucket AS offset,
+           count(*) AS n_users
+    FROM act a JOIN cohort c ON a.user_id = c.user_id
+    GROUP BY 1, 2
+    """,
+)
+def q67_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix on integer epoch-week buckets —
+    distinct activity + min-bucket cohort + one re-aggregation
+    (operators/events.py cohort_retention, op 140)."""
+    return E.cohort_retention(_t(spark, sf_dir, "events"))

@@ -1,0 +1,126 @@
+"""Semantic gates for the round-9 event-analytics ops (SURVEY §2.G
+138-140): resample_ffill, funnel, cohort_retention. The sf0.01 twin gate
+lives in test_correctness.py; these pin the hand-checkable semantics the
+twin can't isolate (gap rows, horizon cutoffs, ordering violations).
+
+ts columns are epoch-NANOS bigints — the same storage the fixture events
+table surfaces under nanosAsLong, exercising ts_micros' div-1000 branch.
+"""
+
+from __future__ import annotations
+
+from dwca_parquet_spark.operators import events as E
+
+US = 1_000  # ns per µs
+HOUR_NS = 3_600_000_000 * US
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        rows, "user_id bigint, ts bigint, event_type string, value double"
+    )
+
+
+def test_resample_fills_gaps_and_carries_value(spark):
+    df = _ev(
+        spark,
+        [
+            # user 1: buckets 10 and 13 active, 11/12 are gaps
+            (1, 10 * HOUR_NS, "view", 2.50),
+            (1, 10 * HOUR_NS + 5, "view", 1.25),
+            (1, 13 * HOUR_NS, "view", 4.00),
+            # user 2: single bucket — grid is one row, no gaps
+            (2, 20 * HOUR_NS, "view", 7.00),
+        ],
+    )
+    out = {
+        (r["user_id"], r["bucket"]): (r["n_events"], r["filled_value"])
+        for r in E.resample_ffill(df, interval_us=3_600_000_000).collect()
+    }
+    assert set(out) == {(1, 10), (1, 11), (1, 12), (1, 13), (2, 20)}
+    assert out[(1, 10)] == (2, 3.75)
+    assert out[(1, 11)] == (0, 3.75)  # gap: count 0, value carried
+    assert out[(1, 12)] == (0, 3.75)
+    assert out[(1, 13)] == (1, 4.00)
+    assert out[(2, 20)] == (1, 7.00)
+
+
+def test_funnel_ordering_and_horizon(spark):
+    h = 72 * HOUR_NS // US  # horizon in µs
+    df = _ev(
+        spark,
+        [
+            # u1 converts fully in order within horizon
+            (1, 1 * HOUR_NS, "view", 0.0),
+            (1, 2 * HOUR_NS, "click", 0.0),
+            (1, 3 * HOUR_NS, "purchase", 0.0),
+            # u2: click BEFORE view — ordering violation, stops at stage 1
+            (2, 5 * HOUR_NS, "click", 0.0),
+            (2, 6 * HOUR_NS, "view", 0.0),
+            # u3: click after the 72h horizon from first view
+            (3, 1 * HOUR_NS, "view", 0.0),
+            (3, 80 * HOUR_NS, "click", 0.0),
+            # u4: never viewed — not in the funnel at all
+            (4, 1 * HOUR_NS, "purchase", 0.0),
+        ],
+    )
+    rows = {
+        r["stage"]: (r["n_users"], r["pct_of_first"])
+        for r in E.funnel(
+            df, stages=("view", "click", "purchase"), horizon_us=h
+        ).collect()
+    }
+    assert rows["view"] == (3, 1.0)
+    assert rows["click"] == (1, round(1 / 3, 6))
+    assert rows["purchase"] == (1, round(1 / 3, 6))
+
+
+def test_funnel_same_timestamp_is_not_after(spark):
+    # stage-2 event at EXACTLY the stage-1 time: strict > excludes it
+    df = _ev(
+        spark,
+        [
+            (1, HOUR_NS, "view", 0.0),
+            (1, HOUR_NS, "click", 0.0),
+            (1, 2 * HOUR_NS, "click", 0.0),
+        ],
+    )
+    rows = {
+        r["stage"]: r["n_users"]
+        for r in E.funnel(df, stages=("view", "click")).collect()
+    }
+    assert rows == {"view": 1, "click": 1}  # the 2h click qualifies
+    df2 = _ev(spark, [(1, HOUR_NS, "view", 0.0), (1, HOUR_NS, "click", 0.0)])
+    rows2 = {
+        r["stage"]: r["n_users"]
+        for r in E.funnel(df2, stages=("view", "click")).collect()
+    }
+    assert rows2 == {"view": 1, "click": 0}
+
+
+def test_cohort_retention_offsets(spark):
+    wk = 7 * 86_400_000_000 * US
+    df = _ev(
+        spark,
+        [
+            # u1 first active week 100, returns weeks 101 and 103
+            (1, 100 * wk, "view", 0.0),
+            (1, 101 * wk, "view", 0.0),
+            (1, 103 * wk + 5000, "view", 0.0),
+            # u2 same cohort, week 100 only (two events, one activity row)
+            (2, 100 * wk, "view", 0.0),
+            (2, 100 * wk + 7, "click", 0.0),
+            # u3 cohort week 101
+            (3, 101 * wk, "view", 0.0),
+        ],
+    )
+    out = {
+        (r["cohort_bucket"], r["offset"]): r["n_users"]
+        for r in E.cohort_retention(df).collect()
+    }
+    assert out == {
+        (100, 0): 2,
+        (100, 1): 1,
+        (100, 3): 1,
+        (101, 0): 1,
+    }
