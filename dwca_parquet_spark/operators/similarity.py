@@ -918,3 +918,140 @@ def embedding_dedup_clusters(
             F.coalesce(F.col("label"), F.col(id_col)).alias("cluster_id"),
         )
     )
+
+
+def hybrid_search_rrf(
+    docs: DataFrame,
+    emb: DataFrame,
+    text_query: str,
+    query_vec_id: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k_each: int = 20,
+    k: int = 10,
+    rrf_c: int = 60,
+) -> DataFrame:
+    """Hybrid lexical+vector retrieval fused by Reciprocal Rank Fusion
+    (SURVEY §2.G op 141; Cormack/Clarke/Büttcher RRF — the fusion every
+    production RAG/retrieval stack runs over its BM25 and ANN legs,
+    because rank-space fusion needs no score calibration between
+    incomparable scales).
+
+    rrf(d) = Σ_legs 1/(c + rank_leg(d)) over the legs that returned d in
+    their top ``k_each``; c = 60 (the published default). Ranks come
+    from each leg's ROUNDED score with id ASC tie-break (the repo-wide
+    rank-determinism protocol), so a last-ulp score difference can
+    never flip a rank, and the fused score is a deterministic function
+    of two small integers.
+
+    Scale shape: each leg is already bounded — BM25 is op 123's
+    stats-as-literals projection + TakeOrderedAndProject, the vector
+    leg broadcasts ONE prepped query row against the embedding scan
+    (exact top-k; swap in ivf_topk/op-120's stored probe for the ANN
+    path at corpus scale) — and the fusion itself joins two ≤ k_each-row
+    frames: window sorts and the full-outer join all run on bounded
+    inputs, never on the corpus.
+
+    Output: (id, text_rank, vec_rank, rrf_score) — ranks NULL for a
+    doc the leg did not return; top ``k`` by (rrf_score DESC, id ASC).
+    """
+    from dwca_parquet_spark.operators.text import bm25_topk
+
+    t = bm25_topk(docs, id_col, text_col, text_query, k_each)
+    # ≤ k_each rows: the single-partition rank window is bounded
+    wt = Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
+    t_rank = t.select(
+        F.col(id_col).alias("_id"),
+        F.row_number().over(wt).cast("long").alias("text_rank"),
+    )
+
+    prepped = _prepped(emb, vec_id_col, vec_col)
+    q = prepped.filter(F.col(vec_id_col) == query_vec_id).select(
+        F.col("svec").alias("svec_q"), F.col("sdot").alias("sdot_q")
+    )
+    c = prepped.filter(F.col(vec_id_col) != query_vec_id).select(
+        F.col(vec_id_col).alias("_cid"),
+        F.col("svec").alias("svec_c"),
+        F.col("sdot").alias("sdot_c"),
+    )
+    wv = Window.orderBy(F.col("cosine").desc(), F.col("_cid").asc())
+    v_rank = (
+        _score_pairs(c.crossJoin(F.broadcast(q)))
+        .select("_cid", "cosine")
+        .withColumn("vec_rank", F.row_number().over(wv).cast("long"))
+        .filter(F.col("vec_rank") <= k_each)
+        .select(F.col("_cid").alias("_id"), "vec_rank")
+    )
+
+    one = F.lit(1.0)
+    fused = t_rank.join(v_rank, "_id", "full").select(
+        F.col("_id").alias(id_col),
+        "text_rank",
+        "vec_rank",
+        F.round(
+            F.coalesce(one / (F.lit(rrf_c) + F.col("text_rank")), F.lit(0.0))
+            + F.coalesce(one / (F.lit(rrf_c) + F.col("vec_rank")), F.lit(0.0)),
+            6,
+        ).alias("rrf_score"),
+    )
+    return fused.orderBy(
+        F.col("rrf_score").desc(), F.col(id_col).asc()
+    ).limit(k)
+
+
+def sql_hybrid_search_rrf(
+    docs_source: str,
+    emb_source: str,
+    text_query: str,
+    query_vec_id: int,
+    dim: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k_each: int = 20,
+    k: int = 10,
+    rrf_c: int = 60,
+) -> str:
+    """DuckDB twin of :func:`hybrid_search_rrf`: op 123's full-SQL BM25
+    leg + the scaled-int cosine leg, ranked and fused with the identical
+    1/(c+rank) arithmetic, rounding, and tie-breaks."""
+    from dwca_parquet_spark.operators.text import sql_bm25_topk
+
+    bm25 = sql_bm25_topk(docs_source, id_col, text_col, text_query, k_each)
+    # (query, candidate) argument order — the q33-pinned pairing, so the
+    # float fold is evaluated in the same operand order as _score_pairs
+    cos = sql_cosine_scaled("q.s", "c.s", dim)
+    return f"""
+    WITH t AS (
+        SELECT {id_col} AS _id,
+               row_number() OVER (ORDER BY score DESC, {id_col} ASC)
+                   AS text_rank
+        FROM ({bm25})
+    ),
+    sv AS (
+        SELECT {vec_id_col}, {sql_scaled_vec(vec_col, dim)} AS s
+        FROM {emb_source}
+    ),
+    qv AS (SELECT s FROM sv WHERE {vec_id_col} = {query_vec_id}),
+    scored AS (
+        SELECT c.{vec_id_col} AS _id, round({cos}, 4) AS cosine
+        FROM sv c CROSS JOIN qv q
+        WHERE c.{vec_id_col} != {query_vec_id}
+    ),
+    v AS (
+        SELECT _id,
+               row_number() OVER (ORDER BY cosine DESC, _id ASC) AS vec_rank
+        FROM scored
+        QUALIFY vec_rank <= {k_each}
+    )
+    SELECT coalesce(t._id, v._id) AS {id_col},
+           t.text_rank, v.vec_rank,
+           round(coalesce(1.0 / ({rrf_c} + t.text_rank), 0.0)
+                 + coalesce(1.0 / ({rrf_c} + v.vec_rank), 0.0), 6)
+               AS rrf_score
+    FROM t FULL JOIN v ON t._id = v._id
+    ORDER BY rrf_score DESC, {id_col} ASC LIMIT {k}
+    """

@@ -1909,3 +1909,26 @@ def q67_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct activity + min-bucket cohort + one re-aggregation
     (operators/events.py cohort_retention, op 140)."""
     return E.cohort_retention(_t(spark, sf_dir, "events"))
+
+
+@query(
+    "q68_hybrid_rrf",
+    S.sql_hybrid_search_rrf(
+        "documents",
+        "embeddings",
+        "data quality",
+        0,
+        EMB_DIM,
+    ),
+)
+def q68_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid lexical+vector retrieval: BM25 top-20 for 'data quality'
+    fused with the exact cosine top-20 around embedding 0 by Reciprocal
+    Rank Fusion — rank-space fusion over two bounded legs
+    (operators/similarity.py hybrid_search_rrf, op 141)."""
+    return S.hybrid_search_rrf(
+        _t(spark, sf_dir, "documents"),
+        _t(spark, sf_dir, "embeddings"),
+        text_query="data quality",
+        query_vec_id=0,
+    )

@@ -30,6 +30,7 @@ BNLJ_OK = {
     "q57_tfidf_top_terms",    # 1-row broadcast corpus size
     "q33_knn_bruteforce",     # broadcast bounded query set, != predicate
     "q63_skew_profile",       # 1-row broadcast total for row_share
+    "q68_hybrid_rrf",         # 1-row broadcast prepped query vector
 }
 
 
