@@ -170,3 +170,102 @@ def pagerank_reference(
             for v in nodes
         }
     return ranks
+
+
+def cooccurrence_edges(
+    df: DataFrame, group_col: str, item_col: str
+) -> DataFrame:
+    """Distinct undirected co-occurrence edges (u < v): items appearing in
+    the same group. The graph-construction step for co-purchase /
+    co-citation / shared-context analysis.
+
+    Scale shape: one distinct on (group, item), then a self equi-join on
+    group with the u < v predicate in the join stage, then a distinct on
+    the edge — all hash-partitionable. Per-group fan-out is
+    C(items_in_group, 2); groups are typically small (an order's parts, a
+    doc's hosts). A pathological hot group (celebrity key) would square —
+    cap it upstream with a per-group item limit if the domain allows.
+    """
+    gi = df.select(
+        F.col(group_col).alias("_g"), F.col(item_col).alias("_i")
+    ).distinct()
+    a = gi.select("_g", F.col("_i").alias("u"))
+    b = gi.select("_g", F.col("_i").alias("v"))
+    return (
+        a.join(b, (a["_g"] == b["_g"]) & (F.col("u") < F.col("v")))
+        .select("u", "v")
+        .distinct()
+    )
+
+
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """Exact global triangle count over an undirected edge set stored as
+    (u < v) pairs — the clustering/community-density census (SURVEY §2.G
+    op 142).
+
+    Scale shape — degree-ordered orientation (Cohen / Suri-Vassilvitskii
+    MapReduce triangle counting): re-orient every edge from its
+    lower-(degree, id) endpoint to the higher one, so each node's
+    out-degree is bounded by O(sqrt(m)) on any graph (arboricity bound).
+    Wedges then enumerate as the self-join of the ORIENTED adjacency on
+    its source — Σ out_deg² work, robust to the power-law hubs that make
+    the naive (join on the raw u<v orientation) quadratic in the hub
+    degree: a hub of degree d contributes C(d,2) wedges naively but only
+    C(out_deg,2) ≤ O(m) oriented. The closing-edge check is one more
+    equi-join against the oriented edges. Every triangle {a,b,c} is
+    counted exactly once: its two lowest-(deg,id) endpoints form the one
+    wedge whose closing edge exists in the orientation.
+
+    Output: ONE row (n_edges, n_wedges, n_triangles, global_clustering) —
+    global clustering = 3·triangles / wedges over the ORIGINAL graph
+    (wedges = Σ_v C(deg_v, 2), reported from unoriented degrees).
+    """
+    e = persist_tracked(edges.select("u", "v").distinct())
+    deg = (
+        e.select(F.col("u").alias("n"))
+        .unionAll(e.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    # orient by (degree, id): lower endpoint -> higher endpoint
+    du = deg.select(F.col("n").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("n").alias("v"), F.col("d").alias("dv"))
+    ed = e.join(du, "u").join(dv, "v")
+    fwd = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = persist_tracked(
+        ed.select(
+            F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("s"),
+            F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("t"),
+        )
+    )
+    o1 = oriented.select(F.col("s"), F.col("t").alias("t1"))
+    o2 = oriented.select(F.col("s"), F.col("t").alias("t2"))
+    wedges = o1.join(o2, "s").filter(F.col("t1") < F.col("t2"))
+    # closing-edge check against the CANONICAL (u < v) edge set — an
+    # equi-join on both endpoints (wedge pairs already satisfy t1 < t2),
+    # hash-partitionable; an oriented-set check would need an OR of the
+    # two directions, which Spark can only plan as a nested loop
+    closing = e.select(F.col("u").alias("t1"), F.col("v").alias("t2"))
+    tri = wedges.join(closing, ["t1", "t2"], "left_semi")
+    n_tri = tri.groupBy().agg(F.count(F.lit(1)).alias("n_triangles"))
+    n_edges = e.groupBy().agg(F.count(F.lit(1)).alias("n_edges"))
+    n_wedges = deg.groupBy().agg(
+        F.sum(F.expr("d * (d - 1) div 2")).alias("n_wedges")
+    )
+    return (
+        n_edges.crossJoin(n_wedges)
+        .crossJoin(n_tri)
+        .select(
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.when(
+                F.col("n_wedges") > 0,
+                F.round(
+                    F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges"), 6
+                ),
+            ).alias("global_clustering"),
+        )
+    )

@@ -1932,3 +1932,48 @@ def q68_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         text_query="data quality",
         query_vec_id=0,
     )
+
+
+@query(
+    "q69_triangles",
+    """
+    WITH pr AS (
+        SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem
+    ),
+    e AS (
+        SELECT DISTINCT a.i AS u, b.i AS v
+        FROM pr a JOIN pr b ON a.g = b.g AND a.i < b.i
+    ),
+    deg AS (
+        SELECT n, count(*) AS d
+        FROM (SELECT u AS n FROM e UNION ALL SELECT v AS n FROM e)
+        GROUP BY n
+    ),
+    agg AS (
+        SELECT
+            (SELECT count(*) FROM e) AS n_edges,
+            (SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT) FROM deg)
+                AS n_wedges,
+            (SELECT count(*)
+             FROM e e1
+             JOIN e e2 ON e1.u = e2.u AND e1.v < e2.v
+             JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v) AS n_triangles
+    )
+    SELECT n_edges, n_wedges, n_triangles,
+           CASE WHEN n_wedges > 0
+                THEN round(3.0 * n_triangles / n_wedges, 6)
+           END AS global_clustering
+    FROM agg
+    """,
+)
+def q69_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle census over the part co-purchase graph (parts
+    sharing an order): degree-ordered edge orientation bounds the wedge
+    self-join by the arboricity, the closing-edge check is one
+    equi-join against the canonical edge set
+    (operators/graph.py cooccurrence_edges + triangle_count, op 142)."""
+    from dwca_parquet_spark.operators import graph as G
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = G.cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    return G.triangle_count(edges)

@@ -74,3 +74,59 @@ def test_pagerank_on_corpus_link_graph(spark):
     }
     want = pagerank_reference(edge_list, iters=3)
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# round 9: triangle census (SURVEY §2.G op 142)
+# ---------------------------------------------------------------------------
+
+from dwca_parquet_spark.operators.graph import (  # noqa: E402
+    cooccurrence_edges,
+    triangle_count,
+)
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "u bigint, v bigint")
+
+
+def test_triangle_count_k4(spark):
+    # K4: 6 edges, 4 triangles, 12 wedges, clustering 3*4/12 = 1.0
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    row = triangle_count(_edges(spark, k4)).collect()[0]
+    assert (row["n_edges"], row["n_wedges"], row["n_triangles"]) == (6, 12, 4)
+    assert row["global_clustering"] == 1.0
+
+
+def test_triangle_count_star_and_path_have_none(spark):
+    star = [(0, i) for i in range(1, 6)]  # hub: 10 wedges, 0 triangles
+    row = triangle_count(_edges(spark, star)).collect()[0]
+    assert (row["n_wedges"], row["n_triangles"]) == (10, 0)
+    assert row["global_clustering"] == 0.0
+
+    path = [(i, i + 1) for i in range(5)]
+    row = triangle_count(_edges(spark, path)).collect()[0]
+    assert row["n_triangles"] == 0
+
+
+def test_triangle_count_hub_with_one_closing_edge(spark):
+    # hub 0 connected to 1..5 plus the single edge (1,2): exactly one
+    # triangle {0,1,2}; orientation must count it once even though the
+    # hub's naive wedge set is C(5,2)
+    edges = [(0, i) for i in range(1, 6)] + [(1, 2)]
+    row = triangle_count(_edges(spark, edges)).collect()[0]
+    assert row["n_triangles"] == 1
+    assert row["n_edges"] == 6
+
+
+def test_cooccurrence_edges_dedup_and_canonical(spark):
+    df = spark.createDataFrame(
+        [(1, 10), (1, 20), (1, 20), (1, 30), (2, 20), (2, 10), (3, 99)],
+        "g bigint, i bigint",
+    )
+    got = {
+        (r["u"], r["v"])
+        for r in cooccurrence_edges(df, "g", "i").collect()
+    }
+    # group 1 → {10,20,30} pairs; group 2 repeats (10,20); group 3 solo
+    assert got == {(10, 20), (10, 30), (20, 30)}

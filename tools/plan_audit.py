@@ -31,6 +31,7 @@ BNLJ_OK = {
     "q33_knn_bruteforce",     # broadcast bounded query set, != predicate
     "q63_skew_profile",       # 1-row broadcast total for row_share
     "q68_hybrid_rrf",         # 1-row broadcast prepped query vector
+    "q69_triangles",          # combining three 1-row global aggregates
 }
 
 
