@@ -252,6 +252,15 @@ def resample_ffill(
             dec_sum(value_col).alias("_sum_value"),
         )
     )
+    return resample_grid_ffill(obs, key_col)
+
+
+def resample_grid_ffill(obs: DataFrame, key_col: str) -> DataFrame:
+    """Grid + forward-fill stage of :func:`resample_ffill`, split out so
+    the streaming activity state (streaming/activity.py, op 143) reports
+    through the IDENTICAL plan — the fold ≡ one-shot law then reduces to
+    additivity of the observed aggregate. ``obs`` columns: (key, bucket,
+    n_events, _sum_value DOUBLE)."""
     bounds = obs.groupBy(key_col).agg(
         F.min("bucket").alias("_b0"), F.max("bucket").alias("_b1")
     )

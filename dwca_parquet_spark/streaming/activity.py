@@ -1,0 +1,200 @@
+"""Streaming activity state: the exact sufficient statistic for the
+round-9 event panels (resample+ffill, op 138; cohort retention, op 140),
+folded per micro-batch (SURVEY §2.G op 143).
+
+A continuously-ingested event stream needs continuously-current activity
+panels without rescanning history. Both panels are functions of ONE
+bounded state table — per (key, finest-interval bucket): event count and
+the EXACT decimal value sum. Counts and decimal sums are additive, so
+the fold law is exact, not approximate:
+
+- fold(batches) ≡ the one-shot aggregate over the union, BIT-exactly —
+  counts are integers, sums stay DECIMAL(38,2) in state (never double:
+  adding doubles across batches would make the fold order-dependent;
+  the cast to double happens ONCE, at report time, exactly where the
+  batch operator casts);
+- the resample report runs the IDENTICAL grid+ffill plan as the batch
+  operator (operators/events.py resample_grid_ffill), so report(state)
+  ≡ resample_ffill(union) row-for-row;
+- the cohort report derives weekly buckets from the hourly state by
+  integer division (weeks are whole multiples of the finest interval),
+  so report(state) ≡ cohort_retention(union) row-for-row.
+
+State size is the activity matrix itself — Σ_key active_buckets rows,
+the same granularity as the panel output, NOT the event count: per-batch
+work is O(batch) + a merge bounded by the touched (key, bucket) cells.
+
+Replay safety: the transactional versioned-state pattern from
+streaming/sketches.py — staged ``v<batch_id>.tmp`` → atomic rename, the
+applied watermark IS the max complete version directory, and a replayed
+batch_id <= watermark is a no-op before any read or merge (re-adding an
+additive partial would double-count, exactly the sketch-state argument).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dwca_parquet_spark.fs import FS
+from dwca_parquet_spark.operators.events import resample_grid_ffill, ts_micros
+
+_VDIR = re.compile(r".*/v(\d+)$")
+
+# key cast to string so the state schema is stable whatever the stream's
+# key type (the sketches-state precedent); sum exact decimal, never double
+ACT_SCHEMA = "key string, bucket long, n_events long, sum_value decimal(38,2)"
+
+HOUR_US = 3_600_000_000
+
+
+def applied_watermark(spark: SparkSession, state_path: str) -> int:
+    """Max batch id with a COMPLETE state version on disk (-1 if none)."""
+    fs = FS(spark, state_path)
+    best = -1
+    for p in fs.glob(str(state_path).rstrip("/") + "/v*"):
+        m = _VDIR.match(p)
+        if m:
+            best = max(best, int(m.group(1)))
+    return best
+
+
+def read_activity_state(
+    spark: SparkSession, state_path: str
+) -> tuple[int, DataFrame]:
+    """(watermark, state) — an empty correctly-typed table when none."""
+    wm = applied_watermark(spark, state_path)
+    if wm < 0:
+        return wm, spark.createDataFrame([], ACT_SCHEMA)
+    base = f"{str(state_path).rstrip('/')}/v{wm}"
+    return wm, spark.read.schema(ACT_SCHEMA).parquet(f"{base}/act.parquet")
+
+
+def _batch_partial(
+    batch: DataFrame,
+    ts_col: str,
+    key_col: str,
+    value_col: str,
+    interval_us: int,
+) -> DataFrame:
+    return (
+        batch.select(
+            F.col(key_col).cast("string").alias("key"),
+            ts_micros(batch, ts_col).alias("_us"),
+            F.col(value_col),
+        )
+        .withColumn("bucket", F.expr(f"_us div {interval_us}"))
+        .groupBy("key", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col(value_col).cast("decimal(18,2)"))
+            .cast("decimal(38,2)")
+            .alias("sum_value"),
+        )
+    )
+
+
+def apply_activity_batch(
+    spark: SparkSession,
+    state_path: str,
+    batch: DataFrame,
+    batch_id: int,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    value_col: str = "value",
+    interval_us: int = HOUR_US,
+    keep_versions: int = 2,
+) -> bool:
+    """Fold one micro-batch into the stored activity state; False =
+    replay skipped. The merge is ONE map-side-combinable groupBy over
+    state ∪ batch-partial — integer adds + exact decimal adds."""
+    wm, state = read_activity_state(spark, state_path)
+    if batch_id <= wm:
+        return False
+    part = _batch_partial(batch, ts_col, key_col, value_col, interval_us)
+    merged = (
+        state.unionByName(part)
+        .groupBy("key", "bucket")
+        .agg(
+            F.sum("n_events").cast("long").alias("n_events"),
+            F.sum("sum_value").cast("decimal(38,2)").alias("sum_value"),
+        )
+    )
+    base = str(state_path).rstrip("/")
+    fs = FS(spark, base)
+    tmp, final = f"{base}/v{batch_id}.tmp", f"{base}/v{batch_id}"
+    if fs.exists(tmp):
+        fs.delete(tmp)
+    merged.coalesce(1).write.parquet(f"{tmp}/act.parquet")
+    fs.rename(tmp, final)
+    for p in fs.glob(f"{base}/v*"):
+        m = _VDIR.match(p)
+        if m and int(m.group(1)) <= batch_id - keep_versions:
+            fs.delete(p)
+    return True
+
+
+def activity_resample_report(state: DataFrame, key_col: str = "key") -> DataFrame:
+    """The op-138 panel from state: cast the exact decimal sums to double
+    (the one cast, same place the batch operator casts) and run the
+    IDENTICAL grid+ffill plan."""
+    obs = state.select(
+        F.col("key").alias(key_col),
+        "bucket",
+        "n_events",
+        F.col("sum_value").cast("double").alias("_sum_value"),
+    )
+    return resample_grid_ffill(obs, key_col)
+
+
+def activity_cohort_report(
+    state: DataFrame, buckets_per_cohort: int = 168
+) -> DataFrame:
+    """The op-140 panel from state: weekly buckets derive from the hourly
+    state by integer division (168 h/week), then the op-140 aggregation
+    shape verbatim. Output: (cohort_bucket, offset, n_users)."""
+    act = state.select(
+        F.col("key"),
+        F.expr(f"bucket div {buckets_per_cohort}").alias("cbucket"),
+    ).distinct()
+    cohort = act.groupBy("key").agg(F.min("cbucket").alias("cohort_bucket"))
+    return (
+        act.join(cohort, "key")
+        .select(
+            "cohort_bucket",
+            (F.col("cbucket") - F.col("cohort_bucket")).alias("offset"),
+            F.col("key"),
+        )
+        .groupBy("cohort_bucket", "offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+def stream_activity_maintain(
+    stream: DataFrame,
+    state_path: str,
+    checkpoint: str,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    value_col: str = "value",
+    interval_us: int = HOUR_US,
+):
+    """Start a streaming query maintaining the activity state; read the
+    panels any time via read_activity_state + the report functions."""
+    spark = stream.sparkSession
+
+    def body(batch: DataFrame, batch_id: int) -> None:
+        apply_activity_batch(
+            spark, state_path, batch, batch_id,
+            ts_col=ts_col, key_col=key_col, value_col=value_col,
+            interval_us=interval_us,
+        )
+
+    return (
+        stream.writeStream.foreachBatch(body)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -193,6 +193,11 @@ SLOW_NODE_IDS = {
     "test_invindex.py::test_append_never_rewrites_existing_segments",
     "test_invindex.py::test_loaded_index_probe_equals_per_call",
     "test_evaluation.py::test_driver_tier_bit_identical_to_window_tier",
+    # round-9 late additions ≥ 4 s (each module keeps quick-lane nodes)
+    "test_streaming_activity.py::test_fold_equals_one_shot_for_both_panels",
+    "test_streaming_activity.py::test_stream_wiring_converges",
+    "test_hybrid.py::test_rrf_fuses_ranks_with_published_arithmetic",
+    "test_graph.py::test_triangle_count_star_and_path_have_none",
 }
 
 

@@ -1,0 +1,84 @@
+"""Streaming activity state (SURVEY §2 op 143): additive counts + exact
+decimal sums fold per micro-batch, so report(state) ≡ the one-shot batch
+operator over the union ROW-FOR-ROW for BOTH panels (op-138 resample,
+op-140 cohort); replayed batches are no-ops; the real stream wiring
+converges."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dwca_parquet_spark.operators.events import cohort_retention, resample_ffill
+from dwca_parquet_spark.streaming.activity import (
+    HOUR_US,
+    apply_activity_batch,
+    activity_cohort_report,
+    activity_resample_report,
+    read_activity_state,
+    stream_activity_maintain,
+)
+from tests.conftest import SF_T2
+
+WEEK_US = 168 * HOUR_US
+
+
+def _events(spark):
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(f"{SF_T2}/events.parquet").select(
+        "user_id", "ts", "value"
+    )
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _one_shot_resample(d):
+    # the state keys are strings; cast the one-shot side to compare
+    return resample_ffill(
+        d.select(F.col("user_id").cast("string").alias("user_id"), "ts", "value"),
+        key_col="user_id",
+        interval_us=HOUR_US,
+    )
+
+
+def test_fold_equals_one_shot_for_both_panels(spark, tmp_path):
+    d = _events(spark)
+    state = str(tmp_path / "st")
+    for i, b in enumerate(d.randomSplit([1.0, 1.0, 1.0], seed=9)):
+        assert apply_activity_batch(spark, state, b, i)
+    _, st = read_activity_state(spark, state)
+
+    got = activity_resample_report(st, key_col="user_id")
+    want = _one_shot_resample(d)
+    assert _rows(got) == _rows(want) and got.count() > 0
+
+    got_c = activity_cohort_report(st)
+    want_c = cohort_retention(d, bucket_us=WEEK_US)
+    assert _rows(got_c) == _rows(want_c) and got_c.count() > 0
+
+
+def test_replay_is_noop(spark, tmp_path):
+    d = _events(spark).limit(500)
+    state = str(tmp_path / "st2")
+    assert apply_activity_batch(spark, state, d, 0)
+    before = _rows(read_activity_state(spark, state)[1])
+    assert not apply_activity_batch(spark, state, d, 0)
+    assert _rows(read_activity_state(spark, state)[1]) == before
+
+
+def test_stream_wiring_converges(spark, tmp_path):
+    d = _events(spark)
+    src = str(tmp_path / "src")
+    d.repartition(3).write.parquet(src)
+    state = str(tmp_path / "state")
+    q = stream_activity_maintain(
+        spark.readStream.schema(d.schema).format("parquet").load(src),
+        state,
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+    _, st = read_activity_state(spark, state)
+    assert _rows(activity_resample_report(st, key_col="user_id")) == _rows(
+        _one_shot_resample(d)
+    )
