@@ -409,3 +409,73 @@ def cohort_retention(
         .groupBy("cohort_bucket", "offset")
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+def trend_by_group(
+    df: DataFrame,
+    ts_col: str = "ts",
+    group_col: str = "event_type",
+    value_col: str = "value",
+    x_unit_us: int = 3_600_000_000,
+    x_origin_us: int = 0,
+) -> DataFrame:
+    """Per-group least-squares trend of value against time (SURVEY §2.G
+    op 144): slope/intercept/R² from EXACT sufficient moments — the
+    metric-drift detector ("is error rate trending up?") every event
+    pipeline runs per series.
+
+    Determinism protocol (the op-38 exact-moments discipline, extended
+    to the full OLS triple): the five moments Σx, Σy, Σx², Σxy, Σy² are
+    exact decimal sums (order-free; x is an integer time slot, y a
+    2-decimal value), cast to DOUBLE once, and the closed-form
+    estimators evaluate in ONE fixed operand order on both engines —
+    so results are bit-identical to the SQL oracle, not merely close.
+    ``x_origin_us`` rebases the time axis (pass the corpus epoch) so
+    the double-precision products stay far from 2^53 at any corpus
+    size; degenerate series (constant x or constant y) surface NULL
+    slope/R², never an engine-dependent inf.
+
+    Scale shape: ONE map-side-combinable groupBy — five sums and a
+    count per group, |groups| output rows, nothing else. Output:
+    (group, n, slope, intercept, r2), slope in value-units per
+    ``x_unit_us``.
+    """
+    pt = df.select(
+        F.col(group_col).alias("grp"),
+        ts_micros(df, ts_col).alias("_us"),
+        F.col(value_col).alias("_y"),
+    ).select(
+        "grp",
+        F.expr(f"(_us - {x_origin_us}) div {x_unit_us}").alias("_x"),
+        F.col("_y"),
+    )
+    xd = F.col("_x").cast("decimal(18,0)")
+    yd = F.col("_y").cast("decimal(18,2)")
+    m = pt.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(xd).cast("double").alias("_sx"),
+        F.sum(yd).cast("double").alias("_sy"),
+        F.sum((F.col("_x") * F.col("_x")).cast("decimal(18,0)"))
+        .cast("double")
+        .alias("_sxx"),
+        F.sum(xd * yd).cast("double").alias("_sxy"),
+        F.sum(yd * yd).cast("double").alias("_syy"),
+    )
+    n = F.col("n").cast("double")
+    cov_n = n * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    var_x = n * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    var_y = n * F.col("_syy") - F.col("_sy") * F.col("_sy")
+    slope = cov_n / var_x
+    return m.select(
+        "grp",
+        "n",
+        F.when(var_x != 0, F.round(slope, 6)).alias("slope"),
+        F.when(
+            var_x != 0,
+            F.round((F.col("_sy") - slope * F.col("_sx")) / n, 6),
+        ).alias("intercept"),
+        F.when(
+            (var_x != 0) & (var_y != 0),
+            F.round(cov_n * cov_n / (var_x * var_y), 6),
+        ).alias("r2"),
+    )

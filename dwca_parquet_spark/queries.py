@@ -1977,3 +1977,54 @@ def q69_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     edges = G.cooccurrence_edges(li, "l_orderkey", "l_partkey")
     return G.triangle_count(edges)
+
+
+# epoch µs of 2024-01-01 UTC — the fixture corpus epoch; rebasing x keeps
+# the double-precision moment products far from 2^53 (see trend_by_group)
+_X_ORIGIN_US = 1_704_067_200_000_000
+
+
+@query(
+    "q70_group_trend",
+    f"""
+    WITH pt AS (
+        SELECT event_type AS grp,
+               (epoch_us(ts) - {_X_ORIGIN_US}) // {_HOUR_US} AS x,
+               value AS y
+        FROM events
+    ),
+    m AS (
+        SELECT grp, count(*) AS n,
+               CAST(sum(CAST(x AS DECIMAL(18,0))) AS DOUBLE) AS sx,
+               CAST(sum(CAST(y AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+               CAST(sum(CAST(x * x AS DECIMAL(18,0))) AS DOUBLE) AS sxx,
+               CAST(sum(CAST(x AS DECIMAL(18,0)) * CAST(y AS DECIMAL(18,2)))
+                    AS DOUBLE) AS sxy,
+               CAST(sum(CAST(y AS DECIMAL(18,2)) * CAST(y AS DECIMAL(18,2)))
+                    AS DOUBLE) AS syy
+        FROM pt GROUP BY grp
+    )
+    SELECT grp, n,
+           CASE WHEN (n * sxx - sx * sx) != 0
+                THEN round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+           END AS slope,
+           CASE WHEN (n * sxx - sx * sx) != 0
+                THEN round((sy - ((n * sxy - sx * sy)
+                                  / (n * sxx - sx * sx)) * sx) / n, 6)
+           END AS intercept,
+           CASE WHEN (n * sxx - sx * sx) != 0 AND (n * syy - sy * sy) != 0
+                THEN round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+                           / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+           END AS r2
+    FROM m
+    """,
+)
+def q70_group_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type OLS trend of value vs hours-since-corpus-epoch:
+    five exact decimal moments in ONE map-side-combinable groupBy, the
+    closed-form estimators evaluated in a fixed double operand order —
+    bit-identical to the oracle (operators/events.py trend_by_group,
+    op 144)."""
+    return E.trend_by_group(
+        _t(spark, sf_dir, "events"), x_origin_us=_X_ORIGIN_US
+    )

@@ -124,3 +124,26 @@ def test_cohort_retention_offsets(spark):
         (100, 3): 1,
         (101, 0): 1,
     }
+
+
+def test_trend_perfect_line_and_degenerate_series(spark):
+    # y = 2x + 1 (exact at 2-decimal grid) → slope 2, intercept 1, r2 1
+    rows = [(1, x * HOUR_NS, "lin", float(2 * x + 1)) for x in range(6)]
+    # constant y → slope 0, r2 NULL (zero variance in y)
+    rows += [(1, x * HOUR_NS, "flat", 5.0) for x in range(6)]
+    # constant x → slope/intercept/r2 all NULL (zero variance in x)
+    rows += [(1, 3 * HOUR_NS, "pole", float(v)) for v in (1, 2, 3)]
+    df = _ev(spark, rows)
+    out = {r["grp"]: r for r in E.trend_by_group(df).collect()}
+
+    lin = out["lin"]
+    assert (lin["slope"], lin["intercept"], lin["r2"]) == (2.0, 1.0, 1.0)
+    flat = out["flat"]
+    assert (flat["slope"], flat["intercept"], flat["r2"]) == (0.0, 5.0, None)
+    pole = out["pole"]
+    assert (pole["slope"], pole["intercept"], pole["r2"]) == (
+        None,
+        None,
+        None,
+    )
+    assert (lin["n"], flat["n"], pole["n"]) == (6, 6, 3)
