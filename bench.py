@@ -132,6 +132,15 @@ def r5_tier_specs():
         clean_controls,
         sql_clean_controls,
     )
+    from dwca_parquet_spark.operators.events import (
+        resample_ffill,
+        trend_by_group,
+    )
+    from dwca_parquet_spark.operators.graph import (
+        cooccurrence_edges,
+        triangle_count,
+    )
+    from dwca_parquet_spark.operators.similarity import hybrid_search_rrf
 
     def docs(spark):
         return spark.read.parquet(f"{SF_DIR}/documents.parquet")
@@ -141,6 +150,12 @@ def r5_tier_specs():
 
     def emb(spark):
         return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+    def events(spark):
+        # the fixture stores ts as TIMESTAMP(NANOS); surface as bigint ns
+        # (the queries._t protocol) so ts_micros handles it
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        return spark.read.parquet(f"{SF_DIR}/events.parquet")
 
     def _tok_expr():
         # the repo-wide tokenization — identical to the oracle's
@@ -426,6 +441,31 @@ def r5_tier_specs():
         "r8_fileindex_probe": (
             lambda s: _fidx(s).probe("l_orderkey", _FIDX_PROBE)[0],
             None,
+        ),
+        # round-9 rows: oracles are the SAME SQL the driver gate runs
+        # (queries.ORACLES), so the tier ratio and the correctness gate
+        # measure the identical statement
+        "r9_resample": (
+            lambda s: resample_ffill(events(s)),
+            Q.ORACLES["q65_resample_ffill"],
+        ),
+        "r9_hybrid_rrf": (
+            lambda s: hybrid_search_rrf(
+                docs(s), emb(s), text_query="data quality", query_vec_id=0
+            ),
+            Q.ORACLES["q68_hybrid_rrf"],
+        ),
+        "r9_triangles": (
+            lambda s: triangle_count(
+                cooccurrence_edges(lineitem(s), "l_orderkey", "l_partkey")
+            ),
+            Q.ORACLES["q69_triangles"],
+        ),
+        "r9_trend": (
+            lambda s: trend_by_group(
+                events(s), x_origin_us=1_704_067_200_000_000
+            ),
+            Q.ORACLES["q70_group_trend"],
         ),
     }
 

@@ -260,31 +260,52 @@ def resample_grid_ffill(obs: DataFrame, key_col: str) -> DataFrame:
     the streaming activity state (streaming/activity.py, op 143) reports
     through the IDENTICAL plan — the fold ≡ one-shot law then reduces to
     additivity of the observed aggregate. ``obs`` columns: (key, bucket,
-    n_events, _sum_value DOUBLE)."""
-    bounds = obs.groupBy(key_col).agg(
-        F.min("bucket").alias("_b0"), F.max("bucket").alias("_b1")
-    )
-    grid = bounds.select(
-        F.col(key_col),
-        F.explode(F.sequence(F.col("_b0"), F.col("_b1"))).alias("bucket"),
-    )
-    w = (
+    n_events, _sum_value DOUBLE).
+
+    Plan shape (round-9 replan, measured 6.4 → 1.2 s at sf0.1 — 0.8×
+    the DuckDB oracle, SCALE.md): the
+    windows (carry-forward fill + lead-to-next-bucket) run over the
+    OBSERVED rows only, and gap rows are exploded afterwards carrying
+    the already-filled value — grid_rows = Σ_key span work happens in
+    one projection. The first cut materialized the dense grid FIRST
+    (bounds aggregate + sequence + left join back to obs + a window
+    over every grid row): three extra shuffles and a sort over the
+    ~10× larger grid, all deleted here. Output is row-identical: an
+    observed bucket emits its own count and the carried value (its own
+    sum unless NULL — the ignoreNulls carry); each gap bucket before
+    the key's next observation emits n_events = 0 with the same
+    carried value; grids still start/end at the key's own first/last
+    active bucket.
+    """
+    w_fill = (
         Window.partitionBy(key_col)
         .orderBy(F.col("bucket").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return (
-        grid.join(obs, [key_col, "bucket"], "left")
-        .select(
-            F.col(key_col),
+    w_next = Window.partitionBy(key_col).orderBy(F.col("bucket").asc())
+    filled = obs.select(
+        F.col(key_col),
+        F.col("bucket"),
+        F.col("n_events").cast("long").alias("_n"),
+        F.last("_sum_value", ignorenulls=True).over(w_fill).alias("_fv"),
+        F.lead("bucket").over(w_next).alias("_nb"),
+    )
+    out_bucket = F.explode(
+        F.sequence(
             F.col("bucket"),
-            F.coalesce(F.col("n_events"), F.lit(0)).cast("long").alias(
-                "n_events"
-            ),
-            F.last("_sum_value", ignorenulls=True).over(w).alias(
-                "filled_value"
-            ),
+            F.coalesce(F.col("_nb") - F.lit(1), F.col("bucket")),
         )
+    ).alias("_ob")
+    return filled.select(
+        F.col(key_col), out_bucket, F.col("bucket"), F.col("_n"), F.col("_fv")
+    ).select(
+        F.col(key_col),
+        F.col("_ob").alias("bucket"),
+        F.when(F.col("_ob") == F.col("bucket"), F.col("_n"))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("n_events"),
+        F.col("_fv").alias("filled_value"),
     )
 
 

@@ -932,6 +932,7 @@ def hybrid_search_rrf(
     k_each: int = 20,
     k: int = 10,
     rrf_c: int = 60,
+    bm25_index=None,
 ) -> DataFrame:
     """Hybrid lexical+vector retrieval fused by Reciprocal Rank Fusion
     (SURVEY §2.G op 141; Cormack/Clarke/Büttcher RRF — the fusion every
@@ -956,10 +957,23 @@ def hybrid_search_rrf(
 
     Output: (id, text_rank, vec_rank, rrf_score) — ranks NULL for a
     doc the leg did not return; top ``k`` by (rrf_score DESC, id ASC).
+
+    ``bm25_index``: a loaded ``invindex.Bm25Index`` — the scale path.
+    The op-127 law (indexed top-k byte-identical to the direct scan)
+    lifts to the fusion: identical leg rows → identical ranks →
+    identical rrf, pinned in test_hybrid.py. At 320k docs the direct
+    leg goes linear (~12 s, SCALE.md round 8) while the index probe
+    stays flat (~1 s) — pass the index whenever the corpus outgrows a
+    rescan-per-query.
     """
     from dwca_parquet_spark.operators.text import bm25_topk
 
-    t = bm25_topk(docs, id_col, text_col, text_query, k_each)
+    if bm25_index is not None:
+        t = bm25_index.topk(text_query, k_each)
+        if id_col != "doc_id":
+            t = t.withColumnRenamed("doc_id", id_col)
+    else:
+        t = bm25_topk(docs, id_col, text_col, text_query, k_each)
     # ≤ k_each rows: the single-partition rank window is bounded
     wt = Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
     t_rank = t.select(

@@ -60,3 +60,31 @@ def test_rrf_k_truncates_after_fusion(spark):
         docs, emb, text_query="apple", query_vec_id=0, k_each=2, k=1
     ).collect()
     assert [r["doc_id"] for r in out] == [3]
+
+
+def test_indexed_leg_fusion_byte_identical(spark, tmp_path):
+    # op-127's indexed ≡ direct law lifts through the fusion arithmetic
+    from dwca_parquet_spark.operators.invindex import (
+        Bm25Index,
+        bm25_index_build,
+    )
+
+    docs, emb = _fixtures(spark)
+    bm25_index_build(docs, "doc_id", "text", str(tmp_path / "idx"))
+    idx = Bm25Index(spark, str(tmp_path / "idx"))
+    try:
+        direct = hybrid_search_rrf(
+            docs, emb, text_query="apple", query_vec_id=0, k_each=2, k=3
+        ).collect()
+        indexed = hybrid_search_rrf(
+            docs,
+            emb,
+            text_query="apple",
+            query_vec_id=0,
+            k_each=2,
+            k=3,
+            bm25_index=idx,
+        ).collect()
+        assert [tuple(r) for r in direct] == [tuple(r) for r in indexed]
+    finally:
+        idx.unload()
