@@ -554,3 +554,136 @@ def sql_confusion_at(
                / nullif(CAST(tp + fp + tn + fn AS DOUBLE), 0.0) AS accuracy
     FROM a
     """
+
+
+def retrieval_metrics(
+    preds: DataFrame,
+    truth: DataFrame,
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+    rank_col: str = "rank",
+    k: int = 5,
+) -> DataFrame:
+    """Per-query ranked-retrieval quality — recall@k, MRR@k, nDCG@k
+    (SURVEY §2.G op 145): the evaluation leg for the search ops (BM25
+    123/127, kNN/ANN 17/27/36, hybrid 141). A retrieval stack is tuned
+    against exactly these three numbers; without them the engine can
+    build indexes but not tell whether probe quality survived a replan,
+    a quantization (ops 65/98/108), or an index append.
+
+    ``preds``: (query, doc, rank) with rank 1-based within query —
+    produced by any top-k op via the repo's rank-determinism protocol
+    (rounded score DESC, id ASC). ``truth``: (query, doc) binary
+    relevance pairs (deduplicated here). One output row per DISTINCT
+    query in ``preds``.
+
+    Float determinism: DCG and IDCG are sequential folds over
+    RANK-ORDERED bounded arrays (``aggregate(sort_array(...))`` /
+    the oracle's ``list_reduce(list_sort(...))``) — the repo-wide
+    "folded in identical order then rounded" protocol — so both
+    engines sum 1/log2(rank+1) in the same order and the metrics match
+    bit-for-bit. All folds are ≤ k elements; every aggregate is
+    map-side combinable; the joins are equi-joins on (query, doc) —
+    nothing here scales past O(|preds| + |truth|) with bounded-width
+    rows.
+
+    Output: (query, n_rel, n_hits, recall_k, mrr, ndcg) — recall/nDCG
+    NULL when the query has no relevant docs (0/0 is not a score);
+    MRR 0.0 when no hit lands in the top k.
+    """
+    q = F.col(query_col)
+    p = preds.select(
+        q, F.col(doc_col), F.col(rank_col).cast("int").alias("_r")
+    ).filter(F.col("_r") <= k)
+    t = truth.select(q, F.col(doc_col)).distinct()
+    hits = (
+        p.join(t, [query_col, doc_col])
+        .groupBy(query_col)
+        .agg(
+            F.sort_array(F.collect_list("_r")).alias("_hr"),
+            F.min("_r").alias("_fr"),
+            F.count(F.lit(1)).alias("n_hits"),
+        )
+    )
+    rel = t.groupBy(query_col).agg(F.count(F.lit(1)).alias("n_rel"))
+    base = preds.select(q).distinct()
+    j = base.join(rel, query_col, "left").join(hits, query_col, "left")
+
+    def _fold(arr):
+        return F.aggregate(
+            arr,
+            F.lit(0.0),
+            lambda acc, r: acc
+            + F.lit(1.0) / F.log2(r.cast("double") + F.lit(1.0)),
+        )
+
+    n_rel = F.coalesce(F.col("n_rel"), F.lit(0)).cast("long")
+    n_hits = F.coalesce(F.col("n_hits"), F.lit(0)).cast("long")
+    dcg = _fold(F.coalesce(F.col("_hr"), F.array().cast("array<int>")))
+    ideal_n = F.least(F.lit(k), n_rel).cast("int")
+    idcg = _fold(F.sequence(F.lit(1), ideal_n))
+    return j.select(
+        query_col,
+        n_rel.alias("n_rel"),
+        n_hits.alias("n_hits"),
+        F.when(n_rel > 0, F.round(n_hits / n_rel.cast("double"), 6)).alias(
+            "recall_k"
+        ),
+        F.coalesce(
+            F.round(F.lit(1.0) / F.col("_fr").cast("double"), 6), F.lit(0.0)
+        ).alias("mrr"),
+        F.when(n_rel > 0, F.round(dcg / idcg, 6)).alias("ndcg"),
+    )
+
+
+def sql_retrieval_metrics(
+    preds_source: str,
+    truth_source: str,
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+    rank_col: str = "rank",
+    k: int = 5,
+) -> str:
+    """DuckDB twin of :func:`retrieval_metrics` — identical joins,
+    rank-ordered list_reduce folds, rounding, and NULL contracts.
+    ``preds_source``/``truth_source`` are table names or parenthesized
+    subqueries."""
+    fold = (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), {arr}), "
+        "(acc, r) -> acc + 1.0 / log2(CAST(r AS DOUBLE) + 1.0))"
+    )
+    # coalesce BEFORE the fold: a relevant-but-unhit query must score
+    # ndcg 0.0 (empty-list fold), matching the Spark side — a NULL list
+    # would propagate NULL through list_reduce instead
+    dcg = fold.format(arr="list_sort(coalesce(hr, CAST([] AS INT[])))")
+    idcg = fold.format(arr="generate_series(1, least({k}, n_rel))".format(k=k))
+    return f"""
+    WITH p AS (
+        SELECT {query_col}, {doc_col}, CAST({rank_col} AS INT) AS r
+        FROM {preds_source} WHERE {rank_col} <= {k}
+    ),
+    t AS (SELECT DISTINCT {query_col}, {doc_col} FROM {truth_source}),
+    hits AS (
+        SELECT p.{query_col}, list(p.r) AS hr, min(p.r) AS fr,
+               count(*) AS n_hits
+        FROM p JOIN t USING ({query_col}, {doc_col})
+        GROUP BY p.{query_col}
+    ),
+    rel AS (
+        SELECT {query_col}, count(*) AS n_rel FROM t GROUP BY {query_col}
+    ),
+    base AS (SELECT DISTINCT {query_col} FROM {preds_source})
+    SELECT base.{query_col},
+           coalesce(rel.n_rel, 0) AS n_rel,
+           coalesce(hits.n_hits, 0) AS n_hits,
+           CASE WHEN coalesce(rel.n_rel, 0) > 0
+                THEN round(coalesce(hits.n_hits, 0)
+                           / CAST(rel.n_rel AS DOUBLE), 6)
+           END AS recall_k,
+           coalesce(round(1.0 / CAST(hits.fr AS DOUBLE), 6), 0.0) AS mrr,
+           CASE WHEN coalesce(rel.n_rel, 0) > 0
+                THEN round({dcg} / {idcg}, 6)
+           END AS ndcg
+    FROM base LEFT JOIN rel USING ({query_col})
+              LEFT JOIN hits USING ({query_col})
+    """

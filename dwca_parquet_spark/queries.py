@@ -2028,3 +2028,68 @@ def q70_group_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     return E.trend_by_group(
         _t(spark, sf_dir, "events"), x_origin_us=_X_ORIGIN_US
     )
+
+
+def _q71_oracle() -> str:
+    from dwca_parquet_spark.operators.evaluation import sql_retrieval_metrics
+
+    preds = f"""(
+        WITH sv AS (
+            SELECT vec_id, {S.sql_scaled_vec('embedding', EMB_DIM)} AS s
+            FROM embeddings
+        ),
+        scored AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+                   round({S.sql_cosine_scaled('q.s', 'c.s', EMB_DIM)}, 4)
+                       AS cosine
+            FROM sv q JOIN sv c ON q.vec_id != c.vec_id
+            WHERE q.vec_id < 20
+        )
+        SELECT query_id, doc_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, doc_id ASC) AS rank
+        FROM scored
+        QUALIFY rank <= 5
+    )"""
+    truth = (
+        "(SELECT a.vec_id AS query_id, b.vec_id AS doc_id "
+        "FROM embeddings a JOIN embeddings b "
+        "ON a.label = b.label AND a.vec_id != b.vec_id "
+        "WHERE a.vec_id < 20)"
+    )
+    return sql_retrieval_metrics(preds, truth, k=5)
+
+
+@query("q71_retrieval_eval", _q71_oracle())
+def q71_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality evaluation of the exact-kNN leg against
+    label-consistency ground truth: per query recall@5 / MRR@5 / nDCG@5
+    with rank-ordered bounded folds (operators/evaluation.py
+    retrieval_metrics, op 145)."""
+    from dwca_parquet_spark.operators.evaluation import retrieval_metrics
+
+    emb = _t(spark, sf_dir, "embeddings")
+    knn = S.knn_bruteforce(
+        emb, "vec_id", "embedding", query_ids_below=20, k=5
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("cand_id").asc()
+    )
+    preds = knn.select(
+        "query_id",
+        F.col("cand_id").alias("doc_id"),
+        F.row_number().over(w).alias("rank"),
+    )
+    lab = _t(spark, sf_dir, "embeddings").select("vec_id", "label")
+    truth = (
+        lab.filter(F.col("vec_id") < 20)
+        .select(F.col("vec_id").alias("query_id"), F.col("label").alias("_l"))
+        .join(
+            lab.select(F.col("vec_id").alias("doc_id"),
+                       F.col("label").alias("_l")),
+            "_l",
+        )
+        .filter(F.col("query_id") != F.col("doc_id"))
+        .select("query_id", "doc_id")
+    )
+    return retrieval_metrics(preds, truth, k=5)
