@@ -482,6 +482,15 @@ def trend_by_group(
         F.sum(xd * yd).cast("double").alias("_sxy"),
         F.sum(yd * yd).cast("double").alias("_syy"),
     )
+    return trend_from_moments(m)
+
+
+def trend_from_moments(m: DataFrame) -> DataFrame:
+    """Closed-form OLS stage of :func:`trend_by_group`, split out so the
+    streaming trend state (streaming/activity.py, op 146) reports through
+    the IDENTICAL double arithmetic — the fold ≡ one-shot law then
+    reduces to additivity of the decimal moments. ``m`` columns:
+    (grp, n, _sx, _sy, _sxx, _sxy, _syy) with the moments in DOUBLE."""
     n = F.col("n").cast("double")
     cov_n = n * F.col("_sxy") - F.col("_sx") * F.col("_sy")
     var_x = n * F.col("_sxx") - F.col("_sx") * F.col("_sx")

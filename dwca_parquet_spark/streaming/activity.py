@@ -198,3 +198,155 @@ def stream_activity_maintain(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming trend state (SURVEY §2.G op 146): op 144's sufficient
+# statistic — per-group OLS moments — folded per micro-batch. The five
+# moments are exact decimal sums and the count an integer, all additive,
+# so state(batches) ≡ the one-shot moment aggregate BIT-exactly, and the
+# report runs the IDENTICAL closed-form stage (trend_from_moments) the
+# batch operator uses: report(state) ≡ trend_by_group(union) EXACTLY —
+# the op-132 evaluation-state discipline applied to the regression leg.
+# State is |groups| rows of seven numbers; per-batch work is O(batch).
+# ---------------------------------------------------------------------------
+
+TREND_SCHEMA = (
+    "grp string, n long, sx decimal(38,0), sy decimal(38,2), "
+    "sxx decimal(38,0), sxy decimal(38,2), syy decimal(38,4)"
+)
+
+
+def read_trend_state(
+    spark: SparkSession, state_path: str
+) -> tuple[int, DataFrame]:
+    wm = applied_watermark(spark, state_path)
+    if wm < 0:
+        return wm, spark.createDataFrame([], TREND_SCHEMA)
+    base = f"{str(state_path).rstrip('/')}/v{wm}"
+    return wm, spark.read.schema(TREND_SCHEMA).parquet(f"{base}/trend.parquet")
+
+
+def _trend_partial(
+    batch: DataFrame,
+    ts_col: str,
+    group_col: str,
+    value_col: str,
+    x_unit_us: int,
+    x_origin_us: int,
+) -> DataFrame:
+    pt = batch.select(
+        F.col(group_col).cast("string").alias("grp"),
+        ts_micros(batch, ts_col).alias("_us"),
+        F.col(value_col).alias("_y"),
+    ).select(
+        "grp",
+        F.expr(f"(_us - {x_origin_us}) div {x_unit_us}").alias("_x"),
+        F.col("_y"),
+    )
+    xd = F.col("_x").cast("decimal(18,0)")
+    yd = F.col("_y").cast("decimal(18,2)")
+    return pt.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(xd).cast("decimal(38,0)").alias("sx"),
+        F.sum(yd).cast("decimal(38,2)").alias("sy"),
+        F.sum((F.col("_x") * F.col("_x")).cast("decimal(18,0)"))
+        .cast("decimal(38,0)")
+        .alias("sxx"),
+        F.sum(xd * yd).cast("decimal(38,2)").alias("sxy"),
+        F.sum(yd * yd).cast("decimal(38,4)").alias("syy"),
+    )
+
+
+def apply_trend_batch(
+    spark: SparkSession,
+    state_path: str,
+    batch: DataFrame,
+    batch_id: int,
+    ts_col: str = "ts",
+    group_col: str = "event_type",
+    value_col: str = "value",
+    x_unit_us: int = HOUR_US,
+    x_origin_us: int = 0,
+    keep_versions: int = 2,
+) -> bool:
+    """Fold one micro-batch's OLS moments into the stored state; False =
+    replay skipped (the transactional versioned-state discipline)."""
+    wm, state = read_trend_state(spark, state_path)
+    if batch_id <= wm:
+        return False
+    part = _trend_partial(
+        batch, ts_col, group_col, value_col, x_unit_us, x_origin_us
+    )
+    merged = (
+        state.unionByName(part)
+        .groupBy("grp")
+        .agg(
+            F.sum("n").cast("long").alias("n"),
+            F.sum("sx").cast("decimal(38,0)").alias("sx"),
+            F.sum("sy").cast("decimal(38,2)").alias("sy"),
+            F.sum("sxx").cast("decimal(38,0)").alias("sxx"),
+            F.sum("sxy").cast("decimal(38,2)").alias("sxy"),
+            F.sum("syy").cast("decimal(38,4)").alias("syy"),
+        )
+    )
+    base = str(state_path).rstrip("/")
+    fs = FS(spark, base)
+    tmp, final = f"{base}/v{batch_id}.tmp", f"{base}/v{batch_id}"
+    if fs.exists(tmp):
+        fs.delete(tmp)
+    merged.coalesce(1).write.parquet(f"{tmp}/trend.parquet")
+    fs.rename(tmp, final)
+    for p in fs.glob(f"{base}/v*"):
+        m = _VDIR.match(p)
+        if m and int(m.group(1)) <= batch_id - keep_versions:
+            fs.delete(p)
+    return True
+
+
+def trend_report(state: DataFrame) -> DataFrame:
+    """The op-144 result from state: cast the exact decimal moments to
+    double (the one cast, same place the batch aggregate casts) and run
+    the IDENTICAL closed-form stage."""
+    from dwca_parquet_spark.operators.events import trend_from_moments
+
+    return trend_from_moments(
+        state.select(
+            "grp",
+            "n",
+            F.col("sx").cast("double").alias("_sx"),
+            F.col("sy").cast("double").alias("_sy"),
+            F.col("sxx").cast("double").alias("_sxx"),
+            F.col("sxy").cast("double").alias("_sxy"),
+            F.col("syy").cast("double").alias("_syy"),
+        )
+    )
+
+
+def stream_trend_maintain(
+    stream: DataFrame,
+    state_path: str,
+    checkpoint: str,
+    ts_col: str = "ts",
+    group_col: str = "event_type",
+    value_col: str = "value",
+    x_unit_us: int = HOUR_US,
+    x_origin_us: int = 0,
+):
+    """Start a streaming query maintaining the trend-moment state; read
+    the regression panel any time via read_trend_state + trend_report."""
+    spark = stream.sparkSession
+
+    def body(batch: DataFrame, batch_id: int) -> None:
+        apply_trend_batch(
+            spark, state_path, batch, batch_id,
+            ts_col=ts_col, group_col=group_col, value_col=value_col,
+            x_unit_us=x_unit_us, x_origin_us=x_origin_us,
+        )
+
+    return (
+        stream.writeStream.foreachBatch(body)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

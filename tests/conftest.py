@@ -198,6 +198,8 @@ SLOW_NODE_IDS = {
     "test_streaming_activity.py::test_stream_wiring_converges",
     "test_hybrid.py::test_rrf_fuses_ranks_with_published_arithmetic",
     "test_graph.py::test_triangle_count_star_and_path_have_none",
+    "test_streaming_activity.py::test_trend_fold_equals_one_shot_exactly",
+    "test_streaming_activity.py::test_trend_stream_wiring_converges",
 }
 
 

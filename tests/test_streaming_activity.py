@@ -82,3 +82,76 @@ def test_stream_wiring_converges(spark, tmp_path):
     assert _rows(activity_resample_report(st, key_col="user_id")) == _rows(
         _one_shot_resample(d)
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming trend state (op 146): additive decimal moments ⇒ report(state)
+# ≡ one-shot trend_by_group EXACTLY (same closed-form stage)
+# ---------------------------------------------------------------------------
+
+from dwca_parquet_spark.operators.events import trend_by_group
+from dwca_parquet_spark.streaming.activity import (
+    apply_trend_batch,
+    read_trend_state,
+    stream_trend_maintain,
+    trend_report,
+)
+
+X_ORIGIN = 1_704_067_200_000_000
+
+
+def _trend_events(spark):
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(f"{SF_T2}/events.parquet").select(
+        "event_type", "ts", "value"
+    )
+
+
+def _one_shot_trend(d):
+    return trend_by_group(
+        d.select(
+            F.col("event_type").cast("string").alias("event_type"),
+            "ts",
+            "value",
+        ),
+        group_col="event_type",
+        x_origin_us=X_ORIGIN,
+    )
+
+
+def test_trend_fold_equals_one_shot_exactly(spark, tmp_path):
+    d = _trend_events(spark)
+    state = str(tmp_path / "tst")
+    for i, b in enumerate(d.randomSplit([1.0, 1.0, 1.0], seed=11)):
+        assert apply_trend_batch(
+            spark, state, b, i, x_origin_us=X_ORIGIN
+        )
+    _, st = read_trend_state(spark, state)
+    got = _rows(trend_report(st))
+    want = _rows(_one_shot_trend(d))
+    assert got == want and len(got) == 5
+
+
+def test_trend_replay_is_noop(spark, tmp_path):
+    d = _trend_events(spark).limit(400)
+    state = str(tmp_path / "tst2")
+    assert apply_trend_batch(spark, state, d, 0, x_origin_us=X_ORIGIN)
+    before = _rows(read_trend_state(spark, state)[1])
+    assert not apply_trend_batch(spark, state, d, 0, x_origin_us=X_ORIGIN)
+    assert _rows(read_trend_state(spark, state)[1]) == before
+
+
+def test_trend_stream_wiring_converges(spark, tmp_path):
+    d = _trend_events(spark)
+    src = str(tmp_path / "tsrc")
+    d.repartition(3).write.parquet(src)
+    state = str(tmp_path / "tstate")
+    q = stream_trend_maintain(
+        spark.readStream.schema(d.schema).format("parquet").load(src),
+        state,
+        str(tmp_path / "tckpt"),
+        x_origin_us=X_ORIGIN,
+    )
+    q.awaitTermination(120)
+    _, st = read_trend_state(spark, state)
+    assert _rows(trend_report(st)) == _rows(_one_shot_trend(d))
