@@ -509,3 +509,62 @@ def trend_from_moments(m: DataFrame) -> DataFrame:
             F.round(cov_n * cov_n / (var_x * var_y), 6),
         ).alias("r2"),
     )
+
+
+def rolling_active_users(
+    df: DataFrame,
+    window_buckets: int,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    bucket_us: int = 86_400_000_000,
+) -> DataFrame:
+    """Rolling distinct-actives (SURVEY §2.G op 147): for every bucket,
+    the number of DISTINCT users active in the trailing ``window_buckets``
+    buckets — the DAU/WAU/MAU family (window_buckets = 1 / 7 / 30 on
+    daily buckets), the engagement denominator every corpus/product
+    review reads.
+
+    Scale shape — the distinct-explode lift: a windowed COUNT DISTINCT
+    cannot partial-aggregate, so the naive per-day set union is a
+    corpus-sized shuffle per day. Instead: (1) reduce events to the
+    distinct (user, bucket) activity matrix (one combinable shuffle);
+    (2) explode each activity row to the ``window_buckets`` report
+    buckets it contributes to (in-row generate, blow-up = the window
+    factor, the op-29 sliding-window shape); (3) distinct + count —
+    (user, report_bucket) pairs, combinable again. Work is
+    O(activity × window), never O(events × window); report buckets with
+    no activity in range emit nothing (a dense grid is op 138's job).
+
+    Emits only report buckets ≥ the corpus' first active bucket + 0
+    (i.e. trailing windows clipped at the data's start are reported as
+    observed — standard DAU convention) and ≤ the last active bucket
+    (no phantom future buckets from the explode).
+
+    Output: (bucket BIGINT, n_active BIGINT).
+    """
+    if window_buckets < 1:
+        raise ValueError("window_buckets must be >= 1")
+    act = (
+        df.select(F.col(user_col), ts_micros(df, ts_col).alias("_us"))
+        .select(
+            F.col(user_col), F.expr(f"_us div {bucket_us}").alias("_b")
+        )
+        .distinct()
+    )
+    hi = act.groupBy().agg(F.max("_b").alias("_hi"))
+    exploded = act.crossJoin(F.broadcast(hi)).select(
+        F.col(user_col),
+        F.explode(
+            F.sequence(
+                F.col("_b"),
+                F.least(
+                    F.col("_b") + F.lit(window_buckets - 1), F.col("_hi")
+                ),
+            )
+        ).alias("bucket"),
+    )
+    return (
+        exploded.distinct()
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )

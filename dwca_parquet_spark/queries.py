@@ -2093,3 +2093,33 @@ def q71_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "doc_id")
     )
     return retrieval_metrics(preds, truth, k=5)
+
+
+_DAY_US = 86_400_000_000
+
+
+@query(
+    "q72_rolling_actives",
+    f"""
+    WITH act AS (
+        SELECT DISTINCT user_id, epoch_us(ts) // {_DAY_US} AS b FROM events
+    ),
+    hi AS (SELECT max(b) AS hb FROM act),
+    ex AS (
+        SELECT user_id,
+               unnest(generate_series(b, least(b + 6, hi.hb))) AS bucket
+        FROM act, hi
+    )
+    SELECT bucket, count(DISTINCT user_id) AS n_active
+    FROM ex GROUP BY bucket
+    """,
+)
+def q72_rolling_actives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day rolling distinct actives (WAU on daily buckets): the
+    distinct-explode lift — activity matrix, in-row window explode,
+    distinct+count; work is O(activity × window), never
+    O(events × window) (operators/events.py rolling_active_users,
+    op 147)."""
+    return E.rolling_active_users(
+        _t(spark, sf_dir, "events"), window_buckets=7
+    )

@@ -147,3 +147,43 @@ def test_trend_perfect_line_and_degenerate_series(spark):
         None,
     )
     assert (lin["n"], flat["n"], pole["n"]) == (6, 6, 3)
+
+
+def test_rolling_actives_window_semantics(spark):
+    day = 86_400_000_000 * US
+    df = _ev(
+        spark,
+        [
+            # u1 active day 10; u2 active days 10 and 12; u3 day 13
+            (1, 10 * day, "view", 0.0),
+            (1, 10 * day + 5, "click", 0.0),  # same day, one activity row
+            (2, 10 * day, "view", 0.0),
+            (2, 12 * day, "view", 0.0),
+            (3, 13 * day, "view", 0.0),
+        ],
+    )
+    out = {
+        r["bucket"]: r["n_active"]
+        for r in E.rolling_active_users(df, window_buckets=3).collect()
+    }
+    # trailing-3-day actives; no buckets beyond the last active day (13):
+    # B=10..12 see {u1,u2} (day-10 activity stays in window through 12);
+    # B=13 sees u2 (day 12) + u3 (day 13) — day 10 fell out
+    assert out == {10: 2, 11: 2, 12: 2, 13: 2}
+
+
+def test_rolling_actives_w1_is_plain_dau(spark):
+    day = 86_400_000_000 * US
+    df = _ev(
+        spark,
+        [
+            (1, 10 * day, "view", 0.0),
+            (2, 10 * day, "view", 0.0),
+            (1, 12 * day, "view", 0.0),
+        ],
+    )
+    out = {
+        r["bucket"]: r["n_active"]
+        for r in E.rolling_active_users(df, window_buckets=1).collect()
+    }
+    assert out == {10: 2, 12: 1}
