@@ -215,3 +215,69 @@ def key_skew_profile(df: DataFrame, key_col: str, top_n: int = 10) -> DataFrame:
         .orderBy(F.col("n_rows").desc(), F.col(key_col).asc())
         .limit(top_n)
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    lo_col: str,
+    hi_col: str,
+    bucket_width: int,
+    right_prefix: str = "r_",
+) -> DataFrame:
+    """Big-big interval×interval OVERLAP join as an equi-join (SURVEY
+    §2.G op 148) — the companion to :func:`interval_join`'s
+    point-in-interval case. Emits one row per pair with
+    ``a.lo < b.hi AND b.lo < a.hi`` (half-open overlap).
+
+    A raw overlap theta-join has no equi key → nested loop. Rewrite:
+
+      1. BOTH sides explode into the fixed-width buckets they touch
+         (``sequence(floor(lo/w), floor(hi/w))`` — blow-up len/w + 2
+         per interval, tunable);
+      2. equi-join on the bucket, exact overlap residual in the join
+         stage;
+      3. dedup WITHOUT a distinct: a pair overlapping across several
+         shared buckets is emitted only in its RESPONSIBILITY bucket —
+         ``floor(max(a.lo, b.lo) / w)``, a bucket both sides provably
+         touch (max(lo) lies inside both intervals), so each
+         qualifying pair survives exactly once and no post-join
+         shuffle exists.
+
+    Pick ``bucket_width`` near the median interval length (same
+    tuning rule as interval_join). Right columns come back prefixed
+    with ``right_prefix``. Both (lo, hi) pairs must be numeric (epoch
+    micros recommended — ts_micros).
+    """
+    w = bucket_width
+    lb = left.withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_col) / w), F.floor(F.col(hi_col) / w)
+            )
+        ),
+    )
+    rb = right.select(
+        *[F.col(c).alias(f"{right_prefix}{c}") for c in right.columns]
+    ).withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(f"{right_prefix}{lo_col}") / w),
+                F.floor(F.col(f"{right_prefix}{hi_col}") / w),
+            )
+        ),
+    )
+    r_lo, r_hi = f"{right_prefix}{lo_col}", f"{right_prefix}{hi_col}"
+    return (
+        lb.join(rb, "_bucket")
+        .filter(
+            (F.col(lo_col) < F.col(r_hi)) & (F.col(r_lo) < F.col(hi_col))
+        )
+        .filter(
+            F.floor(F.greatest(F.col(lo_col), F.col(r_lo)) / w)
+            == F.col("_bucket")
+        )
+        .drop("_bucket")
+    )

@@ -2123,3 +2123,56 @@ def q72_rolling_actives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return E.rolling_active_users(
         _t(spark, sf_dir, "events"), window_buckets=7
     )
+
+
+@query(
+    "q73_interval_overlap",
+    f"""
+    WITH iv AS (
+        SELECT event_id, event_type, epoch_us(ts) AS lo,
+               epoch_us(ts)
+                   + (1 + CAST(floor(value) AS BIGINT)) * 60000000 AS hi
+        FROM events
+    ),
+    a AS (SELECT * FROM iv WHERE event_id % 2 = 0),
+    b AS (SELECT * FROM iv WHERE event_id % 2 = 1)
+    SELECT a.event_type AS l_type, b.event_type AS r_type,
+           count(*) AS n_pairs,
+           sum(least(a.hi, b.hi) - greatest(a.lo, b.lo)) AS total_overlap_us
+    FROM a JOIN b ON a.lo < b.hi AND b.lo < a.hi
+    GROUP BY 1, 2
+    """,
+)
+def q73_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval×interval overlap join (events as [ts, ts+minutes)
+    spans, even vs odd ids): bucketed equi-join with responsibility-
+    bucket dedup — no theta join, no post-join distinct
+    (operators/relational.py interval_overlap_join, op 148). The
+    oracle runs the raw overlap theta-join."""
+    ev = _t(spark, sf_dir, "events")
+    iv = ev.select(
+        "event_id",
+        "event_type",
+        E.ts_micros(ev, "ts").alias("lo"),
+        (
+            E.ts_micros(ev, "ts")
+            + (F.lit(1) + F.floor(F.col("value")).cast("bigint"))
+            * F.lit(60_000_000)
+        ).alias("hi"),
+    )
+    a = iv.filter(F.col("event_id") % 2 == 0)
+    b = iv.filter(F.col("event_id") % 2 == 1).drop("event_id")
+    joined = R.interval_overlap_join(
+        a, b.select("event_type", "lo", "hi"), "lo", "hi",
+        bucket_width=900_000_000,
+    )
+    return joined.groupBy(
+        F.col("event_type").alias("l_type"),
+        F.col("r_event_type").alias("r_type"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(
+            F.least(F.col("hi"), F.col("r_hi"))
+            - F.greatest(F.col("lo"), F.col("r_lo"))
+        ).alias("total_overlap_us"),
+    )

@@ -350,3 +350,35 @@ def stream_trend_maintain(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def activity_rolling_report(
+    state: DataFrame, window_buckets: int, buckets_per_day: int = 24
+) -> DataFrame:
+    """The op-147 panel from the op-143 state: the (key, bucket) activity
+    matrix IS rolling_active_users' first stage, so the report derives
+    daily activity from the hourly state by integer division and runs
+    the identical explode+distinct+count — report(state) ≡
+    rolling_active_users(union) row-for-row (pinned). A continuously-
+    current DAU/WAU/MAU panel with no event rescans."""
+    act = state.select(
+        F.col("key"),
+        F.expr(f"bucket div {buckets_per_day}").alias("_b"),
+    ).distinct()
+    hi = act.groupBy().agg(F.max("_b").alias("_hi"))
+    exploded = act.crossJoin(F.broadcast(hi)).select(
+        F.col("key"),
+        F.explode(
+            F.sequence(
+                F.col("_b"),
+                F.least(
+                    F.col("_b") + F.lit(window_buckets - 1), F.col("_hi")
+                ),
+            )
+        ).alias("bucket"),
+    )
+    return (
+        exploded.distinct()
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )

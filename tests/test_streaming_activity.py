@@ -155,3 +155,23 @@ def test_trend_stream_wiring_converges(spark, tmp_path):
     q.awaitTermination(120)
     _, st = read_trend_state(spark, state)
     assert _rows(trend_report(st)) == _rows(_one_shot_trend(d))
+
+
+def test_rolling_actives_report_equals_one_shot(spark, tmp_path):
+    from dwca_parquet_spark.operators.events import rolling_active_users
+    from dwca_parquet_spark.streaming.activity import activity_rolling_report
+
+    d = _events(spark)
+    state = str(tmp_path / "rst")
+    for i, b in enumerate(d.randomSplit([1.0, 1.0], seed=13)):
+        assert apply_activity_batch(spark, state, b, i)
+    _, st = read_activity_state(spark, state)
+    got = _rows(activity_rolling_report(st, window_buckets=7))
+    want = _rows(
+        rolling_active_users(
+            d.select(F.col("user_id").cast("string").alias("user_id"),
+                     "ts", "value"),
+            window_buckets=7,
+        )
+    )
+    assert got == want and len(got) > 0
