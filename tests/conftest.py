@@ -200,6 +200,9 @@ SLOW_NODE_IDS = {
     "test_graph.py::test_triangle_count_star_and_path_have_none",
     "test_streaming_activity.py::test_trend_fold_equals_one_shot_exactly",
     "test_streaming_activity.py::test_trend_stream_wiring_converges",
+    "test_correctness.py::test_query_matches_oracle[q65_resample_ffill]",
+    "test_correctness.py::test_query_matches_oracle[q69_triangles]",
+    "test_correctness.py::test_query_matches_oracle[q68_hybrid_rrf]",
 }
 
 

@@ -32,6 +32,8 @@ BNLJ_OK = {
     "q63_skew_profile",       # 1-row broadcast total for row_share
     "q68_hybrid_rrf",         # 1-row broadcast prepped query vector
     "q69_triangles",          # combining three 1-row global aggregates
+    "q71_retrieval_eval",     # q33's broadcast bounded query set (!=)
+    "q72_rolling_actives",    # 1-row broadcast max-bucket clip
 }
 
 
