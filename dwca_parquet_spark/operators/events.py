@@ -568,3 +568,68 @@ def rolling_active_users(
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("n_active"))
     )
+
+
+def bucket_anomalies(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+    interval_us: int = 3_600_000_000,
+    z_threshold: float = 2.0,
+) -> DataFrame:
+    """Per-series bucket anomalies (SURVEY §2.G op 149): bucket the
+    series to fixed intervals, score every bucket's value sum against
+    its own series' mean/std (population), and emit the buckets with
+    |z| ≥ threshold — the "which hours were abnormal" monitor that sits
+    on top of op 138's resample in every event pipeline.
+
+    Determinism (the op-144 discipline): bucket sums stay DECIMAL into
+    the per-series moment aggregate (Σs and Σs² exact, order-free), the
+    cast to DOUBLE happens once, and z = (x − S/n) / (√(n·Σs² − S²)/n)
+    evaluates in ONE fixed operand order on both engines — the flag set
+    is bit-deterministic, never a float-reduction coin flip. Zero-
+    variance series emit nothing (0/0 is not a z-score).
+
+    Scale shape: two combinable aggregates (events → buckets → series
+    moments) + one equi-join of the bucket table against |series|
+    moment rows (broadcastable) — no windows, no second scan of events.
+
+    Output: (key, bucket, bucket_sum DOUBLE, z DOUBLE rounded 6),
+    |z| ≥ threshold only.
+    """
+    obs = (
+        df.select(
+            F.col(key_col).alias("key"),
+            ts_micros(df, ts_col).alias("_us"),
+            F.col(value_col),
+        )
+        .withColumn("bucket", F.expr(f"_us div {interval_us}"))
+        .groupBy("key", "bucket")
+        .agg(
+            F.sum(F.col(value_col).cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("_s")
+        )
+    )
+    stats = obs.groupBy("key").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("_s").cast("double").alias("_s1"),
+        F.sum(F.col("_s") * F.col("_s")).cast("double").alias("_s2"),
+    )
+    n = F.col("_n").cast("double")
+    mean = F.col("_s1") / n
+    var_n = n * F.col("_s2") - F.col("_s1") * F.col("_s1")
+    x = F.col("_s").cast("double")
+    z = (x - mean) / (F.sqrt(var_n) / n)
+    return (
+        obs.join(stats, "key")
+        .filter(var_n > 0)
+        .select(
+            "key",
+            "bucket",
+            x.alias("bucket_sum"),
+            F.round(z, 6).alias("z"),
+        )
+        .filter(F.abs(F.col("z")) >= z_threshold)
+    )

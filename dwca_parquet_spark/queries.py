@@ -2176,3 +2176,39 @@ def q73_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.greatest(F.col("lo"), F.col("r_lo"))
         ).alias("total_overlap_us"),
     )
+
+
+@query(
+    "q74_bucket_anomalies",
+    f"""
+    WITH obs AS (
+        SELECT event_type AS key, epoch_us(ts) // {_HOUR_US} AS bucket,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS s
+        FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+        SELECT key, count(*) AS n,
+               CAST(sum(s) AS DOUBLE) AS s1,
+               CAST(sum(s * s) AS DOUBLE) AS s2
+        FROM obs GROUP BY key
+    ),
+    scored AS (
+        SELECT o.key, o.bucket, CAST(o.s AS DOUBLE) AS bucket_sum,
+               round(
+                   (CAST(o.s AS DOUBLE) - st.s1 / CAST(st.n AS DOUBLE))
+                   / (sqrt(CAST(st.n AS DOUBLE) * st.s2 - st.s1 * st.s1)
+                      / CAST(st.n AS DOUBLE)),
+                   6
+               ) AS z
+        FROM obs o JOIN stats st USING (key)
+        WHERE CAST(st.n AS DOUBLE) * st.s2 - st.s1 * st.s1 > 0
+    )
+    SELECT key, bucket, bucket_sum, z FROM scored WHERE abs(z) >= 2.0
+    """,
+)
+def q74_bucket_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly per-event-type anomaly buckets at |z| ≥ 2: decimal
+    moments, one fixed-order double z-score, two combinable aggregates
+    + one broadcastable join (operators/events.py bucket_anomalies,
+    op 149)."""
+    return E.bucket_anomalies(_t(spark, sf_dir, "events"))

@@ -187,3 +187,29 @@ def test_rolling_actives_w1_is_plain_dau(spark):
         for r in E.rolling_active_users(df, window_buckets=1).collect()
     }
     assert out == {10: 2, 12: 1}
+
+
+def test_bucket_anomalies_flags_the_planted_spike(spark):
+    # series 'a': 9 quiet hours of 1.00 + one 100.00 spike; series 'b'
+    # constant (zero variance → no rows); all timestamps bucket-aligned
+    rows = [(1, h * HOUR_NS, "a", 1.00) for h in range(9)]
+    rows += [(1, 9 * HOUR_NS, "a", 100.00)]
+    rows += [(1, h * HOUR_NS, "b", 5.00) for h in range(10)]
+    df = _ev(spark, rows)
+    out = E.bucket_anomalies(df, z_threshold=2.0).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["key"], r["bucket"], r["bucket_sum"]) == ("a", 9, 100.00)
+    # population z of the spike: mean 10.9, std = sqrt(n*s2 - s1^2)/n
+    import math
+
+    s1 = 9 * 1.0 + 100.0
+    s2 = 9 * 1.0 + 10000.0
+    z = (100.0 - s1 / 10.0) / (math.sqrt(10.0 * s2 - s1 * s1) / 10.0)
+    assert r["z"] == round(z, 6)
+
+
+def test_bucket_anomalies_threshold_is_on_rounded_z(spark):
+    # all-equal series has zero variance: emits nothing, never NaN/inf
+    rows = [(1, h * HOUR_NS, "flat", 2.00) for h in range(5)]
+    assert E.bucket_anomalies(_ev(spark, rows)).collect() == []
