@@ -633,3 +633,91 @@ def bucket_anomalies(
         )
         .filter(F.abs(F.col("z")) >= z_threshold)
     )
+
+
+def cusum_alarms(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+    interval_us: int = 3_600_000_000,
+    slack: str = "0.00",
+    tau: float = 4.0,
+) -> DataFrame:
+    """Per-series CUSUM mean-shift monitor (SURVEY §2.G op 150; Page
+    1954): alarm on the buckets where the one-sided cumulative sum of
+    (value − series mean − slack) exceeds τ series standard deviations —
+    the sequential companion to op 149's pointwise z (a slow drift never
+    trips a z-score; CUSUM accumulates it).
+
+    The recursion S_t = max(0, S_{t-1} + y_t) is not window-expressible,
+    but its CLOSED FORM is: S_t = P_t − min_{j≤t} P_j with P the prefix
+    sum of y — two frames over one ordered window. Exactness protocol:
+    the per-series mean never materializes (a division); instead
+    everything scales by n — y'_t = n·x_t − Σx − n·slack is an EXACT
+    decimal (``slack`` is a STRING so it enters decimal arithmetic
+    unrounded, the op-82 discipline), prefix sums and mins of exact
+    decimals are exact whatever the partitioning, and the one cast to
+    DOUBLE happens at the final normalized statistic
+    s_t = (n·S_t) / sqrt(n·Σx² − (Σx)²) — identical decimals in, one
+    fixed-order double expression out, so the alarm set is
+    bit-deterministic across engines. Zero-variance series emit nothing.
+
+    Scale shape: one combinable bucket aggregate, one |series|-row
+    moment join (broadcastable), ONE window per series over its
+    buckets — the sessionize shape; nothing touches raw events twice.
+
+    Output: (key, bucket, cusum DOUBLE rounded 6) where cusum > τ.
+    """
+    obs = (
+        df.select(
+            F.col(key_col).alias("key"),
+            ts_micros(df, ts_col).alias("_us"),
+            F.col(value_col),
+        )
+        .withColumn("bucket", F.expr(f"_us div {interval_us}"))
+        .groupBy("key", "bucket")
+        .agg(
+            F.sum(F.col(value_col).cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("_x")
+        )
+    )
+    stats = obs.groupBy("key").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("_x").cast("decimal(38,2)").alias("_s1"),
+        F.sum(F.col("_x") * F.col("_x")).cast("double").alias("_s2d"),
+        F.sum("_x").cast("double").alias("_s1d"),
+    )
+    nd = F.col("_n").cast("decimal(12,0)")
+    y = (
+        (nd * F.col("_x")).cast("decimal(38,2)")
+        - F.col("_s1")
+        - (nd * F.lit(slack).cast("decimal(18,2)")).cast("decimal(38,2)")
+    ).cast("decimal(38,2)")
+    w = (
+        Window.partitionBy("key")
+        .orderBy(F.col("bucket").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    scored = (
+        obs.join(stats, "key")
+        .withColumn("_y", y)
+        .withColumn("_p", F.sum("_y").over(w).cast("decimal(38,2)"))
+        # the min must include the EMPTY prefix (P_0 = 0): the recursion
+        # S_t = max(0, S_{t-1} + y_t) equals P_t − min_{0≤j≤t} P_j
+        .withColumn(
+            "_m",
+            F.least(
+                F.lit("0").cast("decimal(38,2)"), F.min("_p").over(w)
+            ),
+        )
+    )
+    n_dbl = F.col("_n").cast("double")
+    var_n = n_dbl * F.col("_s2d") - F.col("_s1d") * F.col("_s1d")
+    s_norm = (F.col("_p") - F.col("_m")).cast("double") / F.sqrt(var_n)
+    return (
+        scored.filter(var_n > 0)
+        .select("key", "bucket", F.round(s_norm, 6).alias("cusum"))
+        .filter(F.col("cusum") > tau)
+    )

@@ -2212,3 +2212,59 @@ def q74_bucket_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     + one broadcastable join (operators/events.py bucket_anomalies,
     op 149)."""
     return E.bucket_anomalies(_t(spark, sf_dir, "events"))
+
+
+@query(
+    "q75_cusum_alarms",
+    f"""
+    WITH obs AS (
+        SELECT event_type AS key, epoch_us(ts) // {_HOUR_US} AS bucket,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS x
+        FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+        SELECT key, count(*) AS n,
+               CAST(sum(x) AS DECIMAL(38,2)) AS s1,
+               CAST(sum(x * x) AS DOUBLE) AS s2d,
+               CAST(sum(x) AS DOUBLE) AS s1d
+        FROM obs GROUP BY key
+    ),
+    scored AS (
+        SELECT o.key, o.bucket, st.n, st.s1d, st.s2d,
+               CAST(CAST(CAST(st.n AS DECIMAL(12,0)) * o.x AS DECIMAL(38,2))
+                    - st.s1
+                    - CAST(CAST(st.n AS DECIMAL(12,0))
+                           * CAST('0.00' AS DECIMAL(18,2))
+                           AS DECIMAL(38,2))
+                    AS DECIMAL(38,2)) AS y
+        FROM obs o JOIN stats st USING (key)
+    ),
+    pref AS (
+        SELECT key, bucket, n, s1d, s2d,
+               CAST(sum(y) OVER (PARTITION BY key ORDER BY bucket)
+                    AS DECIMAL(38,2)) AS p
+        FROM scored
+    ),
+    run AS (
+        SELECT key, bucket, n, s1d, s2d, p,
+               least(CAST('0' AS DECIMAL(38,2)),
+                     min(p) OVER (PARTITION BY key ORDER BY bucket)) AS m
+        FROM pref
+    )
+    SELECT key, bucket, cusum FROM (
+        SELECT key, bucket,
+               round(CAST(p - m AS DOUBLE)
+                     / sqrt(CAST(n AS DOUBLE) * s2d - s1d * s1d), 6)
+                   AS cusum
+        FROM run
+        WHERE CAST(n AS DOUBLE) * s2d - s1d * s1d > 0
+    )
+    WHERE cusum > 4.0
+    """,
+)
+def q75_cusum_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly per-event-type CUSUM mean-shift alarms at τ=4: the
+    max(0, S+y) recursion as its prefix-sum closed form over exact
+    decimals, one window per series, one fixed-order double at the end
+    (operators/events.py cusum_alarms, op 150)."""
+    return E.cusum_alarms(_t(spark, sf_dir, "events"))

@@ -213,3 +213,39 @@ def test_bucket_anomalies_threshold_is_on_rounded_z(spark):
     # all-equal series has zero variance: emits nothing, never NaN/inf
     rows = [(1, h * HOUR_NS, "flat", 2.00) for h in range(5)]
     assert E.bucket_anomalies(_ev(spark, rows)).collect() == []
+
+
+def test_cusum_flags_the_planted_level_shift(spark):
+    # 10 quiet hours at 1.00 then 10 shifted hours at 3.00; slack 0.50
+    # keeps the quiet half silent while the shift accumulates
+    from fractions import Fraction as Fr
+    import math
+
+    xs = [Fr(1)] * 10 + [Fr(3)] * 10
+    rows = [(1, h * HOUR_NS, "s", float(x)) for h, x in enumerate(xs)]
+    df = _ev(spark, rows)
+    out = {
+        r["bucket"]: r["cusum"]
+        for r in E.cusum_alarms(df, slack="0.50", tau=2.0).collect()
+    }
+
+    # exact mirror of the scaled-decimal closed form
+    n, s1 = len(xs), sum(xs)
+    s2 = sum(x * x for x in xs)
+    kappa = Fr(1, 2)
+    denom = math.sqrt(float(n * s2 - s1 * s1))
+    p, mn, expect = Fr(0), Fr(0), {}
+    for t, x in enumerate(xs):
+        p += n * x - s1 - n * kappa
+        mn = min(mn, p)
+        s_norm = round(float(p - mn) / denom, 6)
+        if s_norm > 2.0:
+            expect[t] = s_norm
+    assert out == expect
+    # the shift half alarms, the quiet half does not
+    assert expect and all(b >= 10 for b in expect)
+
+
+def test_cusum_constant_series_emits_nothing(spark):
+    rows = [(1, h * HOUR_NS, "flat", 2.00) for h in range(8)]
+    assert E.cusum_alarms(_ev(spark, rows)).collect() == []
