@@ -612,6 +612,16 @@ def bucket_anomalies(
             .alias("_s")
         )
     )
+    return anomalies_from_buckets(obs, z_threshold)
+
+
+def anomalies_from_buckets(obs: DataFrame, z_threshold: float) -> DataFrame:
+    """Scoring stage of :func:`bucket_anomalies`, split out so the
+    op-143 activity state reports through the IDENTICAL plan
+    (streaming/activity.py activity_anomaly_report): the state's
+    per-bucket decimal sums ARE this obs table, so report(state) ≡
+    batch operator by the additive fold law. ``obs`` columns:
+    (key, bucket, _s DECIMAL(18,2))."""
     stats = obs.groupBy("key").agg(
         F.count(F.lit(1)).alias("_n"),
         F.sum("_s").cast("double").alias("_s1"),
@@ -683,6 +693,14 @@ def cusum_alarms(
             .alias("_x")
         )
     )
+    return cusum_from_buckets(obs, slack, tau)
+
+
+def cusum_from_buckets(obs: DataFrame, slack: str, tau: float) -> DataFrame:
+    """Closed-form stage of :func:`cusum_alarms`, split out so the
+    op-143 activity state reports through the IDENTICAL plan
+    (streaming/activity.py activity_cusum_report). ``obs`` columns:
+    (key, bucket, _x DECIMAL(18,2))."""
     stats = obs.groupBy("key").agg(
         F.count(F.lit(1)).alias("_n"),
         F.sum("_x").cast("decimal(38,2)").alias("_s1"),

@@ -382,3 +382,31 @@ def activity_rolling_report(
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("n_active"))
     )
+
+
+def activity_anomaly_report(
+    state: DataFrame, z_threshold: float = 2.0
+) -> DataFrame:
+    """The op-149 panel from the op-143 state: the state's per-bucket
+    decimal sums ARE the operator's bucket table, so the report runs the
+    IDENTICAL scoring plan — report(state) ≡ bucket_anomalies(union)
+    row-for-row by the additive fold law (pinned)."""
+    from dwca_parquet_spark.operators.events import anomalies_from_buckets
+
+    obs = state.select(
+        "key", "bucket", F.col("sum_value").cast("decimal(18,2)").alias("_s")
+    )
+    return anomalies_from_buckets(obs, z_threshold)
+
+
+def activity_cusum_report(
+    state: DataFrame, slack: str = "0.00", tau: float = 4.0
+) -> DataFrame:
+    """The op-150 panel from the op-143 state — same argument as the
+    anomaly report; report(state) ≡ cusum_alarms(union) row-for-row."""
+    from dwca_parquet_spark.operators.events import cusum_from_buckets
+
+    obs = state.select(
+        "key", "bucket", F.col("sum_value").cast("decimal(18,2)").alias("_x")
+    )
+    return cusum_from_buckets(obs, slack, tau)

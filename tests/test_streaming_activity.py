@@ -175,3 +175,38 @@ def test_rolling_actives_report_equals_one_shot(spark, tmp_path):
         )
     )
     assert got == want and len(got) > 0
+
+
+def test_anomaly_and_cusum_reports_equal_one_shot(spark, tmp_path):
+    from dwca_parquet_spark.operators.events import (
+        bucket_anomalies,
+        cusum_alarms,
+    )
+    from dwca_parquet_spark.streaming.activity import (
+        activity_anomaly_report,
+        activity_cusum_report,
+    )
+
+    # monitor keyed by event_type: a deployment maintains a second
+    # activity state with key_col="event_type"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(f"{SF_T2}/events.parquet").select(
+        "event_type", "ts", "value"
+    )
+    state = str(tmp_path / "mon")
+    for i, b in enumerate(ev.randomSplit([1.0, 1.0], seed=17)):
+        assert apply_activity_batch(
+            spark, state, b, i, key_col="event_type"
+        )
+    _, st = read_activity_state(spark, state)
+
+    one_shot = ev.select(
+        F.col("event_type").cast("string").alias("event_type"), "ts", "value"
+    )
+    got_a = _rows(activity_anomaly_report(st, z_threshold=2.0))
+    want_a = _rows(bucket_anomalies(one_shot, z_threshold=2.0))
+    assert got_a == want_a and len(got_a) > 0
+
+    got_c = _rows(activity_cusum_report(st, tau=4.0))
+    want_c = _rows(cusum_alarms(one_shot, tau=4.0))
+    assert got_c == want_c and len(got_c) > 0
