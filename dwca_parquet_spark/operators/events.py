@@ -183,6 +183,26 @@ def sessionize(
     (unix_micros) for engine parity. Output: one row per session with event
     count and span.
     """
+    sessions = sessionize_events(df, ts_col, user_col, id_col, gap_minutes)
+    return sessions.groupBy(user_col, "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts_us").alias("start_us"),
+        F.max("ts_us").alias("end_us"),
+    )
+
+
+def sessionize_events(
+    df: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    id_col: str = "event_id",
+    gap_minutes: int = 30,
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Per-EVENT session assignment — the lag + cumulative-flag stage of
+    :func:`sessionize`, split out so path-level ops (op 151 transitions)
+    consume the identical session boundaries. Output: (user, id, ts_us,
+    *keep_cols, session_id) with session_id 1-based per user."""
     gap_us = gap_minutes * 60 * 1_000_000
     w = Window.partitionBy(user_col).orderBy(
         F.col("ts_us").asc(), F.col(id_col).asc()
@@ -192,19 +212,15 @@ def sessionize(
         F.col(user_col),
         F.col(id_col),
         ts_micros(df, ts_col).alias("ts_us"),
+        *[F.col(c) for c in keep_cols],
     ).withColumn(
         "new_session",
         F.when(prev.isNull() | (F.col("ts_us") - prev > gap_us), 1).otherwise(0),
     )
     w_cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    sessions = flagged.withColumn(
+    return flagged.withColumn(
         "session_id", F.sum("new_session").over(w_cum).cast("long")
-    )
-    return sessions.groupBy(user_col, "session_id").agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.min("ts_us").alias("start_us"),
-        F.max("ts_us").alias("end_us"),
-    )
+    ).drop("new_session")
 
 
 def resample_ffill(
@@ -738,4 +754,55 @@ def cusum_from_buckets(obs: DataFrame, slack: str, tau: float) -> DataFrame:
         scored.filter(var_n > 0)
         .select("key", "bucket", F.round(s_norm, 6).alias("cusum"))
         .filter(F.col("cusum") > tau)
+    )
+
+
+def session_transitions(
+    df: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Within-session event-type transition matrix (SURVEY §2.G op 151):
+    counts and row-normalized probabilities of (prev_type → next_type)
+    over consecutive events of the same session — the first-order Markov
+    path model behind "what do users do after X" and next-event
+    baselines.
+
+    Scale shape: session boundaries come from the op-20 machinery
+    (sessionize_events — the SAME lag + cumulative-flag window, one
+    shuffle on user); transitions are one more lag over the identical
+    window partitioning (no extra exchange: same key, same order), then
+    a combinable (prev, next) groupBy whose output is
+    |types|² rows. The probability divides integer counts by the
+    per-prev total in one fixed-order double (op-144 discipline),
+    rounded 6 — bit-identical across engines.
+
+    Output: (prev_type, next_type, n, prob).
+    """
+    ev = sessionize_events(
+        df, ts_col, user_col, id_col, gap_minutes, keep_cols=(type_col,)
+    )
+    w = Window.partitionBy(user_col, "session_id").orderBy(
+        F.col("ts_us").asc(), F.col(id_col).asc()
+    )
+    pairs = (
+        ev.withColumn("_prev", F.lag(type_col).over(w))
+        .filter(F.col("_prev").isNotNull())
+        .groupBy(
+            F.col("_prev").alias("prev_type"),
+            F.col(type_col).alias("next_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = pairs.groupBy("prev_type").agg(F.sum("n").alias("_tot"))
+    return pairs.join(totals, "prev_type").select(
+        "prev_type",
+        "next_type",
+        F.col("n").cast("long").alias("n"),
+        F.round(
+            F.col("n").cast("double") / F.col("_tot").cast("double"), 6
+        ).alias("prob"),
     )

@@ -2268,3 +2268,52 @@ def q75_cusum_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
     decimals, one window per series, one fixed-order double at the end
     (operators/events.py cusum_alarms, op 150)."""
     return E.cusum_alarms(_t(spark, sf_dir, "events"))
+
+
+@query(
+    "q76_session_transitions",
+    """
+    WITH ev AS (
+        SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type
+        FROM events
+    ),
+    flagged AS (
+        SELECT *,
+               CASE WHEN lag(ts_us) OVER w IS NULL
+                         OR ts_us - lag(ts_us) OVER w > 1800000000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM ev
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+    ),
+    sess AS (
+        SELECT user_id, event_id, ts_us, event_type,
+               sum(new_session) OVER (PARTITION BY user_id
+                                      ORDER BY ts_us, event_id)
+                   AS session_id
+        FROM flagged
+    ),
+    pairs AS (
+        SELECT prev_type, event_type AS next_type, count(*) AS n
+        FROM (
+            SELECT event_type,
+                   lag(event_type) OVER (
+                       PARTITION BY user_id, session_id
+                       ORDER BY ts_us, event_id
+                   ) AS prev_type
+            FROM sess
+        )
+        WHERE prev_type IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    totals AS (SELECT prev_type, sum(n) AS tot FROM pairs GROUP BY 1)
+    SELECT p.prev_type, p.next_type, CAST(p.n AS BIGINT) AS n,
+           round(CAST(p.n AS DOUBLE) / CAST(t.tot AS DOUBLE), 6) AS prob
+    FROM pairs p JOIN totals t USING (prev_type)
+    """,
+)
+def q76_session_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-session event-type transition matrix (30 min gap): the
+    op-20 session boundaries + one more lag over the identical window,
+    then a |types|²-row combinable aggregate with fixed-order
+    probabilities (operators/events.py session_transitions, op 151)."""
+    return E.session_transitions(_t(spark, sf_dir, "events"))

@@ -249,3 +249,32 @@ def test_cusum_flags_the_planted_level_shift(spark):
 def test_cusum_constant_series_emits_nothing(spark):
     rows = [(1, h * HOUR_NS, "flat", 2.00) for h in range(8)]
     assert E.cusum_alarms(_ev(spark, rows)).collect() == []
+
+
+def test_session_transitions_respect_session_boundaries(spark):
+    gap_ns = 30 * 60 * 1_000_000_000
+    rows = [
+        # session 1: A -> B
+        (1, 0, "A"),
+        (1, 1_000_000_000, "B"),
+        # gap > 30 min: session 2: C -> A -> A
+        (1, 2 * gap_ns, "C"),
+        (1, 2 * gap_ns + 1_000_000_000, "A"),
+        (1, 2 * gap_ns + 2_000_000_000, "A"),
+        # another user, single-event session: no transitions
+        (2, 0, "B"),
+    ]
+    df = spark.createDataFrame(
+        [(i, u, ts, tp) for i, (u, ts, tp) in enumerate(rows)],
+        "event_id bigint, user_id bigint, ts bigint, event_type string",
+    )
+    out = {
+        (r["prev_type"], r["next_type"]): (r["n"], r["prob"])
+        for r in E.session_transitions(df).collect()
+    }
+    # B->C (the cross-session pair) must NOT appear; prev A splits 50/50
+    assert out == {
+        ("A", "B"): (1, 0.5),
+        ("A", "A"): (1, 0.5),
+        ("C", "A"): (1, 1.0),
+    }
