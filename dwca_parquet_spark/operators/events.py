@@ -806,3 +806,97 @@ def session_transitions(
             F.col("n").cast("double") / F.col("_tot").cast("double"), 6
         ).alias("prob"),
     )
+
+
+def psi_by_group(
+    df: DataFrame,
+    boundary_us: int,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+    bin_width: str = "2.00",
+    n_bins: int = 10,
+) -> DataFrame:
+    """Population Stability Index per series between the periods before
+    and after ``boundary_us`` (SURVEY §2.G op 152): the distribution-
+    drift metric ML monitoring reads per feature — PSI < 0.1 stable,
+    0.1–0.25 shifting, > 0.25 drifted (the credit-scoring convention).
+
+    Values bin to a FIXED grid (floor(value / bin_width) clamped to
+    [0, n_bins)), counts are integers, and both periods take add-one
+    smoothing over the FULL bin domain (so empty bins contribute and
+    ln never sees 0) — PSI = Σ_b (p_b − q_b)·ln(p_b / q_b) then folds
+    over the densified, BIN-ORDERED array (the op-145 rank-ordered-fold
+    protocol: ``aggregate(sort_array(…))`` ≡ the oracle's
+    ``list_reduce(list_sort(…))``), so both engines sum the irrational
+    terms in the same order — bit-identical. Binning divides DOUBLEs —
+    the identical IEEE operation on both engines (decimal division
+    derives different scales per engine and could flip a boundary
+    floor; doubles never disagree).
+
+    Scale shape: one combinable (key, bin, period) count, densified by
+    a |keys|×n_bins grid join (bounded), one ≤ n_bins-element fold per
+    key. Output: (key, n_before, n_after, psi) — NULL psi when either
+    period is empty for the key (no distribution to compare).
+    """
+    ev = df.select(
+        F.col(key_col).alias("key"),
+        ts_micros(df, ts_col).alias("_us"),
+        F.col(value_col).alias("_v"),
+    ).select(
+        "key",
+        (F.col("_us") >= F.lit(boundary_us)).alias("_after"),
+        F.least(
+            F.lit(n_bins - 1),
+            F.greatest(
+                F.lit(0),
+                # floor over the IDENTICAL IEEE double division on both
+                # engines: decimal division scales/rounds differently
+                # between Spark and DuckDB, doubles never disagree
+                F.floor(
+                    F.col("_v").cast("double")
+                    / F.lit(bin_width).cast("double")
+                ).cast("int"),
+            ),
+        ).alias("_bin"),
+    )
+    counts = ev.groupBy("key", "_bin").agg(
+        F.sum(F.when(~F.col("_after"), 1).otherwise(0)).alias("_ca"),
+        F.sum(F.when(F.col("_after"), 1).otherwise(0)).alias("_cb"),
+    )
+    keys = counts.select("key").distinct()
+    grid = keys.select(
+        "key",
+        F.explode(F.sequence(F.lit(0), F.lit(n_bins - 1))).alias("_bin"),
+    )
+    dense = grid.join(counts, ["key", "_bin"], "left").select(
+        "key",
+        "_bin",
+        F.coalesce(F.col("_ca"), F.lit(0)).cast("long").alias("_ca"),
+        F.coalesce(F.col("_cb"), F.lit(0)).cast("long").alias("_cb"),
+    )
+    per_key = dense.groupBy("key").agg(
+        F.sum("_ca").alias("n_before"),
+        F.sum("_cb").alias("n_after"),
+        F.sort_array(
+            F.collect_list(F.struct("_bin", "_ca", "_cb"))
+        ).alias("_bins"),
+    )
+    na = F.col("n_before").cast("double") + F.lit(float(n_bins))
+    nb = F.col("n_after").cast("double") + F.lit(float(n_bins))
+
+    def _term(acc, e):
+        pa = (e.getField("_ca").cast("double") + F.lit(1.0)) / na
+        pb = (e.getField("_cb").cast("double") + F.lit(1.0)) / nb
+        return acc + (pa - pb) * F.log(pa / pb)
+
+    psi = F.aggregate(F.col("_bins"), F.lit(0.0), _term)
+    return per_key.select(
+        "key",
+        F.col("n_before").cast("long").alias("n_before"),
+        F.col("n_after").cast("long").alias("n_after"),
+        F.when(
+            (F.col("n_before") > 0) & (F.col("n_after") > 0),
+            F.round(psi, 6),
+        ).alias("psi"),
+    )

@@ -2317,3 +2317,73 @@ def q76_session_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     then a |types|²-row combinable aggregate with fixed-order
     probabilities (operators/events.py session_transitions, op 151)."""
     return E.session_transitions(_t(spark, sf_dir, "events"))
+
+
+# events span 2024-01-01..01-30; Jan 16 splits the corpus into two
+# ~half periods for the stability comparison
+_PSI_BOUNDARY_US = 1_705_363_200_000_000
+
+
+@query(
+    "q77_psi_by_group",
+    f"""
+    WITH ev AS (
+        SELECT event_type AS key,
+               epoch_us(ts) >= {_PSI_BOUNDARY_US} AS after,
+               least(9, greatest(0, CAST(floor(
+                   CAST(value AS DOUBLE) / CAST('2.00' AS DOUBLE)
+               ) AS INT))) AS bin
+        FROM events
+    ),
+    counts AS (
+        SELECT key, bin,
+               sum(CASE WHEN NOT after THEN 1 ELSE 0 END) AS ca,
+               sum(CASE WHEN after THEN 1 ELSE 0 END) AS cb
+        FROM ev GROUP BY 1, 2
+    ),
+    grid AS (
+        SELECT k.key, g.bin
+        FROM (SELECT DISTINCT key FROM counts) k,
+             (SELECT unnest(generate_series(0, 9)) AS bin) g
+    ),
+    dense AS (
+        SELECT grid.key, grid.bin,
+               coalesce(c.ca, 0) AS ca, coalesce(c.cb, 0) AS cb
+        FROM grid LEFT JOIN counts c
+          ON grid.key = c.key AND grid.bin = c.bin
+    ),
+    per_key AS (
+        SELECT key, sum(ca) AS n_before, sum(cb) AS n_after,
+               list(struct_pack(bin := bin, ca := ca, cb := cb)
+                    ORDER BY bin) AS bins
+        FROM dense GROUP BY key
+    )
+    SELECT key,
+           CAST(n_before AS BIGINT) AS n_before,
+           CAST(n_after AS BIGINT) AS n_after,
+           CASE WHEN n_before > 0 AND n_after > 0 THEN
+               round(list_reduce(
+                   list_prepend(CAST(0.0 AS DOUBLE),
+                       [((CAST(e.ca AS DOUBLE) + 1.0)
+                             / (CAST(n_before AS DOUBLE) + 10.0)
+                         - (CAST(e.cb AS DOUBLE) + 1.0)
+                             / (CAST(n_after AS DOUBLE) + 10.0))
+                        * ln(((CAST(e.ca AS DOUBLE) + 1.0)
+                              / (CAST(n_before AS DOUBLE) + 10.0))
+                             / ((CAST(e.cb AS DOUBLE) + 1.0)
+                                / (CAST(n_after AS DOUBLE) + 10.0)))
+                        for e in bins]),
+                   (acc, x) -> acc + x
+               ), 6)
+           END AS psi
+    FROM per_key
+    """,
+)
+def q77_psi_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index per event_type between the first and
+    second half of January: fixed 10-bin grid, add-one smoothing over
+    the full domain, bin-ordered fold — bit-identical
+    (operators/events.py psi_by_group, op 152)."""
+    return E.psi_by_group(
+        _t(spark, sf_dir, "events"), boundary_us=_PSI_BOUNDARY_US
+    )

@@ -278,3 +278,47 @@ def test_session_transitions_respect_session_boundaries(spark):
         ("A", "A"): (1, 0.5),
         ("C", "A"): (1, 1.0),
     }
+
+
+def test_psi_zero_for_identical_halves_and_flags_the_shift(spark):
+    import math
+
+    day_ns = 86_400_000_000 * US
+    boundary_us = 10 * 86_400_000_000  # day 10
+    rows = []
+    # 'stable': same values before and after → every pa == pb → psi 0.0
+    for d in (1, 2, 11, 12):
+        rows += [(1, d * day_ns, "stable", v) for v in (1.00, 5.00, 9.00)]
+    # 'shifted': low bins before, high bins after
+    rows += [(1, 1 * day_ns, "shifted", 1.00)] * 1
+    rows += [(1, 2 * day_ns, "shifted", 3.00)]
+    rows += [(1, 11 * day_ns, "shifted", 15.00)]
+    rows += [(1, 12 * day_ns, "shifted", 17.00)]
+    # 'only_before': empty after-period → NULL psi
+    rows += [(1, 1 * day_ns, "only_before", 2.00)]
+    df = _ev(spark, rows)
+    out = {
+        r["key"]: r for r in E.psi_by_group(df, boundary_us=boundary_us).collect()
+    }
+
+    assert out["stable"]["psi"] == 0.0
+    assert out["only_before"]["psi"] is None
+    assert (out["only_before"]["n_before"], out["only_before"]["n_after"]) == (1, 0)
+
+    # exact mirror of the smoothed, bin-ordered fold for 'shifted'
+    ca = [0] * 10
+    cb = [0] * 10
+    ca[0] += 1  # 1.00 // 2
+    ca[1] += 1  # 3.00 // 2
+    cb[7] += 1  # 15.00 // 2
+    cb[8] += 1  # 17.00 // 2
+    na, nb = 2 + 10.0, 2 + 10.0
+    psi = 0.0
+    for b in range(10):
+        pa = (ca[b] + 1.0) / na
+        pb = (cb[b] + 1.0) / nb
+        psi = psi + (pa - pb) * math.log(pa / pb)
+    assert out["shifted"]["psi"] == round(psi, 6)
+    # well above the stable series (add-one smoothing damps the tiny-n
+    # magnitude; at corpus scale a full shift reads far past 0.25)
+    assert out["shifted"]["psi"] > 0.2
