@@ -203,6 +203,8 @@ SLOW_NODE_IDS = {
     "test_correctness.py::test_query_matches_oracle[q65_resample_ffill]",
     "test_correctness.py::test_query_matches_oracle[q69_triangles]",
     "test_correctness.py::test_query_matches_oracle[q68_hybrid_rrf]",
+    "test_correctness.py::test_query_matches_oracle[q76_session_transitions]",
+    "test_streaming_activity.py::test_anomaly_and_cusum_reports_equal_one_shot",
 }
 
 
