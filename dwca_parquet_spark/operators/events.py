@@ -470,7 +470,10 @@ def trend_by_group(
     ``x_origin_us`` rebases the time axis (pass the corpus epoch) so
     the double-precision products stay far from 2^53 at any corpus
     size; degenerate series (constant x or constant y) surface NULL
-    slope/R², never an engine-dependent inf.
+    slope/R², never an engine-dependent inf. The x² moment multiplies
+    AFTER the decimal cast (xd·xd, like xd·yd) — an int64 x*x would
+    silently wrap for |x| > ~3.0e9 where DuckDB raises (ADVICE r9);
+    in decimal both engines stay exact to |x| < 1e18.
 
     Scale shape: ONE map-side-combinable groupBy — five sums and a
     count per group, |groups| output rows, nothing else. Output:
@@ -492,9 +495,7 @@ def trend_by_group(
         F.count(F.lit(1)).alias("n"),
         F.sum(xd).cast("double").alias("_sx"),
         F.sum(yd).cast("double").alias("_sy"),
-        F.sum((F.col("_x") * F.col("_x")).cast("decimal(18,0)"))
-        .cast("double")
-        .alias("_sxx"),
+        F.sum(xd * xd).cast("double").alias("_sxx"),
         F.sum(xd * yd).cast("double").alias("_sxy"),
         F.sum(yd * yd).cast("double").alias("_syy"),
     )

@@ -247,16 +247,24 @@ def interval_overlap_join(
     Pick ``bucket_width`` near the median interval length (same
     tuning rule as interval_join). Right columns come back prefixed
     with ``right_prefix``. Both (lo, hi) pairs must be numeric (epoch
-    micros recommended — ts_micros).
+    micros recommended — ts_micros). Bucket assignment is pure int64
+    floor-division (``div`` + a negative-remainder correction), never
+    float — ``F.floor(col / w)`` goes through a double and degrades
+    past 2^53 (ADVICE r9; the resample_ffill precision rule).
     """
     w = bucket_width
+
+    def _fdiv(name: str) -> Column:
+        # exact floor(x / w) on int64: `div` truncates toward zero, so
+        # shift down one bucket when the remainder is negative (w > 0)
+        return F.expr(
+            f"(`{name}` div {w}) + "
+            f"(CASE WHEN `{name}` % {w} < 0 THEN -1 ELSE 0 END)"
+        )
+
     lb = left.withColumn(
         "_bucket",
-        F.explode(
-            F.sequence(
-                F.floor(F.col(lo_col) / w), F.floor(F.col(hi_col) / w)
-            )
-        ),
+        F.explode(F.sequence(_fdiv(lo_col), _fdiv(hi_col))),
     )
     rb = right.select(
         *[F.col(c).alias(f"{right_prefix}{c}") for c in right.columns]
@@ -264,8 +272,8 @@ def interval_overlap_join(
         "_bucket",
         F.explode(
             F.sequence(
-                F.floor(F.col(f"{right_prefix}{lo_col}") / w),
-                F.floor(F.col(f"{right_prefix}{hi_col}") / w),
+                _fdiv(f"{right_prefix}{lo_col}"),
+                _fdiv(f"{right_prefix}{hi_col}"),
             )
         ),
     )
@@ -275,9 +283,7 @@ def interval_overlap_join(
         .filter(
             (F.col(lo_col) < F.col(r_hi)) & (F.col(r_lo) < F.col(hi_col))
         )
-        .filter(
-            F.floor(F.greatest(F.col(lo_col), F.col(r_lo)) / w)
-            == F.col("_bucket")
-        )
-        .drop("_bucket")
+        .withColumn("_glo", F.greatest(F.col(lo_col), F.col(r_lo)))
+        .filter(_fdiv("_glo") == F.col("_bucket"))
+        .drop("_bucket", "_glo")
     )

@@ -990,12 +990,18 @@ def hybrid_search_rrf(
         F.col("svec").alias("svec_c"),
         F.col("sdot").alias("sdot_c"),
     )
+    # bound the frame FIRST: orderBy+limit over the scored corpus
+    # compiles to TakeOrderedAndProject (per-partition heaps, no global
+    # sort — ADVICE r9); row_number then ranks the ≤ k_each-row result.
+    # (cosine, _cid) is a total order, so the limit picks exactly the
+    # rank-≤-k_each set the old corpus-wide window produced.
     wv = Window.orderBy(F.col("cosine").desc(), F.col("_cid").asc())
     v_rank = (
         _score_pairs(c.crossJoin(F.broadcast(q)))
         .select("_cid", "cosine")
+        .orderBy(F.col("cosine").desc(), F.col("_cid").asc())
+        .limit(k_each)
         .withColumn("vec_rank", F.row_number().over(wv).cast("long"))
-        .filter(F.col("vec_rank") <= k_each)
         .select(F.col("_cid").alias("_id"), "vec_rank")
     )
 

@@ -2279,3 +2279,349 @@ def compression_ratio(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             ),
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Trained language identification (hashed char-n-gram NB — SURVEY §2.G op 153)
+# ---------------------------------------------------------------------------
+# The fastText-shape LID every multilingual corpus pass gates on (CCNet /
+# RedPajama run fastText lid.176; langid.py and Cavnar-Trenkle are the same
+# family): a LINEAR model over hashed character-n-gram features. The
+# engine-deterministic instance here is multinomial Naive Bayes over k-gram
+# rolling-hash buckets — same hashing-trick feature space as fastText, fit by
+# two exact integer aggregations (the nb_fit discipline: bounded collect,
+# driver-rounded literal weights, zero-shuffle literal-fold scoring).
+#
+# Why this exists next to language_id (q26): the stopword vote abstains (or
+# guesses by priority order) on short/noisy documents that contain no
+# stopword at all, while char-n-grams see EVERY character — the reason
+# production LID is a trained character model, not a word list
+# (test_lid.py::test_lid_beats_stopword_heuristic_on_short_docs measures the
+# gap on a held-out split). NOTE (measured, round 10): the driver fixture's
+# `lang` column is label noise — per-lang token distributions are uniform
+# (top-token rates all ~0.034 across langs at sf0.1) — so accuracy gates run
+# on a constructed labeled corpus in pytest; the driver gate (q78) pins
+# cross-engine fit+score parity, the q26 precedent.
+
+
+def _lid_bucket_array(codes: Column, k: int, buckets: int) -> Column:
+    """Position-ordered (NOT distinct — multinomial counts need
+    multiplicity) char-k-gram rolling-hash buckets from a codepoint
+    array. Same stepwise-mod fold as shingle_hashes_from_codes, then
+    % buckets (the hashing trick). < k chars → empty array."""
+
+    def at(i: Column) -> Column:
+        expr = F.lit(0).cast("long")
+        for j in range(k):
+            expr = (expr * H.HASH_BASE + F.element_at(codes, i + j)) % H.HASH_MOD
+        return expr % buckets
+
+    n = F.size(codes)
+    return F.when(n < k, F.array().cast("array<long>")).otherwise(
+        F.transform(F.sequence(F.lit(1), n - (k - 1)), at)
+    )
+
+
+def lid_fit(
+    df: DataFrame,
+    text_col: str,
+    label_col: str,
+    k: int = 3,
+    buckets: int = 256,
+    alpha: float = 1.0,
+) -> dict:
+    """Fit the hashed char-k-gram NB language model from labeled rows.
+
+    ONE explode + one map-side-combinable groupBy on (label, bucket) —
+    collects ≤ |classes|·buckets count rows plus one doc-count row per
+    class (bounded like nb_fit, never data-sized). NULL labels are
+    outside the training universe; NULL/short texts contribute no
+    n-grams but DO count toward their class prior. Returns a plain-dict
+    model (classes sorted asc — the deterministic argmax tie-break
+    order everywhere downstream).
+    """
+    lab = F.col(label_col).cast("string")
+    staged = (
+        df.filter(lab.isNotNull())
+        .select(lab.alias("y"), H.normalize_text(F.col(text_col)).alias("_nt"))
+        .select("y", H.char_codes(F.col("_nt")).alias("_cd"))
+    )
+    pairs = staged.select(
+        "y", F.explode(_lid_bucket_array(F.col("_cd"), k, buckets)).alias("b")
+    )
+    cnt_rows = (
+        pairs.groupBy("y", "b").agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    doc_rows = (
+        df.filter(lab.isNotNull())
+        .groupBy(lab.alias("y"))
+        .agg(F.count(F.lit(1)).alias("d"))
+        .collect()
+    )
+    counts: dict[str, dict[int, int]] = {}
+    for r in cnt_rows:
+        counts.setdefault(r["y"], {})[int(r["b"])] = int(r["n"])
+    docs = {r["y"]: int(r["d"]) for r in doc_rows}
+    return {
+        "k": k,
+        "buckets": buckets,
+        "alpha": alpha,
+        "classes": sorted(docs),
+        "counts": counts,
+        "totals": {c: sum(counts.get(c, {}).values()) for c in docs},
+        "docs": docs,
+        "n_docs": sum(docs.values()),
+    }
+
+
+def _lid_weights(model: dict) -> tuple[list[str], dict, dict]:
+    """Driver-side rounded per-class weights (the only place log runs in
+    the literal-twin path — engines then just fold identical doubles):
+    w_c[g] = round(ln((cnt+α)/(total_c+α·B)), 9), prior_c =
+    round(ln(d_c/N), 9). The add-α denominators mirror
+    sql_lid_fit_score's in-SQL fit EXPRESSION-for-expression (divide
+    first, one ln, round 9) so the oracle's own ln lands on the same
+    doubles — both engines call the platform libm on identical
+    arguments (pinned in test_lid.py)."""
+    a = model["alpha"]
+    b = model["buckets"]
+    classes = model["classes"]
+    w = {
+        c: [
+            round(
+                math.log(
+                    (model["counts"].get(c, {}).get(g, 0) + a)
+                    / (model["totals"].get(c, 0) + a * b)
+                ),
+                9,
+            )
+            for g in range(b)
+        ]
+        for c in classes
+    }
+    pri = {
+        c: round(math.log(model["docs"][c] / model["n_docs"]), 9)
+        for c in classes
+    }
+    return classes, w, pri
+
+
+_LID_DEC = "decimal(18,9)"
+
+
+def lid_score(
+    df: DataFrame, id_col: str, text_col: str, model: dict
+) -> DataFrame:
+    """Per-document trained LID: (id, lid_lang, lid_score).
+
+    Determinism protocol (the trend_by_group exact-decimal discipline,
+    not a float fold): the 9-decimal rounded weights are EXACT
+    decimal(18,9) literals, so each class's Σ w_c[bucket] is an
+    order-free exact decimal sum — one explode + ONE map-side-
+    combinable groupBy(id) with |classes| decimal sums, all codegen
+    (Spark's higher-order array folds run interpreted; the round-9
+    measurement showed 5 interpreted walks costing ~2× this plan).
+    No float enters until the final cast: score = round(prior + Σ, 6)
+    in decimal, THEN cast to double — bit-identical across engines
+    unconditionally. argmax on the exact decimals, ties to the
+    alphabetically first class. NULL text → NULL lang/score;
+    empty/short text → bare priors (the corpus-majority class wins,
+    deterministically). Weights ride as a BROADCAST (buckets × classes)
+    table, not literal arrays — a 1280-literal expression tree costs
+    ~4 s of codegen per query (measured round 10) while the 256-row
+    broadcast join is free at any scale.
+    """
+    classes, w, pri = _lid_weights(model)
+    spark = df.sparkSession
+    b = model["buckets"]
+    wrows = [
+        tuple([g] + [f"{w[c][g]:.9f}" for c in classes]) for g in range(b)
+    ]
+    wdf = spark.createDataFrame(
+        wrows, ["bucket"] + [f"_wc_{c}" for c in classes]
+    ).select(
+        F.col("bucket").cast("int"),
+        *[F.col(f"_wc_{c}").cast(_LID_DEC) for c in classes],
+    )
+    staged = (
+        df.select(
+            F.col(id_col), H.normalize_text(F.col(text_col)).alias("_nt")
+        )
+        .select(F.col(id_col), H.char_codes(F.col("_nt")).alias("_cd"))
+        .select(
+            F.col(id_col),
+            _lid_bucket_array(
+                F.col("_cd"), model["k"], model["buckets"]
+            ).alias("_bs"),
+        )
+    )
+    ex = (
+        staged.select(
+            F.col(id_col),
+            F.col("_bs").isNull().alias("_nul"),
+            F.explode_outer(F.col("_bs")).alias("_b"),
+        )
+        .withColumn("_b", F.col("_b").cast("int"))
+        .join(F.broadcast(wdf), F.col("_b") == F.col("bucket"), "left")
+    )
+    zero = F.lit("0").cast(_LID_DEC)
+    aggs = [F.max("_nul").alias("_nul")]
+    for c in classes:
+        aggs.append(F.sum(F.col(f"_wc_{c}")).alias(f"_w_{c}"))
+    grouped = ex.groupBy(id_col).agg(*aggs)
+    score_cols = []
+    for c in classes:
+        pc = F.lit(f"{pri[c]:.9f}").cast(_LID_DEC)
+        score_cols.append(
+            F.when(
+                ~F.col("_nul"),
+                F.round(pc + F.coalesce(F.col(f"_w_{c}"), zero), 6),
+            ).alias(f"_s_{c}")
+        )
+    scored = grouped.select(F.col(id_col), *score_cols)
+    svals = [F.col(f"_s_{c}") for c in classes]
+    best = svals[0] if len(classes) == 1 else F.greatest(*svals)
+    pred = None
+    for c in classes:
+        cond = F.col(f"_s_{c}") == best
+        pred = F.when(cond, F.lit(c)) if pred is None else pred.when(
+            cond, F.lit(c)
+        )
+    return scored.select(
+        F.col(id_col),
+        pred.alias("lid_lang"),
+        best.cast("double").alias("lid_score"),
+    )
+
+
+def _sql_lid_buckets(k: int, buckets: int) -> str:
+    """DuckDB bucket-list expression over a codepoint list ``cd`` —
+    the twin of :func:`_lid_bucket_array` (same stepwise-mod fold)."""
+    sh = "CAST(0 AS BIGINT)"
+    for j in range(k):
+        sh = f"(({sh}) * {H.HASH_BASE} + cd[i + {j}]) % {H.HASH_MOD}"
+    return (
+        f"CASE WHEN len(cd) < {k} THEN CAST([] AS BIGINT[]) "
+        f"ELSE [(({sh}) % {buckets}) "
+        f"for i in range(1, len(cd) - {k - 1} + 1)] END"
+    )
+
+
+_SQL_CODES = (
+    "CASE WHEN nt IS NULL THEN NULL ELSE "
+    "[CAST(ord(substr(nt, i, 1)) AS BIGINT) "
+    "for i in range(1, length(nt) + 1)] END"
+)
+
+
+def sql_lid_score(
+    id_expr: str, text_expr: str, model: dict, source: str = "documents"
+) -> str:
+    """DuckDB literal-weights twin of :func:`lid_score` — the identical
+    driver-rounded DECIMAL(18,9) literals summed by the same order-free
+    exact-decimal aggregation (unnest + per-class sum), rounded in
+    decimal, cast to double, same argmax/tie-break."""
+    classes, w, pri = _lid_weights(model)
+    bs = _sql_lid_buckets(model["k"], model["buckets"])
+    dec = "DECIMAL(18,9)"
+    sums = []
+    scores = []
+    for c in classes:
+        wl = (
+            "["
+            + ", ".join(f"CAST('{x:.9f}' AS {dec})" for x in w[c])
+            + "]"
+        )
+        sums.append(f"sum({wl}[b + 1]) AS _w_{c}")
+        scores.append(
+            f"CASE WHEN b0.bs IS NULL THEN NULL ELSE "
+            f"CAST(round(CAST('{pri[c]:.9f}' AS {dec})"
+            f" + coalesce(_w_{c}, CAST('0' AS {dec})), 6) AS DOUBLE)"
+            f" END AS _s_{c}"
+        )
+    g = "greatest(" + ", ".join(f"_s_{c}" for c in classes) + ")"
+    pick = " ".join(f"WHEN _s_{c} = {g} THEN '{c}'" for c in classes)
+    return f"""
+    WITH n0 AS (SELECT {id_expr} AS id, {H.sql_normalize_text(text_expr)} AS nt
+                FROM {source}),
+    c0 AS (SELECT id, {_SQL_CODES} AS cd FROM n0),
+    b0 AS (SELECT id, {bs} AS bs FROM c0),
+    brow AS (SELECT id, unnest(bs) AS b FROM b0),
+    persum AS (SELECT id, {', '.join(sums)} FROM brow GROUP BY id),
+    s0 AS (SELECT b0.id, {', '.join(scores)}
+           FROM b0 LEFT JOIN persum USING (id))
+    SELECT id AS {id_expr},
+           CASE {pick} END AS lid_lang,
+           {g} AS lid_score
+    FROM s0
+    """
+
+
+def sql_lid_fit_score(
+    source: str,
+    id_expr: str,
+    text_expr: str,
+    label_expr: str,
+    k: int = 3,
+    buckets: int = 256,
+    alpha: float = 1.0,
+) -> str:
+    """The FULL fit+score as one DuckDB statement — the q78 driver
+    oracle. The fit mirrors lid_fit's exact integer counts; the weight
+    expression round(ln((n+α)/(t+α·B)), 9) evaluates the identical
+    doubles as _lid_weights (exact-int numerator/denominator →
+    correctly-rounded division → one libm ln → round 9 — argument-
+    identical on both engines, equality pinned in test_lid.py), then
+    locks to DECIMAL(18,9) so everything downstream — the per-doc
+    per-class Σw (a plain order-free decimal aggregation), + prior,
+    round 6 — is exact decimal arithmetic identical to lid_score's.
+    argmax via row_number (score DESC, class ASC) ≡ the Spark
+    greatest/when-chain on the same exact values; all-NULL scores
+    (NULL text) surface NULL."""
+    a = repr(float(alpha))
+    dec = "DECIMAL(18,9)"
+    bs = _sql_lid_buckets(k, buckets)
+    return f"""
+    WITH d0 AS (SELECT {id_expr} AS id, CAST({label_expr} AS VARCHAR) AS y,
+                       {H.sql_normalize_text(text_expr)} AS nt
+                FROM {source}),
+    c0 AS (SELECT id, y, {_SQL_CODES} AS cd FROM d0),
+    b0 AS (SELECT id, y, {bs} AS bs FROM c0),
+    pairs AS (SELECT y, unnest(bs) AS b FROM b0 WHERE y IS NOT NULL),
+    cnt AS (SELECT y, b, count(*) AS n FROM pairs GROUP BY 1, 2),
+    tots AS (SELECT y, CAST(sum(n) AS BIGINT) AS t FROM cnt GROUP BY 1),
+    docs AS (SELECT y, count(*) AS d FROM d0 WHERE y IS NOT NULL GROUP BY 1),
+    nd AS (SELECT CAST(sum(d) AS BIGINT) AS n FROM docs),
+    grid AS (SELECT docs.y, gb.b
+             FROM docs CROSS JOIN (SELECT unnest(range(0, {buckets})) AS b) gb),
+    wts AS (SELECT g.y, g.b,
+                   CAST(round(ln((coalesce(c.n, 0) + {a})
+                                 / (coalesce(t.t, 0) + {a} * {buckets})), 9)
+                        AS {dec}) AS w
+            FROM grid g
+            LEFT JOIN cnt c ON c.y = g.y AND c.b = g.b
+            LEFT JOIN tots t ON t.y = g.y),
+    pri AS (SELECT docs.y, CAST(round(ln(docs.d / nd.n), 9) AS {dec}) AS p
+            FROM docs CROSS JOIN nd),
+    brow AS (SELECT id, unnest(bs) AS b FROM b0),
+    persum AS (SELECT br.id, w.y, sum(w.w) AS sw
+               FROM brow br JOIN wts w ON w.b = br.b
+               GROUP BY 1, 2),
+    base AS (SELECT b0.id, docs.y, b0.bs IS NULL AS nul
+             FROM b0 CROSS JOIN docs),
+    scored AS (SELECT ba.id, ba.y,
+                      CASE WHEN ba.nul THEN NULL
+                           ELSE CAST(round(p.p + coalesce(ps.sw,
+                                         CAST('0' AS {dec})), 6) AS DOUBLE)
+                      END AS s
+               FROM base ba
+               JOIN pri p ON p.y = ba.y
+               LEFT JOIN persum ps ON ps.id = ba.id AND ps.y = ba.y)
+    SELECT id AS {id_expr},
+           CASE WHEN s IS NULL THEN NULL ELSE y END AS lid_lang,
+           s AS lid_score
+    FROM (SELECT id, y, s, row_number() OVER (
+              PARTITION BY id ORDER BY s DESC, y ASC) AS rn
+          FROM scored)
+    WHERE rn = 1
+    """

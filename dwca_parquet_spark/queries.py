@@ -1997,7 +1997,8 @@ _X_ORIGIN_US = 1_704_067_200_000_000
         SELECT grp, count(*) AS n,
                CAST(sum(CAST(x AS DECIMAL(18,0))) AS DOUBLE) AS sx,
                CAST(sum(CAST(y AS DECIMAL(18,2))) AS DOUBLE) AS sy,
-               CAST(sum(CAST(x * x AS DECIMAL(18,0))) AS DOUBLE) AS sxx,
+               CAST(sum(CAST(x AS DECIMAL(18,0)) * CAST(x AS DECIMAL(18,0)))
+                    AS DOUBLE) AS sxx,
                CAST(sum(CAST(x AS DECIMAL(18,0)) * CAST(y AS DECIMAL(18,2)))
                     AS DOUBLE) AS sxy,
                CAST(sum(CAST(y AS DECIMAL(18,2)) * CAST(y AS DECIMAL(18,2)))
@@ -2387,3 +2388,20 @@ def q77_psi_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     return E.psi_by_group(
         _t(spark, sf_dir, "events"), boundary_us=_PSI_BOUNDARY_US
     )
+
+
+@query(
+    "q78_lid_trained",
+    T.sql_lid_fit_score("documents", "doc_id", "text", "lang"),
+)
+def q78_lid_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained language ID (hashed char-trigram NB, op 153): fit on the
+    table's own (text, lang) labels — two bounded integer aggregations —
+    then score every document with exact-decimal weight sums; the oracle
+    reruns the ENTIRE fit+score in SQL (operators/text.py
+    sql_lid_fit_score), so the gate pins the fit counts, the rounded-ln
+    weight grid, the decimal score arithmetic, and the argmax
+    tie-break all at once."""
+    d = _t(spark, sf_dir, "documents")
+    model = T.lid_fit(d, "text", "lang")
+    return T.lid_score(d, "doc_id", "text", model)

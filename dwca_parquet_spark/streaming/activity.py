@@ -250,9 +250,7 @@ def _trend_partial(
         F.count(F.lit(1)).alias("n"),
         F.sum(xd).cast("decimal(38,0)").alias("sx"),
         F.sum(yd).cast("decimal(38,2)").alias("sy"),
-        F.sum((F.col("_x") * F.col("_x")).cast("decimal(18,0)"))
-        .cast("decimal(38,0)")
-        .alias("sxx"),
+        F.sum(xd * xd).cast("decimal(38,0)").alias("sxx"),
         F.sum(xd * yd).cast("decimal(38,2)").alias("sxy"),
         F.sum(yd * yd).cast("decimal(38,4)").alias("syy"),
     )
