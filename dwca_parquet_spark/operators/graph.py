@@ -289,3 +289,289 @@ def triangle_count(edges: DataFrame) -> DataFrame:
             ).alias("global_clustering"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental triangle census (SURVEY §2.G op 154 — the missing graph leg)
+# ---------------------------------------------------------------------------
+# A growing co-occurrence graph (ops 142's input grows with every corpus
+# refresh) should not pay a full recount per refresh. The incremental
+# identity: every triangle gained by an edge append contains >= 1 new edge,
+# and splits EXACTLY into three disjoint cases by how many of its edges are
+# new —
+#   t1 (1 new):  for each new edge (u, v), the closing vertices are the
+#                common OLD neighbors |N_A(u) ∩ N_A(v)| (the other two
+#                edges are old by definition; a vertex reached through
+#                a new edge is not in N_A, so 2-new triangles never leak
+#                in here);
+#   t2 (2 new):  the two new edges share a vertex c — enumerate the
+#                batch-internal wedges (c; x, y) from the Δ-adjacency and
+#                keep those whose closure (x, y) is an OLD edge. The
+#                center c is unique per triangle, so each counts once;
+#   t3 (3 new):  a full (batch-sized) op-142 census of ΔE alone.
+# ΔT = t1 + t2 + t3, advancing the stored totals without ever re-counting
+# the old graph. Storage follows the op-134 segment discipline: each
+# append writes ONE new edge segment (write-once — earlier segments are
+# never read-modified or rewritten, byte-pinned in the tests) plus a tiny
+# versioned totals file (transactional tmp+rename; replay of a seen
+# batch_id is a no-op — the op-89 pattern). Cost per append: one O(m)
+# segment scan to build the old adjacency (unavoidable — new edges must
+# intersect against it) but joins and shuffles sized by the BATCH: the
+# t1 join touches only the <= 2·|ΔE| adjacency rows of batch endpoints,
+# t2/t3 see only ΔE. append(state, B) ≡ triangle_count(A ∪ B) is pinned
+# exactly (tests/test_triangles_incremental.py); the planted-hub append
+# sweep is tools/triangle_incr_sweep.py → SCALE.md.
+
+
+def _canon_edges(edges: DataFrame) -> DataFrame:
+    """Canonical undirected edge set: (u < v), self-loops dropped,
+    duplicates collapsed."""
+    u, v = F.col("u"), F.col("v")
+    return (
+        edges.select(
+            F.least(u, v).alias("u"), F.greatest(u, v).alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _both_dirs(e: DataFrame) -> DataFrame:
+    return e.select(F.col("u").alias("n"), F.col("v").alias("m")).unionAll(
+        e.select(F.col("v").alias("n"), F.col("u").alias("m"))
+    )
+
+
+_TRI_TOTALS_RE = None  # set lazily (re import kept local)
+
+
+def _tri_watermark(spark, path: str) -> tuple[int, dict | None]:
+    """(watermark, totals) from the newest totals version; (-1, None) on
+    an empty state dir."""
+    import re
+
+    from dwca_parquet_spark.fs import FS
+
+    fs = FS(spark, path)
+    best = -1
+    for p in fs.glob(f"{path}/totals/v*"):
+        m = re.search(r"/v(\d+)$", p)
+        if m:
+            best = max(best, int(m.group(1)))
+    if best < 0:
+        return -1, None
+    row = spark.read.parquet(f"{path}/totals/v{best}").first()
+    return best, {
+        "n_edges": row["n_edges"],
+        "n_wedges": row["n_wedges"],
+        "n_triangles": row["n_triangles"],
+    }
+
+
+def _tri_write_state(
+    spark, path: str, version: int, seg: DataFrame | None, totals: dict
+) -> None:
+    """Commit protocol: segment first (overwrite-safe — a crashed earlier
+    attempt at the same version left no totals, so rewriting it is
+    idempotent), then totals via tmp+rename as the commit point."""
+    from dwca_parquet_spark.fs import FS
+
+    fs = FS(spark, path)
+    if seg is not None:
+        segp = f"{path}/segments/seg{version}"
+        if fs.exists(segp):
+            fs.delete(segp)
+        seg.write.parquet(segp)
+    tmp, final = f"{path}/totals/v{version}.tmp", f"{path}/totals/v{version}"
+    if fs.exists(tmp):
+        fs.delete(tmp)
+    spark.createDataFrame(
+        [
+            (
+                int(totals["n_edges"]),
+                int(totals["n_wedges"]),
+                int(totals["n_triangles"]),
+            )
+        ],
+        "n_edges long, n_wedges long, n_triangles long",
+    ).coalesce(1).write.parquet(tmp)
+    fs.rename(tmp, final)
+
+
+def triangle_state_build(edges: DataFrame, path: str) -> dict:
+    """Initialize the census state: canonical edges as segment 0 plus the
+    op-142 totals as totals/v0. Overwrites any previous state at
+    ``path``; growth goes through :func:`triangle_state_append`."""
+    spark = edges.sparkSession
+    from dwca_parquet_spark.fs import FS
+
+    fs = FS(spark, path)
+    for sub in ("segments", "totals"):
+        if fs.exists(f"{path}/{sub}"):
+            fs.delete(f"{path}/{sub}")
+    e = persist_tracked(_canon_edges(edges))
+    row = triangle_count(e).first()
+    totals = {
+        "n_edges": row["n_edges"] or 0,
+        "n_wedges": row["n_wedges"] or 0,  # sum over empty frame is NULL
+        "n_triangles": row["n_triangles"] or 0,
+    }
+    _tri_write_state(spark, path, 0, e, totals)
+    return totals
+
+
+def triangle_state_append(
+    spark, path: str, batch_edges: DataFrame, batch_id: int
+) -> dict | bool:
+    """Fold one edge batch into the stored census (op 154). Returns the
+    updated totals, or False when ``batch_id`` <= the stored watermark
+    (transactional replay no-op). Earlier segments are never rewritten."""
+    wm, totals = _tri_watermark(spark, path)
+    if totals is None:
+        raise ValueError(f"no triangle state at {path!r} — build first")
+    if batch_id <= wm:
+        return False
+    old = spark.read.parquet(f"{path}/segments/seg*").select("u", "v")
+    cb = persist_tracked(_canon_edges(batch_edges))
+    # everything below is confined to BATCH-TOUCHED nodes: broadcast
+    # endpoint semi-filters keep every old-edge pass MAP-SIDE over the
+    # segment scan — the old graph is never shuffled, never cached, and
+    # never gets a graph-wide adjacency (the first cut did all three
+    # and measured as slow as the recount; tools/triangle_incr_sweep.py)
+    endpoints = (
+        cb.select(F.col("u").alias("n"))
+        .unionAll(cb.select(F.col("v").alias("n")))
+        .distinct()
+    )
+    # old edges with BOTH endpoints touched: the only old edges that can
+    # (a) collide with the batch or (b) close a batch-internal wedge
+    old_t = persist_tracked(
+        old.join(
+            F.broadcast(endpoints.withColumnRenamed("n", "u")),
+            "u",
+            "left_semi",
+        ).join(
+            F.broadcast(endpoints.withColumnRenamed("n", "v")),
+            "v",
+            "left_semi",
+        )
+    )
+    delta = persist_tracked(
+        cb.join(F.broadcast(old_t), ["u", "v"], "left_anti")
+    )
+    n_new = delta.count()
+    if n_new == 0:
+        out = dict(totals)
+        _tri_write_state(spark, path, batch_id, None, out)
+        return out
+    # full OLD neighbor lists, but only for touched nodes (map-side
+    # filter, shuffle bounded by Σ deg(touched))
+    adj_t = persist_tracked(
+        _both_dirs(old)
+        .join(F.broadcast(endpoints), "n", "left_semi")
+        .groupBy("n")
+        .agg(F.sort_array(F.collect_list("m")).alias("nb"))
+    )
+    # t1: both-old wedges closing each new edge — common OLD neighbors
+    # of the new edge's endpoints
+    t1 = (
+        delta.join(
+            adj_t.select(F.col("n").alias("u"), F.col("nb").alias("_nu")),
+            "u",
+        )
+        .join(
+            adj_t.select(F.col("n").alias("v"), F.col("nb").alias("_nv")),
+            "v",
+        )
+        .select(F.size(F.array_intersect("_nu", "_nv")).alias("_c"))
+        .groupBy()
+        .agg(F.coalesce(F.sum("_c"), F.lit(0)).cast("long").alias("t"))
+        .first()["t"]
+    )
+    # batch-internal wedges ONCE (sorted Δ-adjacency → in-row pair
+    # expansion, the cooccurrence_edges trick; NOT deduped — each
+    # (center, pair) incidence is one row), serving both closures:
+    # closed by an OLD edge → t2 (center unique per triangle: exactly
+    # one count); closed by a NEW edge → a 3-new triangle seen once per
+    # its 3 wedge centers, so t3 = matches/3 (cheaper than a full
+    # op-142 run over the batch, which cost ~4 s of job overhead)
+    dadj = _both_dirs(delta).groupBy("n").agg(
+        F.sort_array(F.collect_list("m")).alias("_is")
+    )
+    wedge_pairs = persist_tracked(
+        dadj.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(_is, (x, i) -> "
+                    "transform(slice(_is, i + 2, size(_is)), "
+                    "y -> struct(x AS u, y AS v))))"
+                )
+            ).alias("_p")
+        ).select("_p.u", "_p.v")
+    )
+    t2 = wedge_pairs.join(
+        F.broadcast(old_t), ["u", "v"], "left_semi"
+    ).count()
+    t3_x3 = wedge_pairs.join(
+        F.broadcast(delta), ["u", "v"], "left_semi"
+    ).count()
+    t3 = t3_x3 // 3
+    # wedge advance from touched nodes only: Σ C(d_old+δ, 2) − C(d_old, 2)
+    # (exact — untouched nodes' degrees are unchanged); d_old read off
+    # the already-built endpoint adjacency
+    d_delta = (
+        _both_dirs(delta).groupBy("n").agg(F.count(F.lit(1)).alias("dd"))
+    )
+    d_old = adj_t.select("n", F.size("nb").alias("do"))
+    dw = (
+        d_delta.join(d_old, "n", "left")
+        .select(
+            (
+                F.expr(
+                    "(coalesce(do, 0) + dd) * (coalesce(do, 0) + dd - 1)"
+                    " div 2"
+                )
+                - F.expr("coalesce(do, 0) * (coalesce(do, 0) - 1) div 2")
+            ).alias("_w")
+        )
+        .groupBy()
+        .agg(F.coalesce(F.sum("_w"), F.lit(0)).cast("long").alias("w"))
+        .first()["w"]
+    )
+    out = {
+        "n_edges": totals["n_edges"] + n_new,
+        "n_wedges": totals["n_wedges"] + dw,
+        "n_triangles": totals["n_triangles"] + t1 + t2 + t3,
+    }
+    _tri_write_state(spark, path, batch_id, delta, out)
+    return out
+
+
+def triangle_state_report(spark, path: str) -> DataFrame:
+    """The op-142 result row from stored totals — global_clustering via
+    the IDENTICAL Spark expression as triangle_count, so
+    report(state) ≡ triangle_count(all edges) column-for-column."""
+    wm, totals = _tri_watermark(spark, path)
+    if totals is None:
+        raise ValueError(f"no triangle state at {path!r} — build first")
+    base = spark.createDataFrame(
+        [
+            (
+                int(totals["n_edges"]),
+                int(totals["n_wedges"]),
+                int(totals["n_triangles"]),
+            )
+        ],
+        "n_edges long, n_wedges long, n_triangles long",
+    )
+    return base.select(
+        "n_edges",
+        "n_wedges",
+        "n_triangles",
+        F.when(
+            F.col("n_wedges") > 0,
+            F.round(
+                F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges"), 6
+            ),
+        ).alias("global_clustering"),
+    )

@@ -205,6 +205,16 @@ SLOW_NODE_IDS = {
     "test_correctness.py::test_query_matches_oracle[q68_hybrid_rrf]",
     "test_correctness.py::test_query_matches_oracle[q76_session_transitions]",
     "test_streaming_activity.py::test_anomaly_and_cusum_reports_equal_one_shot",
+    # round-10 additions ≥ 4 s
+    "test_triangles_incremental.py::test_append_equals_recount_random_splits",
+    "test_triangles_incremental.py::test_append_dedupes_reversed_duplicate_and_seen_edges",
+    "test_triangles_incremental.py::test_append_cases_split_exactly",
+    "test_triangles_incremental.py::test_earlier_segments_byte_pinned_and_replay_noop",
+    "test_triangles_incremental.py::test_planted_hub_append",
+    "test_lid.py::test_lid_beats_stopword_heuristic_on_short_docs",
+    "test_streaming_funnel.py::test_fold_equals_one_shot_funnel",
+    "test_streaming_funnel.py::test_replay_is_noop_and_duplicates_collapse",
+    "test_streaming_funnel.py::test_stream_wiring_converges",
 }
 
 
