@@ -325,6 +325,47 @@ def resample_grid_ffill(obs: DataFrame, key_col: str) -> DataFrame:
     )
 
 
+def _funnel_survivors(
+    df: DataFrame,
+    stages: tuple[str, ...],
+    ts_col: str,
+    user_col: str,
+    type_col: str,
+    horizon_us: int | None,
+):
+    """The op-139 survivor chain, shared by :func:`funnel` (counts) and
+    :func:`funnel_latency` (op 156, per-user conversion times). Yields
+    (stage_idx, stage, survivors) where survivors = (user, _t =
+    first-qualifying µs at this stage, _t1 = first stage-1 µs)."""
+    if len(stages) < 2:
+        raise ValueError("funnel needs at least 2 stages")
+    ev = df.select(
+        F.col(user_col),
+        F.col(type_col).alias("_tp"),
+        ts_micros(df, ts_col).alias("_us"),
+    )
+    survivors = (
+        ev.filter(F.col("_tp") == stages[0])
+        .groupBy(user_col)
+        .agg(F.min("_us").alias("_t"))
+        .withColumn("_t1", F.col("_t"))
+    )
+    yield 1, stages[0], survivors
+    for i, st in enumerate(stages[1:], start=2):
+        nxt = ev.filter(F.col("_tp") == st).join(
+            survivors.select(user_col, "_t", "_t1"), user_col
+        )
+        cond = F.col("_us") > F.col("_t")
+        if horizon_us is not None:
+            cond = cond & (F.col("_us") <= F.col("_t1") + F.lit(horizon_us))
+        survivors = (
+            nxt.filter(cond)
+            .groupBy(user_col, "_t1")
+            .agg(F.min("_us").alias("_t"))
+        )
+        yield i, st, survivors
+
+
 def funnel(
     df: DataFrame,
     stages: tuple[str, ...],
@@ -347,47 +388,17 @@ def funnel(
 
     Output: (stage_idx, stage, n_users, pct_of_first) — pct rounded to 6.
     """
-    if len(stages) < 2:
-        raise ValueError("funnel needs at least 2 stages")
-    ev = df.select(
-        F.col(user_col),
-        F.col(type_col).alias("_tp"),
-        ts_micros(df, ts_col).alias("_us"),
-    )
-    survivors = (
-        ev.filter(F.col("_tp") == stages[0])
-        .groupBy(user_col)
-        .agg(F.min("_us").alias("_t"))
-        .withColumn("_t1", F.col("_t"))
-    )
     stage_counts = [
-        survivors.groupBy().agg(F.count(F.lit(1)).alias("n_users"))
+        surv.groupBy().agg(F.count(F.lit(1)).alias("n_users"))
         .select(
-            F.lit(1).alias("stage_idx"),
-            F.lit(stages[0]).alias("stage"),
+            F.lit(i).alias("stage_idx"),
+            F.lit(st).alias("stage"),
             "n_users",
         )
+        for i, st, surv in _funnel_survivors(
+            df, stages, ts_col, user_col, type_col, horizon_us
+        )
     ]
-    for i, st in enumerate(stages[1:], start=2):
-        nxt = ev.filter(F.col("_tp") == st).join(
-            survivors.select(user_col, "_t", "_t1"), user_col
-        )
-        cond = F.col("_us") > F.col("_t")
-        if horizon_us is not None:
-            cond = cond & (F.col("_us") <= F.col("_t1") + F.lit(horizon_us))
-        survivors = (
-            nxt.filter(cond)
-            .groupBy(user_col, "_t1")
-            .agg(F.min("_us").alias("_t"))
-        )
-        stage_counts.append(
-            survivors.groupBy().agg(F.count(F.lit(1)).alias("n_users"))
-            .select(
-                F.lit(i).alias("stage_idx"),
-                F.lit(st).alias("stage"),
-                "n_users",
-            )
-        )
     out = stage_counts[0]
     for s in stage_counts[1:]:
         out = out.unionByName(s)
@@ -405,6 +416,145 @@ def funnel(
             first_n > 0,
             F.round(F.col("n_users") / first_n.cast("double"), 6),
         ).alias("pct_of_first"),
+    )
+
+
+def funnel_latency(
+    df: DataFrame,
+    stages: tuple[str, ...],
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    horizon_us: int | None = None,
+    permilles: tuple[int, ...] = (500, 900, 990),
+) -> DataFrame:
+    """Conversion-latency distribution per funnel stage (SURVEY §2.G
+    op 156): for every stage >= 2, nearest-rank percentiles of
+    (first-qualifying time at stage i) − (first stage-1 time) — the
+    "how long does conversion take" panel next to op 139's "how many
+    convert".
+
+    Determinism protocol: latencies are exact integer µs; the selected
+    rank is ceil(p·n) computed IN INTEGERS — (n·pm + 999) div 1000 for
+    a permille pm — so no float ever decides a rank (a double p·n can
+    straddle an integer boundary); the selected value is the latency
+    whose cumulative count first reaches the rank. Bit-identical across
+    engines by construction.
+
+    Scale shape: the survivor chain is op 139's (no event-row windows);
+    latencies then compress to (stage, latency) COUNTS in one
+    combinable groupBy before the per-stage cumulative window — the
+    window input is |distinct latencies per stage|, bounded by the
+    value domain, not the user count, and collapses further under a
+    coarser ``resolution`` upstream (quantize the ts columns) when a
+    corpus has sub-µs-unique latencies (the op-124 pr_curve
+    distinct-count discipline applies at that point).
+
+    Output: (stage_idx, stage, n_conv, p{pm}_us ...) for stages >= 2.
+    """
+    lats = None
+    for i, st, surv in _funnel_survivors(
+        df, stages, ts_col, user_col, type_col, horizon_us
+    ):
+        if i == 1:
+            continue
+        frame = surv.select(
+            F.lit(i).alias("stage_idx"),
+            F.lit(st).alias("stage"),
+            (F.col("_t") - F.col("_t1")).alias("_lat"),
+        )
+        lats = frame if lats is None else lats.unionByName(frame)
+    cnt = lats.groupBy("stage_idx", "stage", "_lat").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    w = (
+        Window.partitionBy("stage_idx")
+        .orderBy("_lat")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = cnt.withColumn("_hi", F.sum("_c").over(w))
+    n = cnt.groupBy("stage_idx").agg(F.sum("_c").alias("_n"))
+    joined = cum.join(n, "stage_idx")
+    aggs = [F.max("_n").cast("long").alias("n_conv")]
+    for pm in permilles:
+        rank = F.expr(f"(_n * {pm} + 999) div 1000")
+        aggs.append(
+            F.min(
+                F.when(
+                    (F.col("_hi") >= rank)
+                    & (F.col("_hi") - F.col("_c") < rank),
+                    F.col("_lat"),
+                )
+            ).alias(f"p{pm}_us")
+        )
+    return (
+        joined.groupBy("stage_idx", "stage")
+        .agg(*aggs)
+        .orderBy("stage_idx")
+    )
+
+
+def sql_funnel_latency(
+    source: str,
+    stages: tuple[str, ...],
+    horizon_us: int | None = None,
+    permilles: tuple[int, ...] = (500, 900, 990),
+    ts_expr: str = "epoch_us(ts)",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+) -> str:
+    """DuckDB twin of :func:`funnel_latency` — the identical survivor
+    chain, integer rank formula, and cumulative-count selection."""
+    ctes = [
+        f"ev AS (SELECT {user_col}, {type_col} AS tp, {ts_expr} AS us"
+        f" FROM {source})",
+        f"s1 AS (SELECT {user_col}, min(us) AS t, min(us) AS t1"
+        f" FROM ev WHERE tp = '{stages[0]}' GROUP BY {user_col})",
+    ]
+    for i, st in enumerate(stages[1:], start=2):
+        hor = (
+            f" AND e.us <= s.t1 + {horizon_us}"
+            if horizon_us is not None
+            else ""
+        )
+        ctes.append(
+            f"s{i} AS (SELECT e.{user_col}, min(e.us) AS t, s.t1 AS t1"
+            f" FROM ev e JOIN s{i - 1} s ON e.{user_col} = s.{user_col}"
+            f" WHERE e.tp = '{st}' AND e.us > s.t{hor}"
+            f" GROUP BY e.{user_col}, s.t1)"
+        )
+    lat_selects = [
+        f"SELECT {i} AS stage_idx, '{st}' AS stage, t - t1 AS lat FROM s{i}"
+        for i, st in enumerate(stages[1:], start=2)
+    ]
+    ctes.append("lats AS (" + " UNION ALL ".join(lat_selects) + ")")
+    ctes.append(
+        "cnt AS (SELECT stage_idx, stage, lat, count(*) AS c"
+        " FROM lats GROUP BY 1, 2, 3)"
+    )
+    ctes.append(
+        "cum AS (SELECT *, sum(c) OVER (PARTITION BY stage_idx"
+        " ORDER BY lat ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+        " AS hi FROM cnt)"
+    )
+    ctes.append(
+        "n AS (SELECT stage_idx, CAST(sum(c) AS BIGINT) AS n"
+        " FROM cnt GROUP BY 1)"
+    )
+    picks = ["CAST(max(n.n) AS BIGINT) AS n_conv"]
+    for pm in permilles:
+        rank = f"(n.n * {pm} + 999) // 1000"
+        picks.append(
+            f"min(CASE WHEN cum.hi >= {rank} AND cum.hi - cum.c < {rank}"
+            f" THEN cum.lat END) AS p{pm}_us"
+        )
+    return (
+        "WITH "
+        + ", ".join(ctes)
+        + " SELECT stage_idx, stage, "
+        + ", ".join(picks)
+        + " FROM cum JOIN n USING (stage_idx)"
+        + " GROUP BY stage_idx, stage ORDER BY stage_idx"
     )
 
 

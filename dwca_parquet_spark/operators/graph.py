@@ -83,7 +83,31 @@ def pagerank(
         edges.groupBy(src).agg(F.count(F.lit(1)).alias("_deg"))
     )
     ranks = nodes.select("node", F.lit(str(init)).cast(DEC).alias("rank"))
+    return _pagerank_rounds(
+        edges, nodes, n_nodes, out_deg, ranks, iters, damping, src, dst
+    )
 
+
+def _pagerank_rounds(
+    edges: DataFrame,
+    nodes: DataFrame,
+    n_nodes: int,
+    out_deg: DataFrame,
+    ranks: DataFrame,
+    iters: int,
+    damping: str,
+    src: str,
+    dst: str,
+) -> DataFrame:
+    """The op-78 iteration body, shared by :func:`pagerank` and the
+    op-157 resumable state — rank state in, rank state out, arithmetic
+    untouched, so resume(k) + rounds(j) ≡ rounds(k + j) BIT-exactly
+    (every round's output is a pure decimal function of the previous
+    ranks and the fixed edge table)."""
+    d = F.lit(damping).cast("decimal(3,2)")
+    teleport_coef = (
+        (Decimal(1) - Decimal(damping)) / Decimal(n_nodes)
+    ).quantize(Q12, ROUND_HALF_UP)
     for _ in range(iters):
         # Truncate lineage and materialize ONCE per round (the CC
         # discipline, operators/dedup.py:302-330): both references below —
@@ -575,3 +599,89 @@ def triangle_state_report(spark, path: str) -> DataFrame:
             ),
         ).alias("global_clustering"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Resumable PageRank iteration state (SURVEY §2.G op 157)
+# ---------------------------------------------------------------------------
+# At corpus-graph scale a PageRank run is hours of iterations; losing the
+# driver (or wanting 5 more rounds of precision next week) should not cost
+# a from-scratch rerun. The iteration state IS the rank vector: each round
+# is a pure decimal function of (previous ranks, edge table), so persisting
+# ranks + (iters_done, damping) makes the run restartable with the EXACT
+# law resume(k) + j rounds ≡ pagerank(k + j) bit-for-bit (the decimal
+# arithmetic has no accumulated-float caveat to carry across the restart).
+# Contract: continue must see the SAME edge table the run started with —
+# n_nodes/out-degrees re-derive from it; a grown edge set is a NEW run
+# (warm-starting changed graphs changes the semantics away from
+# fixed-iteration PageRank, so the repo doesn't offer it as an exact op).
+
+
+def pagerank_state_save(
+    edges: DataFrame,
+    path: str,
+    iters: int = 5,
+    damping: str = "0.85",
+    src: str = "src",
+    dst: str = "dst",
+) -> None:
+    """Run ``iters`` rounds and persist the rank state under ``path``
+    (overwrites; growth-in-precision goes through
+    :func:`pagerank_continue`)."""
+    spark = edges.sparkSession
+    from dwca_parquet_spark.fs import FS
+
+    fs = FS(spark, path)
+    if fs.exists(path):
+        fs.delete(path)
+    ranks = pagerank(edges, iters, damping, src, dst)
+    ranks.write.parquet(f"{path}/ranks.parquet")
+    spark.createDataFrame(
+        [(int(iters), str(damping))], "iters long, damping string"
+    ).coalesce(1).write.parquet(f"{path}/meta.parquet")
+
+
+def pagerank_continue(
+    edges: DataFrame,
+    path: str,
+    more_iters: int,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Resume a persisted run for ``more_iters`` further rounds; returns
+    the new ranks and advances the stored state (transactional tmp +
+    rename, so a crash mid-continue leaves the previous state intact).
+    Damping comes from the state — the run's constant, not an argument."""
+    spark = edges.sparkSession
+    from dwca_parquet_spark.fs import FS
+
+    fs = FS(spark, path)
+    meta = spark.read.parquet(f"{path}/meta.parquet").first()
+    ranks = spark.read.parquet(f"{path}/ranks.parquet")
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .unionByName(edges.select(F.col(dst).alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n_nodes = nodes.count()
+    out_deg = persist_tracked(
+        edges.groupBy(src).agg(F.count(F.lit(1)).alias("_deg"))
+    )
+    new_ranks = _pagerank_rounds(
+        edges, nodes, n_nodes, out_deg, ranks, more_iters,
+        meta["damping"], src, dst,
+    )
+    tmp = f"{path}/next.tmp"
+    if fs.exists(tmp):
+        fs.delete(tmp)
+    new_ranks.write.parquet(f"{tmp}/ranks.parquet")
+    spark.createDataFrame(
+        [(int(meta["iters"]) + int(more_iters), meta["damping"])],
+        "iters long, damping string",
+    ).coalesce(1).write.parquet(f"{tmp}/meta.parquet")
+    for sub in ("ranks.parquet", "meta.parquet"):
+        fs.delete(f"{path}/{sub}")
+        fs.rename(f"{tmp}/{sub}", f"{path}/{sub}")
+    fs.delete(tmp)
+    return new_ranks

@@ -2405,3 +2405,25 @@ def q78_lid_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     model = T.lid_fit(d, "text", "lang")
     return T.lid_score(d, "doc_id", "text", model)
+
+
+@query(
+    "q79_funnel_latency",
+    E.sql_funnel_latency(
+        "events",
+        ("view", "click", "purchase"),
+        horizon_us=72 * _HOUR_US,
+    ),
+)
+def q79_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-latency percentiles per funnel stage (op 156): q66's
+    survivor chain, latencies compressed to distinct-value counts, and
+    nearest-rank p50/p90/p99 selected by the INTEGER rank formula
+    (n·pm + 999) div 1000 — no float ever decides a rank, so the
+    selection is bit-identical across engines
+    (operators/events.py funnel_latency / sql_funnel_latency)."""
+    return E.funnel_latency(
+        _t(spark, sf_dir, "events"),
+        stages=("view", "click", "purchase"),
+        horizon_us=72 * _HOUR_US,
+    )

@@ -130,3 +130,34 @@ def test_cooccurrence_edges_dedup_and_canonical(spark):
     }
     # group 1 → {10,20,30} pairs; group 2 repeats (10,20); group 3 solo
     assert got == {(10, 20), (10, 30), (20, 30)}
+
+
+# --- op 157: resumable PageRank iteration state ----------------------------
+
+
+def test_pagerank_resume_equals_straight_run(spark, tmp_path):
+    from dwca_parquet_spark.operators.graph import (
+        pagerank,
+        pagerank_continue,
+        pagerank_state_save,
+    )
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"), ("d", "a")],
+        ["src", "dst"],
+    )
+    path = str(tmp_path / "pr")
+    pagerank_state_save(edges, path, iters=2)
+    resumed = pagerank_continue(edges, path, 3)
+    straight = pagerank(edges, iters=5)
+    assert sorted(map(tuple, resumed.collect())) == sorted(
+        map(tuple, straight.collect())
+    )
+    # chained continues compose and the stored meta advances
+    resumed2 = pagerank_continue(edges, path, 2)
+    straight7 = pagerank(edges, iters=7)
+    assert sorted(map(tuple, resumed2.collect())) == sorted(
+        map(tuple, straight7.collect())
+    )
+    meta = spark.read.parquet(f"{path}/meta.parquet").first()
+    assert meta["iters"] == 7 and meta["damping"] == "0.85"
