@@ -685,3 +685,75 @@ def pagerank_continue(
         fs.rename(f"{tmp}/{sub}", f"{path}/{sub}")
     fs.delete(tmp)
     return new_ranks
+
+
+# ---------------------------------------------------------------------------
+# k-core extraction (SURVEY §2.G op 158)
+# ---------------------------------------------------------------------------
+
+
+def kcore(edges: DataFrame, k: int, max_rounds: int = 1000) -> DataFrame:
+    """The k-core of an undirected (u < v) edge set: the maximal
+    subgraph in which every node has degree >= k — the standard
+    dense-community / spam-farm / collaboration-nucleus extractor next
+    to op 142's census (a node's coreness is the strongest cohesion
+    guarantee its neighborhood gives; triangles count closure, k-core
+    certifies it).
+
+    Textbook peeling, expressed as the repo's iterative-plan
+    discipline (the CC / op-78 shape): each round computes degrees in
+    one combinable groupBy, drops nodes below k, and semi-joins the
+    edge set on BOTH endpoints; ``localCheckpoint`` per round truncates
+    lineage so round i never replays rounds 0..i-1 (the O(rounds²)
+    failure mode measured for CC in round 3). Rounds are bounded by the
+    peeling depth (degeneracy ordering depth, small for real graphs;
+    ``max_rounds`` is the runaway backstop — a graph that peels one
+    node per round is adversarial, not observed). Convergence needs one
+    scalar count per round — inherent to any fixpoint loop.
+
+    Exactness: the k-core is the unique maximal fixpoint, and peeling
+    order cannot change it — gated against a driver-side peeling
+    reference plus structural laws (planted cliques survive a forest;
+    k=1 drops nothing but isolated-free inputs keep all edges)
+    (tests/test_graph.py).
+
+    Returns the surviving canonical edge set (u < v).
+    """
+    e = _canon_edges(edges).localCheckpoint()
+    for _ in range(max_rounds):
+        deg = _both_dirs(e).groupBy("n").agg(F.count(F.lit(1)).alias("d"))
+        keep = deg.filter(F.col("d") >= k).select("n")
+        nxt = (
+            e.join(keep.withColumnRenamed("n", "u"), "u", "left_semi")
+            .join(keep.withColumnRenamed("n", "v"), "v", "left_semi")
+            .select("u", "v")
+            .localCheckpoint()
+        )
+        before, after = e.count(), nxt.count()
+        e = nxt
+        if after == before or after == 0:
+            break
+    return e
+
+
+def kcore_reference(
+    edge_list: list[tuple[int, int]], k: int
+) -> set[tuple[int, int]]:
+    """Driver-side peeling mirror — the differential oracle for
+    :func:`kcore` (pure Python, any peeling order reaches the same
+    unique maximal fixpoint)."""
+    edges = {
+        (min(u, v), max(u, v)) for u, v in edge_list if u != v
+    }
+    changed = True
+    while changed and edges:
+        deg: dict = {}
+        for u, v in edges:
+            deg[u] = deg.get(u, 0) + 1
+            deg[v] = deg.get(v, 0) + 1
+        bad = {n for n, d in deg.items() if d < k}
+        changed = bool(bad)
+        edges = {
+            (u, v) for u, v in edges if u not in bad and v not in bad
+        }
+    return edges

@@ -161,3 +161,40 @@ def test_pagerank_resume_equals_straight_run(spark, tmp_path):
     )
     meta = spark.read.parquet(f"{path}/meta.parquet").first()
     assert meta["iters"] == 7 and meta["damping"] == "0.85"
+
+
+# --- op 158: k-core extraction ----------------------------------------------
+
+
+def test_kcore_matches_reference_and_planted_cliques(spark):
+    import random
+
+    from dwca_parquet_spark.operators.graph import kcore, kcore_reference
+
+    rng = random.Random(9)
+    # a forest + two planted 5-cliques sharing no nodes
+    edges = [(i, i + 1) for i in range(0, 40)]  # a path (2-core-free)
+    for base in (100, 200):
+        clique = [
+            (base + a, base + b) for a in range(5) for b in range(a + 1, 5)
+        ]
+        edges += clique
+    edges += [(rng.randrange(40), 100 + rng.randrange(5)) for _ in range(6)]
+    df = spark.createDataFrame(edges, "u long, v long")
+    for k in (1, 2, 3, 4, 5):
+        got = {
+            (r["u"], r["v"]) for r in kcore(df, k).collect()
+        }
+        assert got == kcore_reference(edges, k), k
+    # the 4-core is exactly the two cliques; the 5-core is empty
+    four = kcore_reference(edges, 4)
+    assert len(four) == 20 and all(u >= 100 for u, _ in four)
+    assert kcore(df, 5).count() == 0
+    # cascade law: removing one clique edge peels that whole clique at k=4
+    weakened = [e for e in edges if e != (100, 101)]
+    got4 = {
+        (r["u"], r["v"])
+        for r in kcore(spark.createDataFrame(weakened, "u long, v long"), 4).collect()
+    }
+    assert got4 == kcore_reference(weakened, 4)
+    assert all(u >= 200 for u, _ in got4)
