@@ -464,7 +464,7 @@ def r5_tier_specs():
                 .select(
                     "source",
                     F.explode(
-                        F.sequence(F.lit(1), F.lit(8))
+                        F.sequence(F.lit(1), F.lit(16))
                     ).alias("_rep"),
                     F.explode(_tok_expr()).alias("token"),
                 )
@@ -479,7 +479,7 @@ def r5_tier_specs():
                                 regexp_replace(regexp_replace(lower(text),
                                   '[^\\x20-\\x7e]', '', 'g'),
                                   '\\s+', ' ', 'g')), ' ')) AS item
-                       FROM documents CROSS JOIN generate_series(1, 8)
+                       FROM documents CROSS JOIN generate_series(1, 16)
                        WHERE source IS NOT NULL AND text IS NOT NULL),
                  g AS (SELECT grp, item, count(*) AS cnt FROM c
                        WHERE item != '' GROUP BY 1, 2),

@@ -141,3 +141,36 @@ def stream_funnel_maintain(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_triangle_maintain(
+    stream: DataFrame,
+    state_path: str,
+    checkpoint: str,
+    u_col: str = "u",
+    v_col: str = "v",
+):
+    """Streaming wiring for the op-154 incremental triangle census: fold
+    each micro-batch of edges into the stored census via
+    triangle_state_append (batch_id as the transactional watermark —
+    replay no-op), read the live panel any time via
+    triangle_state_report. Placed here with the other foreachBatch
+    lifts; the counting itself lives in operators/graph.py."""
+    from dwca_parquet_spark.operators.graph import triangle_state_append
+
+    spark = stream.sparkSession
+
+    def body(batch: DataFrame, batch_id: int) -> None:
+        edges = batch.select(
+            F.col(u_col).alias("u"), F.col(v_col).alias("v")
+        )
+        # batch_id 0 folds into the (required) pre-built state; an
+        # empty state is a build-first contract error, same as op 134
+        triangle_state_append(spark, state_path, edges, batch_id + 1)
+
+    return (
+        stream.writeStream.foreachBatch(body)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

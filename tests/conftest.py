@@ -217,6 +217,7 @@ SLOW_NODE_IDS = {
     "test_streaming_funnel.py::test_stream_wiring_converges",
     "test_graph.py::test_pagerank_resume_equals_straight_run",
     "test_graph.py::test_kcore_matches_reference_and_planted_cliques",
+    "test_triangles_incremental.py::test_stream_wiring_converges",
 }
 
 

@@ -155,3 +155,25 @@ def test_planted_hub_append(spark, tmp_path):
     assert _rows(triangle_state_report(spark, path)) == _rows(
         triangle_count(_edges_df(spark, a + batch))
     )
+
+
+def test_stream_wiring_converges(spark, tmp_path):
+    # build on a third of the edges, stream the rest in micro-batches
+    from dwca_parquet_spark.streaming.funnel import stream_triangle_maintain
+    from dwca_parquet_spark.operators.graph import triangle_state_report
+
+    edges = _random_graph(50, 200, seed=11)
+    base, rest = edges[:70], edges[70:]
+    path = str(tmp_path / "tri")
+    triangle_state_build(_edges_df(spark, base), path)
+    src = str(tmp_path / "src")
+    _edges_df(spark, rest).repartition(3).write.parquet(src)
+    q = stream_triangle_maintain(
+        spark.readStream.schema("u long, v long").format("parquet").load(src),
+        path,
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+    assert _rows(triangle_state_report(spark, path)) == _rows(
+        triangle_count(_edges_df(spark, edges))
+    )
