@@ -287,3 +287,89 @@ def interval_overlap_join(
         .filter(_fdiv("_glo") == F.col("_bucket"))
         .drop("_bucket", "_glo")
     )
+
+
+def group_quantiles(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    permilles: tuple[int, ...] = (500, 900, 990),
+) -> DataFrame:
+    """EXACT nearest-rank quantiles per group (SURVEY §2.G op 159) — the
+    per-series p50/p90/p99 panel every telemetry pipeline reads, next to
+    op 29's sketch-based approx_percentiles: that one trades exactness
+    for one pass; this one is exact and engine-deterministic.
+
+    Determinism protocol (shared with op 156): the selected rank is
+    ceil(p·n) computed IN INTEGERS — (n·pm + 999) div 1000 for permille
+    pm — and the selected value is an EXISTING input value (no
+    interpolation, no float arithmetic), so the result is bit-identical
+    across engines whatever the value type. NULL values are outside the
+    universe (both engines drop them before counting).
+
+    Scale shape: values compress to (key, value) COUNTS in one
+    combinable groupBy before the per-key cumulative window — the
+    window input is |distinct values per key|, not |rows|; a key whose
+    values are all-distinct at data scale wants a coarser upstream
+    quantization (the op-124 pr_curve distinct-count discipline).
+
+    Output: (key, n, p{pm} ...) — one row per group.
+    """
+    vals = df.filter(F.col(value_col).isNotNull()).select(
+        F.col(key_col).alias("_k"), F.col(value_col).alias("_v")
+    )
+    cnt = vals.groupBy("_k", "_v").agg(F.count(F.lit(1)).alias("_c"))
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = cnt.withColumn("_hi", F.sum("_c").over(w))
+    n_df = cnt.groupBy("_k").agg(F.sum("_c").alias("_n"))
+    joined = cum.join(n_df, "_k")
+    picks = [F.max("_n").cast("long").alias("n")]
+    for pm in permilles:
+        rank = F.expr(f"(_n * {pm} + 999) div 1000")
+        picks.append(
+            F.min(
+                F.when(
+                    (F.col("_hi") >= rank)
+                    & (F.col("_hi") - F.col("_c") < rank),
+                    F.col("_v"),
+                )
+            ).alias(f"p{pm}")
+        )
+    return (
+        joined.groupBy("_k")
+        .agg(*picks)
+        .select(F.col("_k").alias(key_col), "n", *[f"p{pm}" for pm in permilles])
+    )
+
+
+def sql_group_quantiles(
+    source: str,
+    key_col: str,
+    value_col: str,
+    permilles: tuple[int, ...] = (500, 900, 990),
+) -> str:
+    """DuckDB twin of :func:`group_quantiles` — identical integer rank
+    formula and cumulative-count selection."""
+    picks = ["CAST(max(n.n) AS BIGINT) AS n"]
+    for pm in permilles:
+        rank = f"(n.n * {pm} + 999) // 1000"
+        picks.append(
+            f"min(CASE WHEN cum.hi >= {rank} AND cum.hi - cum.c < {rank}"
+            f" THEN cum.v END) AS p{pm}"
+        )
+    return f"""
+    WITH vals AS (SELECT {key_col} AS k, {value_col} AS v FROM {source}
+                  WHERE {value_col} IS NOT NULL),
+    cnt AS (SELECT k, v, count(*) AS c FROM vals GROUP BY 1, 2),
+    cum AS (SELECT *, sum(c) OVER (PARTITION BY k ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hi
+            FROM cnt),
+    n AS (SELECT k, CAST(sum(c) AS BIGINT) AS n FROM cnt GROUP BY 1)
+    SELECT cum.k AS {key_col}, {', '.join(picks)}
+    FROM cum JOIN n ON n.k = cum.k
+    GROUP BY cum.k
+    """

@@ -2427,3 +2427,18 @@ def q79_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         stages=("view", "click", "purchase"),
         horizon_us=72 * _HOUR_US,
     )
+
+
+@query(
+    "q80_group_quantiles",
+    R.sql_group_quantiles("events", "event_type", "value"),
+)
+def q80_group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT nearest-rank p50/p90/p99 of value per event_type (op 159):
+    values compress to distinct-value counts, the rank is the INTEGER
+    formula (n·pm + 999) div 1000, and the selected value is an existing
+    input value — bit-identical across engines with no float anywhere
+    (operators/relational.py group_quantiles)."""
+    return R.group_quantiles(
+        _t(spark, sf_dir, "events"), "event_type", "value"
+    )

@@ -83,3 +83,62 @@ def test_duckdb_twin_on_constructed_funnel(spark):
     assert _rows(funnel_latency(df, STAGES, horizon_us=30)) == [
         tuple(r) for r in con.execute(sql_h).fetchall()
     ]
+
+
+# --- op 159: exact per-group nearest-rank quantiles -------------------------
+
+
+def test_group_quantiles_matches_python_reference_and_twin(spark):
+    import math
+    import random
+
+    from dwca_parquet_spark.operators.relational import (
+        group_quantiles,
+        sql_group_quantiles,
+    )
+
+    rng = random.Random(3)
+    rows = []
+    for g in ("a", "b", "c"):
+        for _ in range(rng.randrange(5, 60)):
+            rows.append((g, round(rng.uniform(0, 100), 2)))
+    rows += [("a", None), ("nullonly", None)]  # NULLs leave the universe
+    rows += [("ties", 7.0)] * 9  # a tie plateau
+    df = spark.createDataFrame(rows, "event_type string, value double")
+    out = {
+        r["event_type"]: r
+        for r in group_quantiles(df, "event_type", "value").collect()
+    }
+    # python nearest-rank mirror
+    byg = {}
+    for g, v in rows:
+        if v is not None:
+            byg.setdefault(g, []).append(v)
+    for g, vs in byg.items():
+        vs.sort()
+        n = len(vs)
+        assert out[g]["n"] == n
+        for pm in (500, 900, 990):
+            rank = (n * pm + 999) // 1000
+            assert out[g][f"p{pm}"] == vs[rank - 1], (g, pm)
+    assert "nullonly" not in out  # no non-null values → no row
+    assert out["ties"]["p500"] == out["ties"]["p990"] == 7.0
+    # duckdb twin
+    import pandas as pd
+    import duckdb
+
+    con = duckdb.connect()
+    con.register(
+        "qfix", pd.DataFrame(rows, columns=["event_type", "value"])
+    )
+    got = sorted(
+        tuple(r)
+        for r in con.execute(
+            sql_group_quantiles("qfix", "event_type", "value")
+        ).fetchall()
+    )
+    sp = sorted(
+        tuple(r)
+        for r in group_quantiles(df, "event_type", "value").collect()
+    )
+    assert sp == got
