@@ -319,6 +319,19 @@ def group_quantiles(
         F.col(key_col).alias("_k"), F.col(value_col).alias("_v")
     )
     cnt = vals.groupBy("_k", "_v").agg(F.count(F.lit(1)).alias("_c"))
+    return quantiles_from_counts(cnt, permilles).withColumnRenamed(
+        "_k", key_col
+    )
+
+
+def quantiles_from_counts(
+    cnt: DataFrame, permilles: tuple[int, ...] = (500, 900, 990)
+) -> DataFrame:
+    """The rank-selection stage of :func:`group_quantiles`, split out so
+    the streaming value-distribution state (streaming/activity.py,
+    op 160) reports through the IDENTICAL plan — counts are additive,
+    so fold ≡ one-shot reduces to count additivity. ``cnt`` columns:
+    (_k, _v, _c)."""
     w = (
         Window.partitionBy("_k")
         .orderBy("_v")
@@ -339,10 +352,8 @@ def group_quantiles(
                 )
             ).alias(f"p{pm}")
         )
-    return (
-        joined.groupBy("_k")
-        .agg(*picks)
-        .select(F.col("_k").alias(key_col), "n", *[f"p{pm}" for pm in permilles])
+    return joined.groupBy("_k").agg(*picks).select(
+        "_k", "n", *[f"p{pm}" for pm in permilles]
     )
 
 

@@ -408,3 +408,120 @@ def activity_cusum_report(
         "key", "bucket", F.col("sum_value").cast("decimal(18,2)").alias("_x")
     )
     return cusum_from_buckets(obs, slack, tau)
+
+
+# ---------------------------------------------------------------------------
+# Streaming value-distribution state → exact quantile panel (op 160)
+# ---------------------------------------------------------------------------
+# The op-159 exact per-group quantiles, served continuously: the state is
+# the per-(key, value) COUNT table — counts are additive, so the fold law
+# is exact (fold ≡ one-shot group_quantiles over the union, row-for-row,
+# via the SHARED rank-selection stage quantiles_from_counts). State size
+# is the distinct (key, value) domain — for telemetry-style values
+# (bounded decimals) this is the honest bounded summary; an unbounded
+# continuous domain wants an upstream quantization, the same
+# distinct-count discipline as ops 124/156/159. Keys and values are cast
+# to stable state types (string / double) — the sketches-state precedent.
+
+VDIST_SCHEMA = "key string, v double, c long"
+
+
+def read_vdist_state(
+    spark: SparkSession, state_path: str
+) -> tuple[int, DataFrame]:
+    """(watermark, state) — an empty correctly-typed table when none."""
+    wm = applied_watermark(spark, state_path)
+    if wm < 0:
+        return wm, spark.createDataFrame([], VDIST_SCHEMA)
+    base = f"{str(state_path).rstrip('/')}/v{wm}"
+    return wm, spark.read.schema(VDIST_SCHEMA).parquet(
+        f"{base}/vdist.parquet"
+    )
+
+
+def apply_vdist_batch(
+    spark: SparkSession,
+    state_path: str,
+    batch: DataFrame,
+    batch_id: int,
+    key_col: str = "event_type",
+    value_col: str = "value",
+    keep_versions: int = 2,
+) -> bool:
+    """Fold one micro-batch's (key, value) counts into the stored
+    distribution; False = replay skipped (transactional discipline)."""
+    wm, state = read_vdist_state(spark, state_path)
+    if batch_id <= wm:
+        return False
+    part = (
+        batch.filter(F.col(value_col).isNotNull())
+        .select(
+            F.col(key_col).cast("string").alias("key"),
+            F.col(value_col).cast("double").alias("v"),
+        )
+        .groupBy("key", "v")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    merged = (
+        state.unionByName(part)
+        .groupBy("key", "v")
+        .agg(F.sum("c").cast("long").alias("c"))
+    )
+    base = str(state_path).rstrip("/")
+    fs = FS(spark, base)
+    tmp, final = f"{base}/v{batch_id}.tmp", f"{base}/v{batch_id}"
+    if fs.exists(tmp):
+        fs.delete(tmp)
+    merged.write.parquet(f"{tmp}/vdist.parquet")
+    fs.rename(tmp, final)
+    for p in fs.glob(f"{base}/v*"):
+        m = _VDIR.match(p)
+        if m and int(m.group(1)) <= batch_id - keep_versions:
+            fs.delete(p)
+    return True
+
+
+def vdist_quantile_report(
+    state: DataFrame, permilles: tuple[int, ...] = (500, 900, 990)
+) -> DataFrame:
+    """The op-159 result from state via the IDENTICAL selection stage —
+    report(state) ≡ group_quantiles(union) row-for-row by count
+    additivity (pinned)."""
+    from dwca_parquet_spark.operators.relational import (
+        quantiles_from_counts,
+    )
+
+    cnt = state.select(
+        F.col("key").alias("_k"),
+        F.col("v").alias("_v"),
+        F.col("c").alias("_c"),
+    )
+    return quantiles_from_counts(cnt, permilles).withColumnRenamed(
+        "_k", "key"
+    )
+
+
+def stream_vdist_maintain(
+    stream: DataFrame,
+    state_path: str,
+    checkpoint: str,
+    key_col: str = "event_type",
+    value_col: str = "value",
+):
+    """Start a streaming query maintaining the value-distribution state;
+    read the exact quantile panel any time via read_vdist_state +
+    vdist_quantile_report."""
+    spark = stream.sparkSession
+
+    def body(batch: DataFrame, batch_id: int) -> None:
+        apply_vdist_batch(
+            spark, state_path, batch, batch_id,
+            key_col=key_col, value_col=value_col,
+        )
+
+    return (
+        stream.writeStream.foreachBatch(body)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -218,6 +218,8 @@ SLOW_NODE_IDS = {
     "test_graph.py::test_pagerank_resume_equals_straight_run",
     "test_graph.py::test_kcore_matches_reference_and_planted_cliques",
     "test_triangles_incremental.py::test_stream_wiring_converges",
+    "test_streaming_vdist.py::test_fold_equals_one_shot_quantiles",
+    "test_streaming_vdist.py::test_stream_wiring_converges",
 }
 
 
