@@ -546,7 +546,8 @@ def r5_tier_specs():
         ),
         "r9_triangles": (
             lambda s: triangle_count(
-                cooccurrence_edges(lineitem(s), "l_orderkey", "l_partkey")
+                cooccurrence_edges(lineitem(s), "l_orderkey", "l_partkey"),
+                assume_canonical=True,
             ),
             Q.ORACLES["q69_triangles"],
         ),

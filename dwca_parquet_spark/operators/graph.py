@@ -229,7 +229,9 @@ def cooccurrence_edges(
     return pairs.distinct()
 
 
-def triangle_count(edges: DataFrame) -> DataFrame:
+def triangle_count(
+    edges: DataFrame, assume_canonical: bool = False
+) -> DataFrame:
     """Exact global triangle count over an undirected edge set stored as
     (u < v) pairs — the clustering/community-density census (SURVEY §2.G
     op 142).
@@ -258,7 +260,14 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     global clustering = 3·triangles / wedges over the ORIGINAL graph
     (wedges = Σ_v C(deg_v, 2), reported from unoriented degrees).
     """
-    e = persist_tracked(edges.select("u", "v").distinct())
+    # assume_canonical skips the defensive dedup when the producer
+    # already guarantees a distinct (u < v) set (cooccurrence_edges
+    # does) — the double distinct was one full edge shuffle wasted
+    # per census (round-10 profile)
+    e = edges.select("u", "v")
+    if not assume_canonical:
+        e = e.distinct()
+    e = persist_tracked(e)
     deg = (
         e.select(F.col("u").alias("n"))
         .unionAll(e.select(F.col("v").alias("n")))
@@ -434,7 +443,7 @@ def triangle_state_build(edges: DataFrame, path: str) -> dict:
         if fs.exists(f"{path}/{sub}"):
             fs.delete(f"{path}/{sub}")
     e = persist_tracked(_canon_edges(edges))
-    row = triangle_count(e).first()
+    row = triangle_count(e, assume_canonical=True).first()
     totals = {
         "n_edges": row["n_edges"] or 0,
         "n_wedges": row["n_wedges"] or 0,  # sum over empty frame is NULL
@@ -539,6 +548,11 @@ def triangle_state_append(
     t3_x3 = wedge_pairs.join(
         F.broadcast(delta), ["u", "v"], "left_semi"
     ).count()
+    if t3_x3 % 3:
+        raise AssertionError(
+            f"wedge-closure count {t3_x3} not divisible by 3 — "
+            "the 3-wedges-per-triangle invariant broke"
+        )
     t3 = t3_x3 // 3
     # wedge advance from touched nodes only: Σ C(d_old+δ, 2) − C(d_old, 2)
     # (exact — untouched nodes' degrees are unchanged); d_old read off

@@ -313,7 +313,10 @@ def group_quantiles(
     values are all-distinct at data scale wants a coarser upstream
     quantization (the op-124 pr_curve distinct-count discipline).
 
-    Output: (key, n, p{pm} ...) — one row per group.
+    Output: (key, n, p{pm} ...) — one row per group. NaN contract:
+    both engines order NaN after every number and group NaNs as equal,
+    so results agree — but a NaN-carrying domain usually wants an
+    upstream filter (a NaN landing at a selected rank IS the answer).
     """
     vals = df.filter(F.col(value_col).isNotNull()).select(
         F.col(key_col).alias("_k"), F.col(value_col).alias("_v")

@@ -1976,7 +1976,7 @@ def q69_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = _t(spark, sf_dir, "lineitem")
     edges = G.cooccurrence_edges(li, "l_orderkey", "l_partkey")
-    return G.triangle_count(edges)
+    return G.triangle_count(edges, assume_canonical=True)
 
 
 # epoch µs of 2024-01-01 UTC — the fixture corpus epoch; rebasing x keeps
