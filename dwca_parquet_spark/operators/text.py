@@ -2322,6 +2322,71 @@ def _lid_bucket_array(codes: Column, k: int, buckets: int) -> Column:
     )
 
 
+def _lid_bucket_counts(
+    df: DataFrame, id_col: str, text_col: str, k: int, buckets: int
+) -> DataFrame:
+    """(id, b, c): per-row char-k-gram bucket COUNTS — the multinomial
+    sufficient statistic, ≤ ``buckets`` rows per input row instead of
+    one exploded row per character position.
+
+    Arrow-batched mapInPandas for k ≤ 5: normalization stays a JVM
+    regex projection; Python sees (id, printable-ASCII text) and
+    vectorizes the rolling hash as ONE NumPy expression — for ASCII
+    codes and k ≤ 5 the stepwise mod never fires (max intermediate
+    127·(31^k−1)/30 < HASH_MOD), so h = Σ c_j·31^(k−1−j) is VALUE-
+    identical to the JVM fold — then np.bincount. Spark's higher-order
+    array functions run interpreted, and the round-10 profile put ~2×
+    of lid's cost in exactly that walk; this is the pHash/zlib
+    precedent (Arrow batch when built-ins can't express it
+    efficiently), with bit-identical outputs pinned against the HOF
+    path in test_lid.py. k > 5 falls back to the exact JVM fold.
+    """
+    if k > 5:
+        staged = (
+            df.select(
+                F.col(id_col), H.normalize_text(F.col(text_col)).alias("_nt")
+            )
+            .select(F.col(id_col), H.char_codes(F.col("_nt")).alias("_cd"))
+            .select(
+                F.col(id_col),
+                F.explode(_lid_bucket_array(F.col("_cd"), k, buckets)).alias(
+                    "b"
+                ),
+            )
+        )
+        return staged.groupBy(id_col, "b").agg(
+            F.count(F.lit(1)).alias("c")
+        )
+    import numpy as np
+
+    staged = df.select(
+        F.col(id_col).alias("_id"),
+        H.normalize_text(F.col(text_col)).alias("_nt"),
+    ).filter(F.col("_nt").isNotNull() & (F.length("_nt") >= k))
+    pows = [H.HASH_BASE ** (k - 1 - j) for j in range(k)]
+
+    def gen(batches):
+        for pdf in batches:
+            ids, bs, cs = [], [], []
+            for rid, nt in zip(pdf["_id"], pdf["_nt"]):
+                codes = np.frombuffer(
+                    nt.encode("ascii"), dtype=np.uint8
+                ).astype(np.int64)
+                n = len(codes)
+                h = np.zeros(n - k + 1, dtype=np.int64)
+                for j, p in enumerate(pows):
+                    h += codes[j : n - k + 1 + j] * p
+                cnt = np.bincount(h % buckets, minlength=0)
+                nz = np.nonzero(cnt)[0]
+                ids.extend([rid] * len(nz))
+                bs.extend(nz.tolist())
+                cs.extend(cnt[nz].tolist())
+            yield pd.DataFrame({"_id": ids, "b": bs, "c": cs})
+
+    schema = f"_id {dict(staged.dtypes)['_id']}, b long, c long"
+    return staged.mapInPandas(gen, schema).withColumnRenamed("_id", id_col)
+
+
 def lid_fit(
     df: DataFrame,
     text_col: str,
@@ -2341,16 +2406,15 @@ def lid_fit(
     order everywhere downstream).
     """
     lab = F.col(label_col).cast("string")
-    staged = (
-        df.filter(lab.isNotNull())
-        .select(lab.alias("y"), H.normalize_text(F.col(text_col)).alias("_nt"))
-        .select("y", H.char_codes(F.col("_nt")).alias("_cd"))
-    )
-    pairs = staged.select(
-        "y", F.explode(_lid_bucket_array(F.col("_cd"), k, buckets)).alias("b")
+    bc = _lid_bucket_counts(
+        df.filter(lab.isNotNull()).select(lab.alias("y"), F.col(text_col)),
+        "y",
+        text_col,
+        k,
+        buckets,
     )
     cnt_rows = (
-        pairs.groupBy("y", "b").agg(F.count(F.lit(1)).alias("n")).collect()
+        bc.groupBy("y", "b").agg(F.sum("c").alias("n")).collect()
     )
     doc_rows = (
         df.filter(lab.isNotNull())
@@ -2443,32 +2507,36 @@ def lid_score(
         F.col("bucket").cast("int"),
         *[F.col(f"_wc_{c}").cast(_LID_DEC) for c in classes],
     )
-    staged = (
-        df.select(
-            F.col(id_col), H.normalize_text(F.col(text_col)).alias("_nt")
-        )
-        .select(F.col(id_col), H.char_codes(F.col("_nt")).alias("_cd"))
-        .select(
-            F.col(id_col),
-            _lid_bucket_array(
-                F.col("_cd"), model["k"], model["buckets"]
-            ).alias("_bs"),
-        )
+    # per-doc bucket COUNTS (≤ B rows/doc, Arrow-vectorized for k ≤ 5)
+    # joined to the broadcast weights; Σ w·c is exact decimal — w·c
+    # equals w summed c times exactly, so this is value-identical to
+    # the per-occurrence fold (the count cast keeps the product inside
+    # precision 38 so Spark never reduces the scale)
+    bc = _lid_bucket_counts(
+        df, id_col, text_col, model["k"], model["buckets"]
+    ).join(
+        F.broadcast(wdf),
+        F.col("b").cast("int") == F.col("bucket"),
+        "left",
     )
-    ex = (
-        staged.select(
-            F.col(id_col),
-            F.col("_bs").isNull().alias("_nul"),
-            F.explode_outer(F.col("_bs")).alias("_b"),
-        )
-        .withColumn("_b", F.col("_b").cast("int"))
-        .join(F.broadcast(wdf), F.col("_b") == F.col("bucket"), "left")
-    )
+    cdec = F.col("c").cast("decimal(10,0)")
     zero = F.lit("0").cast(_LID_DEC)
-    aggs = [F.max("_nul").alias("_nul")]
-    for c in classes:
-        aggs.append(F.sum(F.col(f"_wc_{c}")).alias(f"_w_{c}"))
-    grouped = ex.groupBy(id_col).agg(*aggs)
+    # the sum narrows to (28,9) — exact, |Σ| << 10^19 — because a
+    # (38,9) operand would push the prior ADDITION past precision 38,
+    # where Spark silently drops the scale to 8: a double-rounding
+    # that flipped two fixture scores by 1e-6 (caught by the twin)
+    waggs = [
+        F.sum(F.col(f"_wc_{c}") * cdec).cast("decimal(28,9)").alias(f"_w_{c}")
+        for c in classes
+    ]
+    sums = bc.groupBy(id_col).agg(*waggs)
+    # empty/short texts have no bucket rows (bare priors); NULL text →
+    # NULL scores — the _nul flag rides a plain scan-stage projection
+    base = df.select(
+        F.col(id_col),
+        H.normalize_text(F.col(text_col)).isNull().alias("_nul"),
+    )
+    grouped = base.join(sums, id_col, "left")
     score_cols = []
     for c in classes:
         pc = F.lit(f"{pri[c]:.9f}").cast(_LID_DEC)

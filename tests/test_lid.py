@@ -225,3 +225,50 @@ def test_lid_edge_cases(spark):
         + " ORDER BY doc_id"
     ).fetchall()
     assert sp == [tuple(r) for r in fit]
+
+
+def test_bucket_counts_arrow_equals_hof_path(spark):
+    """The Arrow-vectorized bucket-count path is BIT-identical to the
+    JVM higher-order fold it replaced — same rolling hash, same
+    multiplicities — on mixed/edge inputs."""
+    from pyspark.sql import functions as F
+
+    from dwca_parquet_spark.operators.text import (
+        _lid_bucket_array,
+        _lid_bucket_counts,
+    )
+    from dwca_parquet_spark.functions import hashing as H
+
+    rows = [
+        (1, "hello world hello"),
+        (2, "ab"),  # shorter than k
+        (3, ""),
+        (4, None),
+        (5, "ZZ  zz\t Zz"),  # normalization collapses/lowers
+        (6, "x" * 5000),  # one long run → one bucket, high count
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for k, b in ((3, 256), (2, 64), (5, 512)):
+        arrow = sorted(
+            tuple(r)
+            for r in _lid_bucket_counts(df, "doc_id", "text", k, b).collect()
+        )
+        hof = sorted(
+            tuple(r)
+            for r in (
+                df.select(
+                    "doc_id", H.normalize_text(F.col("text")).alias("_nt")
+                )
+                .select("doc_id", H.char_codes(F.col("_nt")).alias("_cd"))
+                .select(
+                    "doc_id",
+                    F.explode(_lid_bucket_array(F.col("_cd"), k, b)).alias(
+                        "b"
+                    ),
+                )
+                .groupBy("doc_id", "b")
+                .agg(F.count(F.lit(1)).alias("c"))
+                .collect()
+            )
+        )
+        assert arrow == hof, (k, b)
