@@ -631,6 +631,53 @@ def triangle_state_report(spark, path: str) -> DataFrame:
 # fixed-iteration PageRank, so the repo doesn't offer it as an exact op).
 
 
+def _pagerank_state_write(
+    spark, path: str, iters: int, damping: str, ranks: DataFrame
+) -> None:
+    """One complete state version under v{iters} via tmp + atomic
+    rename — the repo's transactional discipline: a crash anywhere
+    leaves the previous complete version untouched (the max complete
+    v-dir IS the state; earlier versions prune only after commit)."""
+    import re
+
+    from dwca_parquet_spark.fs import FS
+
+    fs = FS(spark, path)
+    tmp, final = f"{path}/v{iters}.tmp", f"{path}/v{iters}"
+    if fs.exists(tmp):
+        fs.delete(tmp)
+    ranks.write.parquet(f"{tmp}/ranks.parquet")
+    spark.createDataFrame(
+        [(int(iters), str(damping))], "iters long, damping string"
+    ).coalesce(1).write.parquet(f"{tmp}/meta.parquet")
+    if fs.exists(final):
+        fs.delete(final)
+    fs.rename(tmp, final)
+    for p in fs.glob(f"{path}/v*"):
+        m = re.search(r"/v(\d+)$", p)
+        if m and int(m.group(1)) < iters:
+            fs.delete(p)
+
+
+def _pagerank_state_read(spark, path: str):
+    """(iters, damping, ranks) from the newest complete version."""
+    import re
+
+    from dwca_parquet_spark.fs import FS
+
+    fs = FS(spark, path)
+    best = -1
+    for p in fs.glob(f"{path}/v*"):
+        m = re.search(r"/v(\d+)$", p)
+        if m:
+            best = max(best, int(m.group(1)))
+    if best < 0:
+        raise ValueError(f"no pagerank state at {path!r} — save first")
+    meta = spark.read.parquet(f"{path}/v{best}/meta.parquet").first()
+    ranks = spark.read.parquet(f"{path}/v{best}/ranks.parquet")
+    return int(meta["iters"]), meta["damping"], ranks
+
+
 def pagerank_state_save(
     edges: DataFrame,
     path: str,
@@ -640,8 +687,8 @@ def pagerank_state_save(
     dst: str = "dst",
 ) -> None:
     """Run ``iters`` rounds and persist the rank state under ``path``
-    (overwrites; growth-in-precision goes through
-    :func:`pagerank_continue`)."""
+    (overwrites any previous run's versions; growth-in-precision goes
+    through :func:`pagerank_continue`)."""
     spark = edges.sparkSession
     from dwca_parquet_spark.fs import FS
 
@@ -649,10 +696,7 @@ def pagerank_state_save(
     if fs.exists(path):
         fs.delete(path)
     ranks = pagerank(edges, iters, damping, src, dst)
-    ranks.write.parquet(f"{path}/ranks.parquet")
-    spark.createDataFrame(
-        [(int(iters), str(damping))], "iters long, damping string"
-    ).coalesce(1).write.parquet(f"{path}/meta.parquet")
+    _pagerank_state_write(spark, path, iters, damping, ranks)
 
 
 def pagerank_continue(
@@ -663,15 +707,13 @@ def pagerank_continue(
     dst: str = "dst",
 ) -> DataFrame:
     """Resume a persisted run for ``more_iters`` further rounds; returns
-    the new ranks and advances the stored state (transactional tmp +
-    rename, so a crash mid-continue leaves the previous state intact).
-    Damping comes from the state — the run's constant, not an argument."""
+    the new ranks and advances the stored state (a new v{iters} version
+    committed by tmp + atomic rename — a crash ANYWHERE mid-continue
+    leaves the previous complete version as the state, which the first
+    cut's delete-then-rename pair did not guarantee). Damping comes
+    from the state — the run's constant, not an argument."""
     spark = edges.sparkSession
-    from dwca_parquet_spark.fs import FS
-
-    fs = FS(spark, path)
-    meta = spark.read.parquet(f"{path}/meta.parquet").first()
-    ranks = spark.read.parquet(f"{path}/ranks.parquet")
+    done, damping, ranks = _pagerank_state_read(spark, path)
     nodes = (
         edges.select(F.col(src).alias("node"))
         .unionByName(edges.select(F.col(dst).alias("node")))
@@ -684,20 +726,11 @@ def pagerank_continue(
     )
     new_ranks = _pagerank_rounds(
         edges, nodes, n_nodes, out_deg, ranks, more_iters,
-        meta["damping"], src, dst,
+        damping, src, dst,
     )
-    tmp = f"{path}/next.tmp"
-    if fs.exists(tmp):
-        fs.delete(tmp)
-    new_ranks.write.parquet(f"{tmp}/ranks.parquet")
-    spark.createDataFrame(
-        [(int(meta["iters"]) + int(more_iters), meta["damping"])],
-        "iters long, damping string",
-    ).coalesce(1).write.parquet(f"{tmp}/meta.parquet")
-    for sub in ("ranks.parquet", "meta.parquet"):
-        fs.delete(f"{path}/{sub}")
-        fs.rename(f"{tmp}/{sub}", f"{path}/{sub}")
-    fs.delete(tmp)
+    _pagerank_state_write(
+        spark, path, done + int(more_iters), damping, new_ranks
+    )
     return new_ranks
 
 

@@ -159,7 +159,7 @@ def test_pagerank_resume_equals_straight_run(spark, tmp_path):
     assert sorted(map(tuple, resumed2.collect())) == sorted(
         map(tuple, straight7.collect())
     )
-    meta = spark.read.parquet(f"{path}/meta.parquet").first()
+    meta = spark.read.parquet(f"{path}/v7/meta.parquet").first()
     assert meta["iters"] == 7 and meta["damping"] == "0.85"
 
 
