@@ -458,7 +458,13 @@ def triangle_state_append(
 ) -> dict | bool:
     """Fold one edge batch into the stored census (op 154). Returns the
     updated totals, or False when ``batch_id`` <= the stored watermark
-    (transactional replay no-op). Earlier segments are never rewritten."""
+    (transactional replay no-op). Earlier segments are never rewritten.
+
+    Sizing contract: the broadcast frames are the batch's endpoint set
+    and the old edges INTERNAL to it — bounded by the batch's
+    neighborhood, not the graph. A batch approaching graph scale
+    (touching most nodes) degenerates those broadcasts; that regime is
+    a rebuild, not an append — call triangle_state_build."""
     wm, totals = _tri_watermark(spark, path)
     if totals is None:
         raise ValueError(f"no triangle state at {path!r} — build first")
