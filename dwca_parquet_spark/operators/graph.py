@@ -401,6 +401,28 @@ def _tri_watermark(spark, path: str) -> tuple[int, dict | None]:
     }
 
 
+def _tri_segments(fs, path: str, wm: int) -> tuple[list[str], list[str]]:
+    """Partition segment dirs into (committed, orphan) by the totals
+    watermark. A segment with version > wm is a crashed append's
+    leftover: op-154's commit protocol writes the segment BEFORE the
+    totals rename, so a crash between the two leaves an orphan that
+    MUST NOT be read as old edges — the retry would see its own batch
+    as already-present, compute an empty delta, and commit unchanged
+    totals while the orphan keeps poisoning every later append
+    (ADVICE r10 #1; regression-pinned in
+    tests/test_triangles_incremental.py)."""
+    import re
+
+    committed: list[str] = []
+    orphans: list[str] = []
+    for p in fs.glob(f"{path}/segments/seg*"):
+        m = re.search(r"/seg(\d+)$", p)
+        if not m:
+            continue
+        (committed if int(m.group(1)) <= wm else orphans).append(p)
+    return committed, orphans
+
+
 def _tri_write_state(
     spark, path: str, version: int, seg: DataFrame | None, totals: dict
 ) -> None:
@@ -454,23 +476,47 @@ def triangle_state_build(edges: DataFrame, path: str) -> dict:
 
 
 def triangle_state_append(
-    spark, path: str, batch_edges: DataFrame, batch_id: int
+    spark,
+    path: str,
+    batch_edges: DataFrame,
+    batch_id: int,
+    hub_degree_limit: int | None = None,
 ) -> dict | bool:
     """Fold one edge batch into the stored census (op 154). Returns the
     updated totals, or False when ``batch_id`` <= the stored watermark
-    (transactional replay no-op). Earlier segments are never rewritten.
+    (transactional replay no-op). Earlier COMMITTED segments are never
+    rewritten; a segment above the watermark is a crashed append's
+    orphan and is deleted before the old graph is read (the totals
+    rename is the commit point, so the orphan was never part of the
+    state).
 
     Sizing contract: the broadcast frames are the batch's endpoint set
     and the old edges INTERNAL to it — bounded by the batch's
-    neighborhood, not the graph. A batch approaching graph scale
-    (touching most nodes) degenerates those broadcasts; that regime is
-    a rebuild, not an append — call triangle_state_build."""
+    neighborhood, not the graph. Two degenerate regimes exist: (a) a
+    batch approaching graph scale (touching most nodes) degenerates the
+    broadcasts — that regime is a rebuild, not an append (call
+    triangle_state_build); (b) a batch touching a MEGA-HUB collects
+    that hub's full old-neighbor list into one array row (the adj_t
+    build below) — a single touched node of degree 10^8 is a ~GB row.
+    ``hub_degree_limit`` makes (b) a counted guard (the op-110
+    short-bucket-limit precedent): when set, the append raises if any
+    touched node's old degree exceeds it, and the caller should fall
+    back to triangle_state_build (whose census never builds per-node
+    adjacency beyond the O(sqrt(m))-bounded oriented lists)."""
     wm, totals = _tri_watermark(spark, path)
     if totals is None:
         raise ValueError(f"no triangle state at {path!r} — build first")
     if batch_id <= wm:
         return False
-    old = spark.read.parquet(f"{path}/segments/seg*").select("u", "v")
+    from dwca_parquet_spark.fs import FS
+
+    fs = FS(spark, path)
+    committed, orphans = _tri_segments(fs, path, wm)
+    for p in orphans:
+        fs.delete(p)
+    if not committed:
+        raise ValueError(f"triangle state at {path!r} has no segments")
+    old = spark.read.parquet(*committed).select("u", "v")
     cb = persist_tracked(_canon_edges(batch_edges))
     # everything below is confined to BATCH-TOUCHED nodes: broadcast
     # endpoint semi-filters keep every old-edge pass MAP-SIDE over the
@@ -511,6 +557,17 @@ def triangle_state_append(
         .groupBy("n")
         .agg(F.sort_array(F.collect_list("m")).alias("nb"))
     )
+    if hub_degree_limit is not None:
+        hub = (
+            adj_t.select(F.max(F.size("nb")).alias("mx")).first()["mx"] or 0
+        )
+        if hub > hub_degree_limit:
+            raise ValueError(
+                f"batch touches a node with old degree {hub} > "
+                f"hub_degree_limit={hub_degree_limit}; its adjacency "
+                "would materialize as one array row — rebuild via "
+                "triangle_state_build instead of appending"
+            )
     # t1: both-old wedges closing each new edge — common OLD neighbors
     # of the new edge's endpoints
     t1 = (
@@ -727,6 +784,15 @@ def pagerank_continue(
         .localCheckpoint()
     )
     n_nodes = nodes.count()
+    if n_nodes == 0:
+        # mirror pagerank's empty-graph return (ADVICE r10): resuming
+        # state saved from an empty edge table must not hit the
+        # teleport division — empty ranks out, state still advanced
+        empty = nodes.select("node", F.lit(None).cast(DEC).alias("rank"))
+        _pagerank_state_write(
+            spark, path, done + int(more_iters), damping, empty
+        )
+        return empty
     out_deg = persist_tracked(
         edges.groupBy(src).agg(F.count(F.lit(1)).alias("_deg"))
     )
@@ -773,6 +839,7 @@ def kcore(edges: DataFrame, k: int, max_rounds: int = 1000) -> DataFrame:
     Returns the surviving canonical edge set (u < v).
     """
     e = _canon_edges(edges).localCheckpoint()
+    after: int | None = None
     for _ in range(max_rounds):
         deg = _both_dirs(e).groupBy("n").agg(F.count(F.lit(1)).alias("d"))
         keep = deg.filter(F.col("d") >= k).select("n")
@@ -786,6 +853,16 @@ def kcore(edges: DataFrame, k: int, max_rounds: int = 1000) -> DataFrame:
         e = nxt
         if after == before or after == 0:
             break
+    else:
+        # exhausting max_rounds without the fixpoint would silently
+        # return a superset of the k-core — the docstring's exactness
+        # contract requires a loud failure instead (ADVICE r10);
+        # detection is free, the counts above already exist
+        raise RuntimeError(
+            f"kcore did not reach its fixpoint within max_rounds="
+            f"{max_rounds} (still peeling at {after} edges) — raise "
+            "max_rounds"
+        )
     return e
 
 

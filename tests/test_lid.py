@@ -272,3 +272,41 @@ def test_bucket_counts_arrow_equals_hof_path(spark):
             )
         )
         assert arrow == hof, (k, b)
+
+
+def test_lid_label_charset_guard(spark):
+    """ADVICE r10: class labels are interpolated into column names and
+    oracle SQL literals — an exotic label must fail loudly at fit time,
+    not break column resolution (or inject SQL) downstream."""
+    import pytest
+
+    from dwca_parquet_spark.operators.text import lid_fit, lid_score
+
+    df = spark.createDataFrame(
+        [
+            ("a", "the quick brown fox jumps over things", "en"),
+            ("b", "le renard brun saute par dessus tout", "fr'); --"),
+        ],
+        "doc_id string, text string, lang string",
+    )
+    with pytest.raises(ValueError, match="safe charset"):
+        lid_fit(df, "text", "lang")
+    # a hand-built model with a bad label fails at weight build too
+    bad_model = {
+        "k": 3, "buckets": 4, "alpha": 1.0,
+        "classes": ["en", "x.y z"],
+        "counts": {}, "totals": {"en": 0, "x.y z": 0},
+        "docs": {"en": 1, "x.y z": 1}, "n_docs": 2,
+    }
+    with pytest.raises(ValueError, match="safe charset"):
+        lid_score(df, "doc_id", "text", bad_model)
+    # the safe charset itself still fits/scores
+    ok = spark.createDataFrame(
+        [
+            ("a", "the quick brown fox jumps over things", "en-US_1"),
+            ("b", "le renard brun saute par dessus tout", "fr"),
+        ],
+        "doc_id string, text string, lang string",
+    )
+    model = lid_fit(ok, "text", "lang")
+    assert lid_score(ok, "doc_id", "text", model).count() == 2
