@@ -19,6 +19,17 @@ The same JSON line also carries DuckDB oracle timings ("oracle" per-query,
 artifact: each headline query's oracle_sql() runs once in DuckDB over the
 same parquet files (fetchall() forces full materialization). Disable with
 SPARK_GRAFT_BENCH_ORACLE=0.
+
+Oracle protocol (round 11, VERDICT r10 #1): each oracle query runs on a
+FRESH DuckDB connection. The previous long-lived shared connection made
+oracle times depend on what ran before it — the identical q69 triangle
+statement measured ~3 s on a fresh connection but 17-74 s after 27 prior
+headline oracles had raised the process memory high-water (the self-join
+spilled), which both flattered the r9_triangles ratio and whipsawed
+r5_vs_oracle round-over-round with no code change. A fresh connection per
+statement makes every row's denominator measure the engine on the query,
+not the session history; view creation is catalog-only (~ms) and is
+excluded from the timed region regardless.
 """
 
 from __future__ import annotations
@@ -93,6 +104,10 @@ R5 = os.environ.get("SPARK_GRAFT_BENCH_R5", "1").lower() not in (
 )
 
 _HTML_WRAP_SPARK = None  # built lazily inside r5_tier_specs
+
+# group-HH replication factor: ONE constant feeding the Spark explode,
+# the SQL generate_series, and the comment on the r8_group_hh row
+_HH_R = 16
 
 
 def r5_tier_specs():
@@ -449,14 +464,17 @@ def r5_tier_specs():
         # identical tokenize+hash scan ALONE was 0.54 s — already > 2×
         # the whole 0.17 s oracle, so the ratio measured the fixture
         # floor, not the plan (and a repartition(32) measured WORSE —
-        # SCALE.md round 9). Both engines now replicate documents
-        # 8-fold (~21.6M (group, item) pairs; the r8-AUC re-scale
-        # precedent), the point where scan cost < oracle time
-        # (tools/group_hh_bench_scale.py: floor 0.51 s vs oracle
-        # 1.46 s = 0.35×, ratio 1.55×; R=16 → 1.02×). Counts scale by
-        # 8 uniformly, so the HH set and the n/33 guarantee threshold
-        # are volume-invariant; guarantee/exactness gates
-        # (test_group_hh.py) are untouched.
+        # SCALE.md round 9). Both engines replicate documents
+        # _HH_R-fold (R=16 per the round-9 R-sweep,
+        # tools/group_hh_bench_scale.py: R=8 → floor 0.51 s vs oracle
+        # 1.46 s, ratio 1.55×; R=16 → 1.02× — ~43M (group, item)
+        # pairs, past the point where scan cost < oracle time; the
+        # r8-AUC re-scale precedent). Counts scale by R uniformly, so
+        # the HH set and the n/33 guarantee threshold are
+        # volume-invariant; guarantee/exactness gates
+        # (test_group_hh.py) are untouched. The one constant below
+        # feeds BOTH engines (ADVICE r10: the committed record must
+        # describe the measured volume).
         "r8_group_hh": (
             lambda s: heavy_hitters_by_group(
                 docs(s)
@@ -464,7 +482,7 @@ def r5_tier_specs():
                 .select(
                     "source",
                     F.explode(
-                        F.sequence(F.lit(1), F.lit(16))
+                        F.sequence(F.lit(1), F.lit(_HH_R))
                     ).alias("_rep"),
                     F.explode(_tok_expr()).alias("token"),
                 )
@@ -473,13 +491,13 @@ def r5_tier_specs():
                 "token",
                 32,
             ),
-            """
+            f"""
             WITH c AS (SELECT source AS grp,
                               unnest(string_split_regex(trim(
                                 regexp_replace(regexp_replace(lower(text),
                                   '[^\\x20-\\x7e]', '', 'g'),
                                   '\\s+', ' ', 'g')), ' ')) AS item
-                       FROM documents CROSS JOIN generate_series(1, 16)
+                       FROM documents CROSS JOIN generate_series(1, {_HH_R})
                        WHERE source IS NOT NULL AND text IS NOT NULL),
                  g AS (SELECT grp, item, count(*) AS cnt FROM c
                        WHERE item != '' GROUP BY 1, 2),
@@ -770,18 +788,11 @@ def main() -> None:
         if r5_errors:
             out["r5_errors"] = r5_errors
         if ORACLE:
-            import duckdb
-
-            con = duckdb.connect()
-            for t in TABLES:
-                con.execute(
-                    f"CREATE VIEW {t} AS SELECT * FROM "
-                    f"read_parquet('{SF_DIR}/{t}.parquet')"
-                )
             r5_oracle: dict[str, float] = {}
             for name, (_fn, sql) in specs.items():
                 if sql is None:
                     continue
+                con = fresh_oracle_con()  # per-statement (VERDICT r10 #1)
                 try:
                     t0 = time.perf_counter()
                     con.execute(sql).fetchall()
@@ -792,6 +803,8 @@ def main() -> None:
                     out.setdefault("r5_oracle_errors", {})[name] = (
                         f"{type(exc).__name__}: {exc}"[:300]
                     )
+                finally:
+                    con.close()
             out["r5_oracle"] = r5_oracle
             common = [q for q in r5_times if q in r5_oracle]
             osum = sum(r5_oracle[q] for q in common)
@@ -845,9 +858,12 @@ def main() -> None:
     spark.stop()
 
 
-def run_oracles() -> tuple[dict[str, float], dict[str, str]]:
-    """Time each headline query's DuckDB oracle once (single run — the
-    oracle is the baseline yardstick, not the optimization target)."""
+def fresh_oracle_con():
+    """A fresh DuckDB connection with the table views registered — one
+    per oracle statement (VERDICT r10 #1: a shared long-lived
+    connection makes oracle times state-dependent; see module
+    docstring). View creation is catalog-only and happens OUTSIDE the
+    timed region."""
     import duckdb
 
     con = duckdb.connect()
@@ -856,12 +872,20 @@ def run_oracles() -> tuple[dict[str, float], dict[str, str]]:
             f"CREATE VIEW {t} AS SELECT * FROM "
             f"read_parquet('{SF_DIR}/{t}.parquet')"
         )
+    return con
+
+
+def run_oracles() -> tuple[dict[str, float], dict[str, str]]:
+    """Time each headline query's DuckDB oracle once (single run — the
+    oracle is the baseline yardstick, not the optimization target),
+    each on a fresh connection."""
     times: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in HEADLINE:
         sql = Q.ORACLES.get(name)
         if sql is None:
             continue
+        con = fresh_oracle_con()
         try:
             t0 = time.perf_counter()
             con.execute(sql).fetchall()
@@ -869,6 +893,8 @@ def run_oracles() -> tuple[dict[str, float], dict[str, str]]:
             print(f"  oracle {name}: {times[name]}s", file=sys.stderr, flush=True)
         except Exception as exc:  # keep timing the rest
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+        finally:
+            con.close()
     return times, errors
 
 

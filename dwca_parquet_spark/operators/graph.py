@@ -887,3 +887,392 @@ def kcore_reference(
             (u, v) for u, v in edges if u not in bad and v not in bad
         }
     return edges
+
+
+# ---------------------------------------------------------------------------
+# Incremental k-core maintenance (SURVEY §2.G op 161 — VERDICT r10 #3,
+# the last graph op outside the incremental column)
+# ---------------------------------------------------------------------------
+# Under edge APPENDS the k-core is monotone: kcore(A) ⊆ kcore(A ∪ B),
+# because kcore(A) is a subgraph of A ∪ B with min degree ≥ k and the
+# k-core is the maximal such subgraph. So stored core nodes never leave —
+# the append only has to decide who ENTERS. Completeness of the candidate
+# region: let S* = newcore \ oldcore and C a connected component of the
+# subgraph induced on S*. If C contained no batch endpoint, every edge
+# incident to C would be old, and every node of C has ≥ k neighbors in
+# oldcore ∪ C — then oldcore ∪ C had min degree ≥ k in the OLD graph,
+# contradicting C ∩ oldcore = ∅. Hence every component of S* contains a
+# batch endpoint that is non-core, and (S* being disjoint from the core)
+# is reachable from it through non-core nodes only. The append therefore:
+#   1. seeds a BFS at the batch's non-core endpoints, expanding through
+#      NON-CORE nodes over old ∪ delta edges → the candidate region R
+#      (each round: one map-side broadcast-semi scan of the segments —
+#      the old graph is never shuffled, the op-154 discipline);
+#   2. peels R with the old core FROZEN as anchors: a candidate's degree
+#      is (#neighbors outside R — provably all old-core) + (#alive
+#      neighbors inside R); rounds shuffle only region-sized frames;
+#   3. the survivors S join the core; the added core edges are the
+#      region edges induced on S ∪ oldcore plus the delta edges internal
+#      to the old core (the k-core is the INDUCED subgraph on its nodes).
+# Storage follows the op-154 segment discipline exactly — append-only
+# all-edge segments plus append-only CORE-ADDITION segments (an edge
+# enters the core at most once, so core segments are disjoint), a tiny
+# versioned totals file as the rename commit point, watermark-filtered
+# reads that delete crash orphans (the ADVICE-r10 lesson baked in from
+# the start). kcore_state_append(state, B) ≡ kcore(A ∪ B) is pinned
+# across batch shapes (tests/test_kcore_incremental.py); the planted-
+# cascade sweep is tools/kcore_incr_sweep.py → SCALE.md.
+# Degenerate regimes (documented, not silently slow): a batch whose
+# candidate region approaches graph scale (e.g. closing a cycle that
+# swallows the whole graph) makes the region broadcasts graph-sized —
+# that regime is a rebuild, exactly like op-154's graph-scale batch.
+
+
+def _kcore_watermark(spark, path: str) -> tuple[int, dict | None]:
+    import re
+
+    from dwca_parquet_spark.fs import FS
+
+    fs = FS(spark, path)
+    best = -1
+    for p in fs.glob(f"{path}/totals/v*"):
+        m = re.search(r"/v(\d+)$", p)
+        if m:
+            best = max(best, int(m.group(1)))
+    if best < 0:
+        return -1, None
+    row = spark.read.parquet(f"{path}/totals/v{best}").first()
+    return best, {
+        "k": int(row["k"]),
+        "n_edges": int(row["n_edges"]),
+        "n_core_edges": int(row["n_core_edges"]),
+        "n_core_nodes": int(row["n_core_nodes"]),
+    }
+
+
+def _kcore_segs(fs, path: str, sub: str, wm: int) -> tuple[list, list]:
+    """(committed, orphan) segment dirs under ``sub`` by version vs the
+    totals watermark (the op-154 crash-recovery rule)."""
+    import re
+
+    committed, orphans = [], []
+    for p in fs.glob(f"{path}/{sub}/seg*"):
+        m = re.search(r"/seg(\d+)$", p)
+        if not m:
+            continue
+        (committed if int(m.group(1)) <= wm else orphans).append(p)
+    return committed, orphans
+
+
+def _kcore_write_state(
+    spark,
+    path: str,
+    version: int,
+    seg: DataFrame | None,
+    core_seg: DataFrame | None,
+    totals: dict,
+) -> None:
+    """Segments first (idempotent overwrite — no totals yet references
+    them), then totals via tmp + atomic rename as the commit point."""
+    from dwca_parquet_spark.fs import FS
+
+    fs = FS(spark, path)
+    for sub, df in (("segments", seg), ("core", core_seg)):
+        if df is None:
+            continue
+        p = f"{path}/{sub}/seg{version}"
+        if fs.exists(p):
+            fs.delete(p)
+        df.write.parquet(p)
+    tmp, final = f"{path}/totals/v{version}.tmp", f"{path}/totals/v{version}"
+    if fs.exists(tmp):
+        fs.delete(tmp)
+    spark.createDataFrame(
+        [
+            (
+                int(totals["k"]),
+                int(totals["n_edges"]),
+                int(totals["n_core_edges"]),
+                int(totals["n_core_nodes"]),
+            )
+        ],
+        "k long, n_edges long, n_core_edges long, n_core_nodes long",
+    ).coalesce(1).write.parquet(tmp)
+    fs.rename(tmp, final)
+
+
+def kcore_state_build(edges: DataFrame, path: str, k: int) -> dict:
+    """Initialize the k-core state: canonical edges as segments/seg0,
+    the op-158 k-core as core/seg0, totals as the commit. Overwrites
+    any previous state at ``path``; growth goes through
+    :func:`kcore_state_append`."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    spark = edges.sparkSession
+    from dwca_parquet_spark.fs import FS
+
+    fs = FS(spark, path)
+    for sub in ("segments", "core", "totals"):
+        if fs.exists(f"{path}/{sub}"):
+            fs.delete(f"{path}/{sub}")
+    e = persist_tracked(_canon_edges(edges))
+    core = persist_tracked(kcore(e, k))
+    n_core_nodes = (
+        core.select(F.col("u").alias("n"))
+        .unionAll(core.select(F.col("v").alias("n")))
+        .distinct()
+        .count()
+    )
+    totals = {
+        "k": k,
+        "n_edges": e.count(),
+        "n_core_edges": core.count(),
+        "n_core_nodes": n_core_nodes,
+    }
+    _kcore_write_state(spark, path, 0, e, core, totals)
+    return totals
+
+
+def kcore_state_report(spark, path: str) -> DataFrame:
+    """The current k-core edge set (u < v) from stored core segments —
+    report(state) ≡ kcore(all appended edges, k) row-for-row (the
+    op-154 gate pattern)."""
+    wm, totals = _kcore_watermark(spark, path)
+    if totals is None:
+        raise ValueError(f"no kcore state at {path!r} — build first")
+    from dwca_parquet_spark.fs import FS
+
+    fs = FS(spark, path)
+    committed, _ = _kcore_segs(fs, path, "core", wm)
+    if not committed:
+        raise ValueError(f"kcore state at {path!r} has no core segments")
+    return spark.read.parquet(*committed).select("u", "v")
+
+
+def kcore_state_append(
+    spark,
+    path: str,
+    batch_edges: DataFrame,
+    batch_id: int,
+    max_bfs_rounds: int = 200,
+    max_peel_rounds: int = 200,
+) -> dict | bool:
+    """Fold one edge batch into the stored k-core (op 161). Returns the
+    updated totals, or False when ``batch_id`` <= the stored watermark
+    (transactional replay no-op). Earlier committed segments are never
+    rewritten; orphans above the watermark are deleted before any read.
+
+    Cost contract: every pass over the old graph is a map-side
+    broadcast-semi filter of the segment scan (the old graph is never
+    shuffled); every shuffle is sized by the candidate region, not the
+    graph. BFS rounds are bounded by the region's diameter and peel
+    rounds by its peeling depth — both loud failures, not silent
+    wrong answers, when the bounds are exceeded."""
+    wm, totals = _kcore_watermark(spark, path)
+    if totals is None:
+        raise ValueError(f"no kcore state at {path!r} — build first")
+    if batch_id <= wm:
+        return False
+    k = totals["k"]
+    from dwca_parquet_spark.fs import FS
+
+    fs = FS(spark, path)
+    seg_c, seg_o = _kcore_segs(fs, path, "segments", wm)
+    core_c, core_o = _kcore_segs(fs, path, "core", wm)
+    for p in seg_o + core_o:
+        fs.delete(p)
+    if not seg_c or not core_c:
+        raise ValueError(f"kcore state at {path!r} is missing segments")
+    old = spark.read.parquet(*seg_c).select("u", "v")
+    old_core = spark.read.parquet(*core_c).select("u", "v")
+
+    cb = persist_tracked(_canon_edges(batch_edges))
+    endpoints = persist_tracked(
+        cb.select(F.col("u").alias("n"))
+        .unionAll(cb.select(F.col("v").alias("n")))
+        .distinct()
+    )
+    # delta = genuinely new edges (endpoint-confined anti, op-154 trick)
+    old_t = old.join(
+        F.broadcast(endpoints.withColumnRenamed("n", "u")), "u", "left_semi"
+    ).join(
+        F.broadcast(endpoints.withColumnRenamed("n", "v")), "v", "left_semi"
+    )
+    delta = persist_tracked(
+        cb.join(F.broadcast(old_t), ["u", "v"], "left_anti")
+    )
+    n_new = delta.count()
+    if n_new == 0:
+        out = dict(totals)
+        _kcore_write_state(spark, path, batch_id, None, None, out)
+        return out
+    union_edges = old.unionAll(delta)
+
+    # core membership of batch endpoints: one map-side scan of the core
+    # segments confined to the (broadcast) endpoint set — a k-core with
+    # k >= 1 has no isolated nodes, so core nodes ≡ core-edge endpoints
+    ep_core = persist_tracked(
+        _both_dirs(old_core)
+        .select("n")
+        .join(F.broadcast(endpoints), "n", "left_semi")
+        .distinct()
+    )
+    seeds = persist_tracked(
+        endpoints.join(F.broadcast(ep_core), "n", "left_anti")
+    ).localCheckpoint()
+
+    # --- BFS: candidate region R = non-core nodes reachable from the
+    # seeds via non-core nodes over old ∪ delta edges -------------------
+    region = seeds
+    frontier = seeds
+    if frontier.count() > 0:
+        for _ in range(max_bfs_rounds):
+            nbrs = (
+                _both_dirs(union_edges)
+                .join(F.broadcast(frontier), "n", "left_semi")
+                .select(F.col("m").alias("n"))
+                .distinct()
+                .join(F.broadcast(region), "n", "left_anti")
+            )
+            # drop neighbors that are in the OLD core (frozen anchors):
+            # map-side scan of the core segments confined to nbrs
+            nbr_core = (
+                _both_dirs(old_core)
+                .select("n")
+                .join(F.broadcast(nbrs), "n", "left_semi")
+                .distinct()
+            )
+            frontier = nbrs.join(
+                F.broadcast(nbr_core), "n", "left_anti"
+            ).localCheckpoint()
+            if frontier.count() == 0:
+                break
+            region = region.unionAll(frontier).localCheckpoint()
+        else:
+            raise RuntimeError(
+                f"kcore_state_append BFS did not converge within "
+                f"max_bfs_rounds={max_bfs_rounds} — the candidate region "
+                "is pathologically deep; rebuild via kcore_state_build"
+            )
+    region = persist_tracked(region)
+
+    # --- region edges + frozen-anchor degrees --------------------------
+    # every neighbor of a region node is either in R or in the old core
+    # (the completeness argument above), so anchors = non-R neighbors
+    ru = region.withColumnRenamed("n", "u")
+    rv = region.withColumnRenamed("n", "v")
+    # NOTE every semi/anti USING-join below re-selects (u, v): Spark
+    # moves the join key FIRST in a USING join's output, so a positional
+    # unionAll after a join on "v" would swap the endpoints
+    e_u = union_edges.join(F.broadcast(ru), "u", "left_semi").select(
+        "u", "v"
+    )
+    e_v = union_edges.join(F.broadcast(rv), "v", "left_semi").select(
+        "u", "v"
+    )
+    region_edges = persist_tracked(e_u.unionAll(e_v).distinct())
+    # split: candidate-candidate edges vs candidate-anchor edges
+    cand_cand = persist_tracked(
+        region_edges.join(F.broadcast(ru), "u", "left_semi")
+        .join(F.broadcast(rv), "v", "left_semi")
+        .select("u", "v")
+    )
+    anchor_inc = region_edges.join(
+        F.broadcast(cand_cand), ["u", "v"], "left_anti"
+    )
+    # per-candidate anchor degree (the anchor endpoint is the non-R one)
+    a_deg = persist_tracked(
+        _both_dirs(anchor_inc)
+        .join(F.broadcast(region), "n", "left_semi")
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("ad"))
+    )
+
+    # --- peel R with anchors frozen ------------------------------------
+    alive = region.localCheckpoint()
+    n_alive = alive.count()
+    for _ in range(max_peel_rounds):
+        if n_alive == 0:
+            break
+        live_cc = (
+            cand_cand.join(
+                F.broadcast(alive.withColumnRenamed("n", "u")),
+                "u",
+                "left_semi",
+            ).join(
+                F.broadcast(alive.withColumnRenamed("n", "v")),
+                "v",
+                "left_semi",
+            )
+        )
+        cc_deg = _both_dirs(live_cc).groupBy("n").agg(
+            F.count(F.lit(1)).alias("cd")
+        )
+        deg = (
+            alive.join(a_deg, "n", "left")
+            .join(cc_deg, "n", "left")
+            .select(
+                "n",
+                (
+                    F.coalesce(F.col("ad"), F.lit(0))
+                    + F.coalesce(F.col("cd"), F.lit(0))
+                ).alias("d"),
+            )
+        )
+        nxt = deg.filter(F.col("d") >= k).select("n").localCheckpoint()
+        n_nxt = nxt.count()
+        alive = nxt
+        if n_nxt == n_alive:
+            break
+        n_alive = n_nxt
+    else:
+        raise RuntimeError(
+            f"kcore_state_append peel did not reach its fixpoint within "
+            f"max_peel_rounds={max_peel_rounds} — raise the bound"
+        )
+    survivors = persist_tracked(alive)
+    n_promoted = survivors.count()
+
+    # --- core additions: induced edges on (old core ∪ survivors) that
+    # touch a survivor, plus delta edges internal to the old core -------
+    su = survivors.withColumnRenamed("n", "u")
+    sv = survivors.withColumnRenamed("n", "v")
+    cc_add = (
+        cand_cand.join(F.broadcast(su), "u", "left_semi")
+        .join(F.broadcast(sv), "v", "left_semi")
+        .select("u", "v")
+    )
+    # candidate-anchor edges whose candidate endpoint survived
+    dead = region.join(F.broadcast(survivors), "n", "left_anti")
+    anchor_add = (
+        anchor_inc.join(
+            F.broadcast(dead.withColumnRenamed("n", "u")), "u", "left_anti"
+        )
+        .join(F.broadcast(dead.withColumnRenamed("n", "v")), "v", "left_anti")
+        .select("u", "v")
+    )
+    # delta edges with BOTH endpoints in the old core (no endpoint in R)
+    delta_cc = (
+        delta.join(F.broadcast(ru), "u", "left_anti")
+        .join(F.broadcast(rv), "v", "left_anti")
+        .select("u", "v")
+    )
+    core_add = persist_tracked(
+        cc_add.unionAll(anchor_add).unionAll(delta_cc)
+    )
+    n_core_add = core_add.count()
+    out = {
+        "k": k,
+        "n_edges": totals["n_edges"] + n_new,
+        "n_core_edges": totals["n_core_edges"] + n_core_add,
+        "n_core_nodes": totals["n_core_nodes"] + n_promoted,
+    }
+    _kcore_write_state(
+        spark,
+        path,
+        batch_id,
+        delta,
+        core_add if n_core_add > 0 else None,
+        out,
+    )
+    return out
