@@ -700,3 +700,162 @@ def leakage_safe_split(
         F.col("cluster_id"),
         split_label(F.col("cluster_id"), splits).alias("split"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-size weighted sampling WITHOUT replacement (SURVEY §2.G op 162 —
+# VERDICT r10 #4: the missing selection primitive between op 71's Poisson
+# weighted sampling, whose output SIZE is random, and op 94's fixed-size
+# UNWEIGHTED group sample)
+# ---------------------------------------------------------------------------
+# Efraimidis–Spirakis (A-ES, "Weighted random sampling with a reservoir",
+# IPL 2006; PAPERS.md): draw u_i ~ U(0,1] per row, rank by u_i^(1/w_i)
+# descending, keep the top n — equivalently keep the n SMALLEST exponential
+# keys E_i = -ln(u_i)/w_i ~ Exp(w_i). For n = 1 the winner is row i with
+# probability exactly w_i/Σw; for n > 1 the scheme is the standard
+# exponential-race WOR sample ("successive sampling" / PPS-without-
+# replacement inclusion semantics).
+#
+# Determinism protocol (the op-92 portable-hash discipline): u_i derives
+# from the seeded mixed hash — u = (mix + 1)/(HASH_MOD + 1) ∈ (0, 1] with
+# mix = (poly_hash(key ‖ salt)·A + B) mod HASH_MOD — so the same (key,
+# salt) draws the same u on any engine, any partitioning, any day, and a
+# fresh salt draws an independent sample. The ONE float step, -ln(u)/w, is
+# evaluated on argument-identical doubles in both engines (division and
+# ln of the same rational — the q78 rounded-ln precedent) and immediately
+# locked to DECIMAL(28,12) (both engines round half-up for positive
+# values), so the ORDER that decides membership is a decimal order with a
+# (key)-tiebreak — engine-exact. Falling out for free: a smaller n picks
+# a PREFIX of a larger n's sample (nesting), and membership is invariant
+# to input partitioning and row order.
+#
+# Rows with NULL or non-positive weight are EXCLUDED (outside the E-S
+# domain: w ≤ 0 has no exponential race; a zero-weight row should never
+# be selected). Document weights must be finite.
+#
+# Scale shape: the key is a scan-stage projection (zero shuffle); the
+# global variant is orderBy(limit) — Spark plans TakeOrderedAndProject,
+# a per-partition partial top-n + one n-row merge, never a full sort;
+# the per-group variant is one row_number window on the group key (the
+# op-117 plan shape; group skew caveat and mitigation identical to
+# group_sample_k). Differential gates: q81/q82 (DuckDB twin, identical
+# hash + decimal order), inclusion-probability law at n=1, nesting,
+# salt independence, partition invariance (tests/test_weighted_sample.py).
+
+_ES_DEC = "decimal(28,12)"
+
+
+def _es_key(key_col: str, weight_col: str, salt: str) -> Column:
+    h = H.poly_hash(F.concat(F.col(key_col).cast("string"), F.lit(salt)))
+    mix = F.pmod(h * F.lit(SAMPLE_A) + F.lit(SAMPLE_B), F.lit(H.HASH_MOD))
+    u = (mix.cast("double") + F.lit(1.0)) / F.lit(float(H.HASH_MOD + 1))
+    return (
+        -F.log(u) / F.col(weight_col).cast("double")
+    ).cast(_ES_DEC)
+
+
+def weighted_sample_k(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    n: int,
+    salt: str = "",
+) -> DataFrame:
+    """Exactly ``n`` rows (fewer only if fewer qualify), probability of
+    selection increasing in ``weight_col``, without replacement — the
+    data-mixture primitive "exactly n docs, probability ∝ quality
+    weight". Output: input columns + ``es_key`` (double, audit column:
+    the decimal race key the selection ordered by)."""
+    ek = _es_key(key_col, weight_col, salt)
+    return (
+        df.filter(F.col(weight_col).cast("double") > 0)
+        .withColumn("_ek", ek)
+        .orderBy(F.col("_ek").asc(), F.col(key_col).asc())
+        .limit(n)
+        .withColumn("es_key", F.col("_ek").cast("double"))
+        .drop("_ek")
+    )
+
+
+def group_weighted_sample_k(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    salt: str = "",
+) -> DataFrame:
+    """Per-group fixed-size weighted sample without replacement: the
+    k smallest exponential race keys inside each group (one window
+    shuffle on the group key). Output: input columns + ``es_key``."""
+    from pyspark.sql import Window
+
+    ek = _es_key(key_col, weight_col, salt)
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("_ek").asc(), F.col(key_col).asc()
+    )
+    return (
+        df.filter(F.col(weight_col).cast("double") > 0)
+        .withColumn("_ek", ek)
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .withColumn("es_key", F.col("_ek").cast("double"))
+        .drop("_ek", "_rk")
+    )
+
+
+def _sql_es_key(key_expr: str, weight_expr: str, salt: str) -> str:
+    esc = salt.replace("'", "''")
+    keyed = (
+        f"(CAST({key_expr} AS VARCHAR) || '{esc}')"
+        if salt
+        else f"CAST({key_expr} AS VARCHAR)"
+    )
+    h = H.sql_poly_hash(keyed)
+    mix = f"((({h}) * {SAMPLE_A} + {SAMPLE_B}) % {H.HASH_MOD})"
+    u = f"((CAST({mix} AS DOUBLE) + 1.0) / {float(H.HASH_MOD + 1)!r})"
+    return (
+        f"CAST(-ln({u}) / CAST({weight_expr} AS DOUBLE)"
+        f" AS DECIMAL(28,12))"
+    )
+
+
+def sql_weighted_sample_k(
+    source: str,
+    key_col: str,
+    weight_expr: str,
+    n: int,
+    salt: str = "",
+) -> str:
+    """DuckDB twin of :func:`weighted_sample_k` — identical hash, u,
+    decimal race key, order, and cut. Output schema matches the Spark
+    side: the source columns + ``es_key`` (EXCLUDE keeps the helper
+    column out of ``*``)."""
+    ek = _sql_es_key(key_col, weight_expr, salt)
+    return (
+        f"SELECT * EXCLUDE (_ek), CAST(_ek AS DOUBLE) AS es_key FROM ("
+        f"SELECT *, {ek} AS _ek FROM {source} "
+        f"WHERE CAST({weight_expr} AS DOUBLE) > 0"
+        f") ORDER BY _ek ASC, {key_col} ASC LIMIT {n}"
+    )
+
+
+def sql_group_weighted_sample_k(
+    source: str,
+    group_col: str,
+    key_col: str,
+    weight_expr: str,
+    k: int,
+    salt: str = "",
+) -> str:
+    """DuckDB twin of :func:`group_weighted_sample_k`."""
+    ek = _sql_es_key(key_col, weight_expr, salt)
+    return (
+        f"SELECT * EXCLUDE (_ek, _rk), CAST(_ek AS DOUBLE) AS es_key "
+        f"FROM ("
+        f"SELECT *, row_number() OVER "
+        f"(PARTITION BY {group_col} ORDER BY _ek ASC, {key_col} ASC) AS _rk "
+        f"FROM (SELECT *, {ek} AS _ek FROM {source} "
+        f"WHERE CAST({weight_expr} AS DOUBLE) > 0)"
+        f") WHERE _rk <= {k}"
+    )

@@ -2442,3 +2442,50 @@ def q80_group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return R.group_quantiles(
         _t(spark, sf_dir, "events"), "event_type", "value"
     )
+
+
+@query(
+    "q81_weighted_sample_k",
+    SMP.sql_weighted_sample_k(
+        "documents", "doc_id", "n_chars + 1", 100, salt="r11"
+    ),
+)
+def q81_weighted_sample_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size weighted sampling WITHOUT replacement (op 162,
+    Efraimidis-Spirakis): exactly 100 documents, selection probability
+    increasing in document length, chosen by the n smallest exponential
+    race keys -ln(u)/w with u from the seeded portable hash — the
+    decimal(28,12)-locked key and the (key ASC) tie-break make
+    membership engine-exact (operators/sampling.py weighted_sample_k).
+    The Spark plan is TakeOrderedAndProject — a per-partition partial
+    top-n + one n-row merge, never a full sort."""
+    d = _t(spark, sf_dir, "documents")
+    return SMP.weighted_sample_k(
+        d.withColumn("_w", F.col("n_chars") + F.lit(1)),
+        "doc_id",
+        "_w",
+        100,
+        salt="r11",
+    ).drop("_w")
+
+
+@query(
+    "q82_group_weighted_sample",
+    SMP.sql_group_weighted_sample_k(
+        "events", "event_type", "event_id", "value", 50, salt="r11"
+    ),
+)
+def q82_group_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group fixed-size weighted sample without replacement
+    (op 162): 50 events per event_type, probability increasing in
+    `value`; rows with NULL/non-positive value are outside the race by
+    the E-S domain contract. One row_number window on the group key
+    (operators/sampling.py group_weighted_sample_k)."""
+    return SMP.group_weighted_sample_k(
+        _t(spark, sf_dir, "events"),
+        "event_type",
+        "event_id",
+        "value",
+        50,
+        salt="r11",
+    )
