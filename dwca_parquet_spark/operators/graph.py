@@ -1086,11 +1086,20 @@ def kcore_state_append(
     old = spark.read.parquet(*seg_c).select("u", "v")
     old_core = spark.read.parquet(*core_c).select("u", "v")
 
-    cb = persist_tracked(_canon_edges(batch_edges))
-    endpoints = persist_tracked(
+    # batch/region-bounded frames below are localCheckpoint'ed, not
+    # just persisted: persist caches DATA but leaves the full logical
+    # tree in every downstream plan, and this operator derives frames
+    # from frames enough times that the tree grows combinatorially
+    # (AQE's per-stage plan stringification then OOMs a default-sized
+    # driver). Checkpointing flattens each level to a LogicalRDD. The
+    # graph-sized frames (old, old_core, union_edges) are NEVER
+    # checkpointed — they stay as pure scans.
+    cb = _canon_edges(batch_edges).localCheckpoint()
+    endpoints = (
         cb.select(F.col("u").alias("n"))
         .unionAll(cb.select(F.col("v").alias("n")))
         .distinct()
+        .localCheckpoint()
     )
     # delta = genuinely new edges (endpoint-confined anti, op-154 trick)
     old_t = old.join(
@@ -1098,9 +1107,9 @@ def kcore_state_append(
     ).join(
         F.broadcast(endpoints.withColumnRenamed("n", "v")), "v", "left_semi"
     )
-    delta = persist_tracked(
-        cb.join(F.broadcast(old_t), ["u", "v"], "left_anti")
-    )
+    delta = cb.join(
+        F.broadcast(old_t), ["u", "v"], "left_anti"
+    ).localCheckpoint()
     n_new = delta.count()
     if n_new == 0:
         out = dict(totals)
@@ -1111,18 +1120,25 @@ def kcore_state_append(
     # core membership of batch endpoints: one map-side scan of the core
     # segments confined to the (broadcast) endpoint set — a k-core with
     # k >= 1 has no isolated nodes, so core nodes ≡ core-edge endpoints
-    ep_core = persist_tracked(
+    ep_core = (
         _both_dirs(old_core)
         .select("n")
         .join(F.broadcast(endpoints), "n", "left_semi")
         .distinct()
+        .localCheckpoint()
     )
-    seeds = persist_tracked(
-        endpoints.join(F.broadcast(ep_core), "n", "left_anti")
+    seeds = endpoints.join(
+        F.broadcast(ep_core), "n", "left_anti"
     ).localCheckpoint()
 
     # --- BFS: candidate region R = non-core nodes reachable from the
-    # seeds via non-core nodes over old ∪ delta edges -------------------
+    # seeds via non-core DEGREE-QUALIFIED nodes over old ∪ delta edges.
+    # Pruning is exact: a node with union-degree < k can never be in
+    # any k-core, and the S* components the completeness argument finds
+    # are connected via S* nodes — all of which have degree ≥ k — so
+    # expanding only through degree-qualified nodes still reaches every
+    # entrant while never crawling the sub-k non-core fringe (which on
+    # a real graph is most of the non-core mass).
     region = seeds
     frontier = seeds
     if frontier.count() > 0:
@@ -1142,9 +1158,25 @@ def kcore_state_append(
                 .join(F.broadcast(nbrs), "n", "left_semi")
                 .distinct()
             )
-            frontier = nbrs.join(
+            # checkpoint before re-broadcasting: keeps each round's
+            # plan shallow (the degree pass below would otherwise embed
+            # the whole nbrs plan inside its broadcast — plan depth
+            # grows per round and the driver pays it in AQE plan-string
+            # memory)
+            cand = nbrs.join(
                 F.broadcast(nbr_core), "n", "left_anti"
             ).localCheckpoint()
+            # degree qualification: map-side confined count over the
+            # union scan — only deg >= k nodes can enter the core
+            frontier = (
+                _both_dirs(union_edges)
+                .join(F.broadcast(cand), "n", "left_semi")
+                .groupBy("n")
+                .agg(F.count(F.lit(1)).alias("_d"))
+                .filter(F.col("_d") >= k)
+                .select("n")
+                .localCheckpoint()
+            )
             if frontier.count() == 0:
                 break
             region = region.unionAll(frontier).localCheckpoint()
@@ -1154,11 +1186,13 @@ def kcore_state_append(
                 f"max_bfs_rounds={max_bfs_rounds} — the candidate region "
                 "is pathologically deep; rebuild via kcore_state_build"
             )
-    region = persist_tracked(region)
+    # region is already a flat checkpointed frame
 
     # --- region edges + frozen-anchor degrees --------------------------
-    # every neighbor of a region node is either in R or in the old core
-    # (the completeness argument above), so anchors = non-R neighbors
+    # a non-R neighbor of a region node is either an old-core node (a
+    # frozen anchor) or a BFS-pruned sub-k non-core node (which can
+    # never be in any k-core and contributes nothing) — anchors are
+    # therefore VERIFIED against the core segments, never assumed
     ru = region.withColumnRenamed("n", "u")
     rv = region.withColumnRenamed("n", "v")
     # NOTE every semi/anti USING-join below re-selects (u, v): Spark
@@ -1170,22 +1204,57 @@ def kcore_state_append(
     e_v = union_edges.join(F.broadcast(rv), "v", "left_semi").select(
         "u", "v"
     )
-    region_edges = persist_tracked(e_u.unionAll(e_v).distinct())
+    region_edges = e_u.unionAll(e_v).distinct().localCheckpoint()
     # split: candidate-candidate edges vs candidate-anchor edges
-    cand_cand = persist_tracked(
+    cand_cand = (
         region_edges.join(F.broadcast(ru), "u", "left_semi")
         .join(F.broadcast(rv), "v", "left_semi")
         .select("u", "v")
+        .localCheckpoint()
     )
     anchor_inc = region_edges.join(
         F.broadcast(cand_cand), ["u", "v"], "left_anti"
+    ).localCheckpoint()
+    # verify the non-R endpoint of each anchor edge against the core
+    # segments (map-side confined scan); edges to pruned sub-k nodes
+    # drop out here — they can never contribute core degree
+    anc_nodes = (
+        _both_dirs(anchor_inc)
+        .select("n")
+        .join(F.broadcast(region), "n", "left_anti")
+        .distinct()
+    )
+    anc_core = (
+        _both_dirs(old_core)
+        .select("n")
+        .join(F.broadcast(anc_nodes), "n", "left_semi")
+        .distinct()
+    )
+    # an anchor edge has exactly one non-R endpoint, so the two semis
+    # below are disjoint
+    anchor_ok = (
+        anchor_inc.join(
+            F.broadcast(anc_core.withColumnRenamed("n", "u")),
+            "u",
+            "left_semi",
+        )
+        .select("u", "v")
+        .unionAll(
+            anchor_inc.join(
+                F.broadcast(anc_core.withColumnRenamed("n", "v")),
+                "v",
+                "left_semi",
+            ).select("u", "v")
+        )
+        .localCheckpoint()
     )
     # per-candidate anchor degree (the anchor endpoint is the non-R one)
-    a_deg = persist_tracked(
-        _both_dirs(anchor_inc)
+    a_deg = (
+        _both_dirs(anchor_ok)
         .join(F.broadcast(region), "n", "left_semi")
         .groupBy("n")
         .agg(F.count(F.lit(1)).alias("ad"))
+        .localCheckpoint()
     )
 
     # --- peel R with anchors frozen ------------------------------------
@@ -1230,7 +1299,7 @@ def kcore_state_append(
             f"kcore_state_append peel did not reach its fixpoint within "
             f"max_peel_rounds={max_peel_rounds} — raise the bound"
         )
-    survivors = persist_tracked(alive)
+    survivors = alive  # already a flat checkpointed frame
     n_promoted = survivors.count()
 
     # --- core additions: induced edges on (old core ∪ survivors) that
@@ -1242,10 +1311,12 @@ def kcore_state_append(
         .join(F.broadcast(sv), "v", "left_semi")
         .select("u", "v")
     )
-    # candidate-anchor edges whose candidate endpoint survived
+    # verified core-anchored edges whose candidate endpoint survived
+    # (edges to pruned non-core neighbors are NOT in anchor_ok and
+    # never enter the core — the induced-subgraph contract)
     dead = region.join(F.broadcast(survivors), "n", "left_anti")
     anchor_add = (
-        anchor_inc.join(
+        anchor_ok.join(
             F.broadcast(dead.withColumnRenamed("n", "u")), "u", "left_anti"
         )
         .join(F.broadcast(dead.withColumnRenamed("n", "v")), "v", "left_anti")
@@ -1257,8 +1328,8 @@ def kcore_state_append(
         .join(F.broadcast(rv), "v", "left_anti")
         .select("u", "v")
     )
-    core_add = persist_tracked(
-        cc_add.unionAll(anchor_add).unionAll(delta_cc)
+    core_add = (
+        cc_add.unionAll(anchor_add).unionAll(delta_cc).localCheckpoint()
     )
     n_core_add = core_add.count()
     out = {
