@@ -239,7 +239,34 @@ _GROUP_PAIRS_SCHEMA = StructType(
 )
 
 
-def _group_cosine_pairs(pdf: pd.DataFrame, ordered: bool) -> pd.DataFrame:
+_SCRATCH: dict[str, "np.ndarray"] = {}
+
+
+def _scratch(name: str, dtype, shape) -> "np.ndarray":
+    """Worker-lifetime reusable buffer (grown, never shrunk), viewed at
+    the requested shape. The round-11 q34 attribution traced a bimodal
+    10-30× stall to the OS page-fault cost of the fresh multi-MB
+    temporaries this module allocated per call (the allocator returns
+    them to the OS between calls; the next call faults every page back
+    in — ~25× the arithmetic cost on this box). Python workers are
+    single-threaded and reused across queries, so a module-level buffer
+    makes the steady state allocation-free; capacity is bounded by the
+    block cap below (a few tens of MB per worker)."""
+    import numpy as _np
+
+    need = 1
+    for d in shape:
+        need *= int(d)
+    buf = _SCRATCH.get(name)
+    if buf is None or buf.dtype != _np.dtype(dtype) or buf.size < need:
+        buf = _np.empty(max(need, 1), dtype=dtype)
+        _SCRATCH[name] = buf
+    return buf[:need].reshape(shape)
+
+
+def _group_cosine_pairs(
+    pdf: pd.DataFrame, ordered: bool, min_cosine: float | None = None
+) -> pd.DataFrame:
     """All within-group cosine pairs by one int64 matmul.
 
     The scale fix over per-pair scoring: each vector crosses Arrow ONCE per
@@ -250,7 +277,16 @@ def _group_cosine_pairs(pdf: pd.DataFrame, ordered: bool) -> pd.DataFrame:
     bit-identical to the oracle's sequential integer fold.
 
     ``ordered=False`` emits only id_a < id_b; True emits both directions
-    (for per-query top-k ranking downstream).
+    (for per-query top-k ranking downstream). ``min_cosine`` (near-dup
+    callers) folds the slacked threshold INTO the pair mask so the
+    materialized index/value arrays are O(matches), not O(n²/2) — the
+    identical elements survive as the old post-filter kept (same slack,
+    same float64 comparison), but the n²-sized ia/ib/cos-gather
+    temporaries never exist. That matters beyond peak memory: the q34
+    round-11 attribution traced a bimodal 10-30× stall to page-fault
+    churn on exactly these fresh multi-MB allocations (allocator
+    returns them to the OS between calls; the next call faults them
+    back in — SCALE.md round 11).
     """
     ids = pdf["_gid"].to_numpy()
     m = np.stack(pdf["svec"].to_numpy()).astype(np.int64)
@@ -263,18 +299,43 @@ def _group_cosine_pairs(pdf: pd.DataFrame, ordered: bool) -> pd.DataFrame:
     # Slicing rows caps peak memory at ~3·block·n cells with the exact
     # same elementwise operations (bit-identical cosines — slicing does
     # not change operation order), trading nothing but a Python loop of
-    # ceil(n/block) iterations around the same C matmul.
-    block = max(1, (1 << 25) // max(1, n))  # ≈32M cells per temporary
+    # ceil(n/block) iterations around the same C matmul. The cap is
+    # 4M cells (~32 MB of float64 per temporary at most): small enough
+    # that iteration 2+ recycle iteration 1's freed chunks inside the
+    # allocator instead of round-tripping pages through the OS (the
+    # round-11 page-fault stall), big enough that the per-iteration
+    # Python overhead stays noise.
+    block = max(1, (1 << 21) // max(1, n))
     parts = []
     for s in range(0, n, block):
         e = min(n, s + block)
-        dots = m[s:e] @ m.T
-        cos = dots.astype(np.float64) / (denom[s:e, None] * denom[None, :])
-        mask = (
-            ids[s:e, None] != ids[None, :]
-            if ordered
-            else ids[s:e, None] < ids[None, :]
+        shape = (e - s, n)
+        # every multi-MB temporary goes through the worker-lifetime
+        # scratch pool (no fresh pages in the steady state); kernels
+        # run with out= in the EXACT op order of the original
+        # expression — dots.astype(f64) / (denom⊗denom) — so cosines
+        # stay bit-identical to the oracle protocol
+        dots = np.matmul(m[s:e], m.T, out=_scratch("dots", np.int64, shape))
+        cos = _scratch("cos", np.float64, shape)
+        np.copyto(cos, dots)  # the astype(float64) cast
+        den = np.multiply(
+            denom[s:e, None],
+            denom[None, :],
+            out=_scratch("den", np.float64, shape),
         )
+        np.divide(cos, den, out=cos)
+        mask = _scratch("mask", np.bool_, shape)
+        if ordered:
+            np.not_equal(ids[s:e, None], ids[None, :], out=mask)
+        else:
+            np.less(ids[s:e, None], ids[None, :], out=mask)
+        if min_cosine is not None:
+            # slack > half of the 4-decimal rounding ulp (5e-5): a raw
+            # cosine of threshold−4.9e-5 still rounds UP to the
+            # threshold and must survive; the exact cut is JVM-side
+            thr = _scratch("thr", np.bool_, shape)
+            np.greater_equal(cos, min_cosine - 6e-5, out=thr)
+            mask &= thr
         ia, ib = np.nonzero(mask)
         parts.append(
             pd.DataFrame(
@@ -352,36 +413,42 @@ def _sided_group_pairs(
     (rounded) threshold is applied JVM-side for oracle parity.
     """
     if (pdf["side"] == "both").all():
-        out = _group_cosine_pairs(pdf, ordered=False)
-    else:
-        a = pdf[pdf["side"] == "a"]
-        b = pdf[pdf["side"] == "b"]
-        if a.empty or b.empty:
-            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
-                {"id_a": "int64", "id_b": "int64", "cosine": "float64"}
-            )
-        ida = a["_gid"].to_numpy()
-        idb = b["_gid"].to_numpy()
-        ma = np.stack(a["svec"].to_numpy()).astype(np.int64)
-        mb = np.stack(b["svec"].to_numpy()).astype(np.int64)
-        da = np.sqrt(np.einsum("ij,ij->i", ma, ma).astype(np.float64))
-        db = np.sqrt(np.einsum("ij,ij->i", mb, mb).astype(np.float64))
-        cos = (ma @ mb.T).astype(np.float64) / (da[:, None] * db[None, :])
-        xa = np.repeat(ida, len(idb))
-        xb = np.tile(idb, len(ida))
-        out = pd.DataFrame(
+        return _group_cosine_pairs(pdf, ordered=False, min_cosine=min_cosine)
+    a = pdf[pdf["side"] == "a"]
+    b = pdf[pdf["side"] == "b"]
+    if a.empty or b.empty:
+        return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
+            {"id_a": "int64", "id_b": "int64", "cosine": "float64"}
+        )
+    ida = a["_gid"].to_numpy()
+    idb = b["_gid"].to_numpy()
+    ma = np.stack(a["svec"].to_numpy()).astype(np.int64)
+    mb = np.stack(b["svec"].to_numpy()).astype(np.int64)
+    da = np.sqrt(np.einsum("ij,ij->i", ma, ma).astype(np.float64))
+    db = np.sqrt(np.einsum("ij,ij->i", mb, mb).astype(np.float64))
+    cos = (ma @ mb.T).astype(np.float64) / (da[:, None] * db[None, :])
+    if min_cosine is not None:
+        # same slacked pre-filter as _group_cosine_pairs, applied as a
+        # mask BEFORE pair materialization so the index arrays are
+        # O(matches), not O(|A|·|B|) (the round-11 page-fault fix)
+        ia, ib = np.nonzero(cos >= min_cosine - 6e-5)
+        xa, xb = ida[ia], idb[ib]
+        return pd.DataFrame(
             {
                 "id_a": np.minimum(xa, xb),
                 "id_b": np.maximum(xa, xb),
-                "cosine": cos.ravel(),
+                "cosine": cos[ia, ib],
             }
         )
-    if min_cosine is not None:
-        # slack > half of the 4-decimal rounding ulp (5e-5): a raw cosine
-        # of threshold−4.9e-5 still rounds UP to the threshold and must
-        # survive this pre-filter; the exact cut happens JVM-side.
-        out = out[out["cosine"] >= min_cosine - 6e-5]
-    return out
+    xa = np.repeat(ida, len(idb))
+    xb = np.tile(idb, len(ida))
+    return pd.DataFrame(
+        {
+            "id_a": np.minimum(xa, xb),
+            "id_b": np.maximum(xa, xb),
+            "cosine": cos.ravel(),
+        }
+    )
 
 
 _BLOCK_TARGET_ROWS = 65_536  # ~32 MB of dim-64 int64 vectors per block
