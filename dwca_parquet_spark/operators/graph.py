@@ -230,7 +230,9 @@ def cooccurrence_edges(
 
 
 def triangle_count(
-    edges: DataFrame, assume_canonical: bool = False
+    edges: DataFrame,
+    assume_canonical: bool = False,
+    broadcast_degrees: bool = False,
 ) -> DataFrame:
     """Exact global triangle count over an undirected edge set stored as
     (u < v) pairs — the clustering/community-density census (SURVEY §2.G
@@ -268,15 +270,28 @@ def triangle_count(
     if not assume_canonical:
         e = e.distinct()
     e = persist_tracked(e)
-    deg = (
+    # deg feeds BOTH the orientation joins and the wedge aggregate —
+    # persist it or the union-groupBy over 2|E| rows runs twice
+    # (round-11 profile: −1.4 s of the census's 5.7 s at sf0.1)
+    deg = persist_tracked(
         e.select(F.col("u").alias("n"))
         .unionAll(e.select(F.col("v").alias("n")))
         .groupBy("n")
         .agg(F.count(F.lit(1)).alias("d"))
     )
-    # orient by (degree, id): lower endpoint -> higher endpoint
+    # orient by (degree, id): lower endpoint -> higher endpoint.
+    # broadcast_degrees pins the two degree joins as broadcasts UP
+    # FRONT instead of waiting for AQE's runtime SMJ→BHJ conversion
+    # (which still pays the probe-side shuffle write — measured ~0.8 s
+    # at sf0.1). Opt-in because deg is NODE-sized: callers assert it
+    # fits executor memory (true for item-co-occurrence graphs, whose
+    # node space is the bounded item vocabulary, not the corpus);
+    # default None/False leaves the strategy to Catalyst so
+    # billion-node graphs keep the shuffle join.
     du = deg.select(F.col("n").alias("u"), F.col("d").alias("du"))
     dv = deg.select(F.col("n").alias("v"), F.col("d").alias("dv"))
+    if broadcast_degrees:
+        du, dv = F.broadcast(du), F.broadcast(dv)
     ed = e.join(du, "u").join(dv, "v")
     fwd = (F.col("du") < F.col("dv")) | (
         (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))

@@ -1976,7 +1976,12 @@ def q69_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = _t(spark, sf_dir, "lineitem")
     edges = G.cooccurrence_edges(li, "l_orderkey", "l_partkey")
-    return G.triangle_count(edges, assume_canonical=True)
+    # broadcast_degrees: the node space is the bounded part catalog —
+    # the degree table fits executor memory at any corpus scale (same
+    # justification as the bench row; keeps registry ≡ bench plan)
+    return G.triangle_count(
+        edges, assume_canonical=True, broadcast_degrees=True
+    )
 
 
 # epoch µs of 2024-01-01 UTC — the fixture corpus epoch; rebasing x keeps
