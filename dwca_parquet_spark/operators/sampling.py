@@ -768,7 +768,14 @@ def weighted_sample_k(
     the decimal race key the selection ordered by)."""
     ek = _es_key(key_col, weight_col, salt)
     return (
-        df.filter(F.col(weight_col).cast("double") > 0)
+        # NULL keys are outside the race too (no identity → no
+        # deterministic draw) — and they MUST be filtered, not sorted:
+        # a NULL race key sorts NULLS FIRST under Spark ASC but NULLS
+        # LAST in DuckDB, so leaving them in would diverge the engines
+        df.filter(
+            (F.col(weight_col).cast("double") > 0)
+            & F.col(key_col).isNotNull()
+        )
         .withColumn("_ek", ek)
         .orderBy(F.col("_ek").asc(), F.col(key_col).asc())
         .limit(n)
@@ -795,7 +802,10 @@ def group_weighted_sample_k(
         F.col("_ek").asc(), F.col(key_col).asc()
     )
     return (
-        df.filter(F.col(weight_col).cast("double") > 0)
+        df.filter(
+            (F.col(weight_col).cast("double") > 0)
+            & F.col(key_col).isNotNull()
+        )
         .withColumn("_ek", ek)
         .withColumn("_rk", F.row_number().over(w))
         .filter(F.col("_rk") <= k)
@@ -835,7 +845,8 @@ def sql_weighted_sample_k(
     return (
         f"SELECT * EXCLUDE (_ek), CAST(_ek AS DOUBLE) AS es_key FROM ("
         f"SELECT *, {ek} AS _ek FROM {source} "
-        f"WHERE CAST({weight_expr} AS DOUBLE) > 0"
+        f"WHERE CAST({weight_expr} AS DOUBLE) > 0 "
+        f"AND {key_col} IS NOT NULL"
         f") ORDER BY _ek ASC, {key_col} ASC LIMIT {n}"
     )
 
@@ -856,6 +867,7 @@ def sql_group_weighted_sample_k(
         f"SELECT *, row_number() OVER "
         f"(PARTITION BY {group_col} ORDER BY _ek ASC, {key_col} ASC) AS _rk "
         f"FROM (SELECT *, {ek} AS _ek FROM {source} "
-        f"WHERE CAST({weight_expr} AS DOUBLE) > 0)"
+        f"WHERE CAST({weight_expr} AS DOUBLE) > 0 "
+        f"AND {key_col} IS NOT NULL)"
         f") WHERE _rk <= {k}"
     )
