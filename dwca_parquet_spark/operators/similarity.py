@@ -426,7 +426,16 @@ def _sided_group_pairs(
     mb = np.stack(b["svec"].to_numpy()).astype(np.int64)
     da = np.sqrt(np.einsum("ij,ij->i", ma, ma).astype(np.float64))
     db = np.sqrt(np.einsum("ij,ij->i", mb, mb).astype(np.float64))
-    cos = (ma @ mb.T).astype(np.float64) / (da[:, None] * db[None, :])
+    # same scratch-pool discipline as _group_cosine_pairs (the round-11
+    # page-fault fix), same op order: dots.astype(f64) / (da⊗db)
+    shape = (len(ida), len(idb))
+    dots = np.matmul(ma, mb.T, out=_scratch("xdots", np.int64, shape))
+    cos = _scratch("xcos", np.float64, shape)
+    np.copyto(cos, dots)
+    den = np.multiply(
+        da[:, None], db[None, :], out=_scratch("xden", np.float64, shape)
+    )
+    np.divide(cos, den, out=cos)
     if min_cosine is not None:
         # same slacked pre-filter as _group_cosine_pairs, applied as a
         # mask BEFORE pair materialization so the index arrays are
@@ -446,7 +455,11 @@ def _sided_group_pairs(
         {
             "id_a": np.minimum(xa, xb),
             "id_b": np.maximum(xa, xb),
-            "cosine": cos.ravel(),
+            # .copy(): cos is a VIEW of the scratch buffer — the next
+            # group's call reuses it, so the returned frame must own
+            # its values (fancy-indexed cos[ia, ib] elsewhere already
+            # copies by construction)
+            "cosine": cos.ravel().copy(),
         }
     )
 
