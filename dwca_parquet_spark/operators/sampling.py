@@ -765,7 +765,12 @@ def weighted_sample_k(
     selection increasing in ``weight_col``, without replacement — the
     data-mixture primitive "exactly n docs, probability ∝ quality
     weight". Output: input columns + ``es_key`` (double, audit column:
-    the decimal race key the selection ordered by)."""
+    the decimal race key the selection ordered by).
+
+    ``key_col`` must be a row identity (unique): the draw u derives
+    from it, and it is the final tie-break — two distinct rows sharing
+    a key would tie exactly at the cut line, where the survivor is
+    engine-arbitrary."""
     ek = _es_key(key_col, weight_col, salt)
     return (
         # NULL keys are outside the race too (no identity → no
