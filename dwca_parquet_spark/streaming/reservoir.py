@@ -108,6 +108,58 @@ def reservoir_report(state: DataFrame | None) -> DataFrame | None:
     ).drop("_ek")
 
 
+def apply_group_reservoir_batch(
+    spark: SparkSession,
+    state_path: str,
+    batch: DataFrame,
+    batch_id: int,
+    group_col: str,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    salt: str = "",
+    keep_versions: int = 2,
+) -> bool:
+    """Per-group variant (SURVEY §2.G op 164): the state holds each
+    group's k smallest race keys — ≤ k rows per OBSERVED group, the
+    same mergeable min-k statistic per group, so
+    report(state) ≡ group_weighted_sample_k(distinct union) for every
+    group including groups first seen mid-stream. One row_number window
+    per fold, partitioned on the group key (the op-137 streaming
+    per-group bottom-k shape); state size O(k · observed groups)."""
+    from pyspark.sql import Window
+
+    wm, state = read_reservoir_state(spark, state_path)
+    if batch_id <= wm:
+        return False
+    part = batch.filter(
+        (F.col(weight_col).cast("double") > 0)
+        & F.col(key_col).isNotNull()
+    ).withColumn("_ek", _es_key(key_col, weight_col, salt))
+    merged = part if state is None else state.unionByName(part)
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("_ek").asc(), F.col(key_col).asc()
+    )
+    top = (
+        merged.distinct()
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )
+    base = str(state_path).rstrip("/")
+    fs = FS(spark, base)
+    tmp, final = f"{base}/v{batch_id}.tmp", f"{base}/v{batch_id}"
+    if fs.exists(tmp):
+        fs.delete(tmp)
+    top.write.parquet(f"{tmp}/sample.parquet")
+    fs.rename(tmp, final)
+    for p in fs.glob(f"{base}/v*"):
+        m = _VDIR.match(p)
+        if m and int(m.group(1)) <= batch_id - keep_versions:
+            fs.delete(p)
+    return True
+
+
 def stream_reservoir_maintain(
     stream: DataFrame,
     state_path: str,

@@ -100,3 +100,58 @@ def test_stream_wiring_converges(spark, tmp_path):
     )
     q.awaitTermination(120)
     assert _got(spark, path) == _want(spark, rows)
+
+
+def test_group_reservoir_fold_law(spark, tmp_path):
+    """Op 164: per-group state ≡ group_weighted_sample_k(distinct
+    union) for every group, including a group first seen in batch 2;
+    replay no-op; ≤ k rows per group."""
+    from dwca_parquet_spark.operators.sampling import (
+        group_weighted_sample_k,
+    )
+    from dwca_parquet_spark.streaming.reservoir import (
+        apply_group_reservoir_batch,
+    )
+
+    K = 4
+    rows = [
+        (g, i, float(1 + ((g * 31 + i) * 7) % 20))
+        for g in (0, 1)
+        for i in range(30)
+    ]
+    late_group = [
+        (2, i, float(1 + ((2 * 31 + i) * 7) % 20)) for i in range(15)
+    ]
+    schema = "g long, id long, w double"
+    path = str(tmp_path / "gres")
+    apply_group_reservoir_batch(
+        spark, path, spark.createDataFrame(rows[:25], schema), 0,
+        "g", "id", "w", K, "gz",
+    )
+    apply_group_reservoir_batch(
+        spark, path,
+        spark.createDataFrame(rows[25:] + late_group, schema), 1,
+        "g", "id", "w", K, "gz",
+    )
+    _, st = read_reservoir_state(spark, path)
+    rep = reservoir_report(st)
+    want = group_weighted_sample_k(
+        spark.createDataFrame(rows + late_group, schema),
+        "g", "id", "w", K, "gz",
+    )
+    got_s = sorted((r["g"], r["id"], r["es_key"]) for r in rep.collect())
+    want_s = sorted((r["g"], r["id"], r["es_key"]) for r in want.collect())
+    assert got_s == want_s
+    per_g: dict = {}
+    for g, _i, _e in got_s:
+        per_g[g] = per_g.get(g, 0) + 1
+    assert per_g == {0: K, 1: K, 2: K}
+    # replay → transactional no-op
+    assert (
+        apply_group_reservoir_batch(
+            spark, path,
+            spark.createDataFrame(late_group, schema), 1,
+            "g", "id", "w", K, "gz",
+        )
+        is False
+    )
