@@ -564,17 +564,22 @@ def triangle_state_append(
         out = dict(totals)
         _tri_write_state(spark, path, batch_id, None, out)
         return out
-    # full OLD neighbor lists, but only for touched nodes (map-side
-    # filter, shuffle bounded by Σ deg(touched))
-    adj_t = persist_tracked(
+    # Hub guard FIRST, as a plain count aggregate over the touched-node
+    # edge stream — never via size(collect_list): the guard exists for
+    # the mega-hub regime (degree ~10^8 → a ~GB array row), and a guard
+    # that materializes the giant row to measure it would OOM the
+    # executor before the ValueError fires (ADVICE r11). A count
+    # aggregate is map-side combinable and its state is one long per
+    # touched node.
+    touched_deg = (
         _both_dirs(old)
         .join(F.broadcast(endpoints), "n", "left_semi")
         .groupBy("n")
-        .agg(F.sort_array(F.collect_list("m")).alias("nb"))
+        .agg(F.count(F.lit(1)).alias("_d"))
     )
     if hub_degree_limit is not None:
         hub = (
-            adj_t.select(F.max(F.size("nb")).alias("mx")).first()["mx"] or 0
+            touched_deg.agg(F.max("_d").alias("mx")).first()["mx"] or 0
         )
         if hub > hub_degree_limit:
             raise ValueError(
@@ -583,6 +588,15 @@ def triangle_state_append(
                 "would materialize as one array row — rebuild via "
                 "triangle_state_build instead of appending"
             )
+    # full OLD neighbor lists, but only for touched nodes (map-side
+    # filter, shuffle bounded by Σ deg(touched)) — built only after the
+    # guard passes
+    adj_t = persist_tracked(
+        _both_dirs(old)
+        .join(F.broadcast(endpoints), "n", "left_semi")
+        .groupBy("n")
+        .agg(F.sort_array(F.collect_list("m")).alias("nb"))
+    )
     # t1: both-old wedges closing each new edge — common OLD neighbors
     # of the new edge's endpoints
     t1 = (
@@ -634,11 +648,12 @@ def triangle_state_append(
     t3 = t3_x3 // 3
     # wedge advance from touched nodes only: Σ C(d_old+δ, 2) − C(d_old, 2)
     # (exact — untouched nodes' degrees are unchanged); d_old read off
-    # the already-built endpoint adjacency
+    # the guard's count aggregate (same domain as adj_t, no giant-array
+    # size() pass)
     d_delta = (
         _both_dirs(delta).groupBy("n").agg(F.count(F.lit(1)).alias("dd"))
     )
-    d_old = adj_t.select("n", F.size("nb").alias("do"))
+    d_old = touched_deg.select("n", F.col("_d").alias("do"))
     dw = (
         d_delta.join(d_old, "n", "left")
         .select(

@@ -729,9 +729,16 @@ def leakage_safe_split(
 # a PREFIX of a larger n's sample (nesting), and membership is invariant
 # to input partitioning and row order.
 #
-# Rows with NULL or non-positive weight are EXCLUDED (outside the E-S
-# domain: w ≤ 0 has no exponential race; a zero-weight row should never
-# be selected). Document weights must be finite.
+# Rows with NULL, NaN, or non-positive weight are EXCLUDED (outside the
+# E-S domain: w ≤ 0 has no exponential race; NaN compares > 0 under BOTH
+# engines' total ordering, so it needs its own filter — ADVICE r11). The
+# decimal lock bounds the representable key: -ln(u) ≤ ln(HASH_MOD+1)
+# ≈ 42.3, so any w ≥ 4.3e-15 is always in range for DECIMAL(28,12)
+# (max ~10^16); a smaller w can overflow for unlucky draws. Overflow is
+# handled identically in both engines — try_cast/TRY_CAST to NULL, then
+# the NULL race key is EXCLUDED from the race (never allowed to sort
+# NULLS FIRST into the sample; Spark ASC is NULLS FIRST, DuckDB NULLS
+# LAST — leaving them in would both corrupt and diverge).
 #
 # Scale shape: the key is a scan-stage projection (zero shuffle); the
 # global variant is orderBy(limit) — Spark plans TakeOrderedAndProject,
@@ -749,9 +756,11 @@ def _es_key(key_col: str, weight_col: str, salt: str) -> Column:
     h = H.poly_hash(F.concat(F.col(key_col).cast("string"), F.lit(salt)))
     mix = F.pmod(h * F.lit(SAMPLE_A) + F.lit(SAMPLE_B), F.lit(H.HASH_MOD))
     u = (mix.cast("double") + F.lit(1.0)) / F.lit(float(H.HASH_MOD + 1))
-    return (
-        -F.log(u) / F.col(weight_col).cast("double")
-    ).cast(_ES_DEC)
+    # try_cast, not cast: a sub-4.3e-15 weight can overflow the decimal
+    # lock; under ANSI a plain cast would crash the job on one bad row,
+    # and with ANSI off it would NULL — both wrong. try_cast → NULL →
+    # the caller EXCLUDES the row (matching the DuckDB twin's TRY_CAST).
+    return (-F.log(u) / F.col(weight_col).cast("double")).try_cast(_ES_DEC)
 
 
 def weighted_sample_k(
@@ -776,12 +785,17 @@ def weighted_sample_k(
         # NULL keys are outside the race too (no identity → no
         # deterministic draw) — and they MUST be filtered, not sorted:
         # a NULL race key sorts NULLS FIRST under Spark ASC but NULLS
-        # LAST in DuckDB, so leaving them in would diverge the engines
+        # LAST in DuckDB, so leaving them in would diverge the engines.
+        # NaN weights need their own clause: NaN > 0 is TRUE under both
+        # engines' total ordering (ADVICE r11).
         df.filter(
             (F.col(weight_col).cast("double") > 0)
+            & ~F.isnan(F.col(weight_col).cast("double"))
             & F.col(key_col).isNotNull()
         )
         .withColumn("_ek", ek)
+        # decimal-overflow (w < ~4.3e-15) try_casts to NULL → excluded
+        .filter(F.col("_ek").isNotNull())
         .orderBy(F.col("_ek").asc(), F.col(key_col).asc())
         .limit(n)
         .withColumn("es_key", F.col("_ek").cast("double"))
@@ -809,9 +823,13 @@ def group_weighted_sample_k(
     return (
         df.filter(
             (F.col(weight_col).cast("double") > 0)
+            & ~F.isnan(F.col(weight_col).cast("double"))
             & F.col(key_col).isNotNull()
         )
         .withColumn("_ek", ek)
+        # exclusion BEFORE the window: an overflowed (NULL) key must not
+        # consume a row_number slot in its group
+        .filter(F.col("_ek").isNotNull())
         .withColumn("_rk", F.row_number().over(w))
         .filter(F.col("_rk") <= k)
         .withColumn("es_key", F.col("_ek").cast("double"))
@@ -829,8 +847,10 @@ def _sql_es_key(key_expr: str, weight_expr: str, salt: str) -> str:
     h = H.sql_poly_hash(keyed)
     mix = f"((({h}) * {SAMPLE_A} + {SAMPLE_B}) % {H.HASH_MOD})"
     u = f"((CAST({mix} AS DOUBLE) + 1.0) / {float(H.HASH_MOD + 1)!r})"
+    # TRY_CAST mirrors Spark's try_cast: decimal overflow → NULL →
+    # excluded from the race (instead of a hard error on one bad row)
     return (
-        f"CAST(-ln({u}) / CAST({weight_expr} AS DOUBLE)"
+        f"TRY_CAST(-ln({u}) / CAST({weight_expr} AS DOUBLE)"
         f" AS DECIMAL(28,12))"
     )
 
@@ -851,8 +871,10 @@ def sql_weighted_sample_k(
         f"SELECT * EXCLUDE (_ek), CAST(_ek AS DOUBLE) AS es_key FROM ("
         f"SELECT *, {ek} AS _ek FROM {source} "
         f"WHERE CAST({weight_expr} AS DOUBLE) > 0 "
+        f"AND NOT isnan(CAST({weight_expr} AS DOUBLE)) "
         f"AND {key_col} IS NOT NULL"
-        f") ORDER BY _ek ASC, {key_col} ASC LIMIT {n}"
+        f") WHERE _ek IS NOT NULL "
+        f"ORDER BY _ek ASC, {key_col} ASC LIMIT {n}"
     )
 
 
@@ -873,6 +895,8 @@ def sql_group_weighted_sample_k(
         f"(PARTITION BY {group_col} ORDER BY _ek ASC, {key_col} ASC) AS _rk "
         f"FROM (SELECT *, {ek} AS _ek FROM {source} "
         f"WHERE CAST({weight_expr} AS DOUBLE) > 0 "
-        f"AND {key_col} IS NOT NULL)"
+        f"AND NOT isnan(CAST({weight_expr} AS DOUBLE)) "
+        f"AND {key_col} IS NOT NULL) "
+        f"WHERE _ek IS NOT NULL"
         f") WHERE _rk <= {k}"
     )

@@ -300,7 +300,7 @@ def _group_cosine_pairs(
     # same elementwise operations (bit-identical cosines — slicing does
     # not change operation order), trading nothing but a Python loop of
     # ceil(n/block) iterations around the same C matmul. The cap is
-    # 4M cells (~32 MB of float64 per temporary at most): small enough
+    # 2M cells (~16 MB of float64 per temporary at most): small enough
     # that iteration 2+ recycle iteration 1's freed chunks inside the
     # allocator instead of round-tripping pages through the OS (the
     # round-11 page-fault stall), big enough that the per-iteration

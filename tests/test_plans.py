@@ -85,3 +85,51 @@ def test_aggregations_combine_map_side(spark, name):
     plan = plan_of(spark, name)
     assert plan.count("HashAggregate") >= 2
     assert plan.count("Exchange") == 1
+
+
+def test_interval_join_size_dispatch(spark):
+    """interval_join's auto dispatch (VERDICT r11 #3): a small interval
+    side must take the broadcast theta path (BroadcastNestedLoopJoin —
+    one pass over points, no interval blow-up, no shuffle); forcing the
+    big-big path must plan the bucketized equi-join with ZERO nested
+    loop; and both paths must return the identical result set."""
+    from dwca_parquet_spark.operators.relational import interval_join
+
+    o = spark.read.parquet(f"{SF_T2}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    )
+    import pyspark.sql.functions as F
+
+    p = spark.read.parquet(f"{SF_T2}/part.parquet").select(
+        "p_partkey",
+        (F.col("p_retailprice") * 100).alias("lo"),
+        (F.col("p_retailprice") * 100 + 2000).alias("hi"),
+    )
+
+    auto = interval_join(o, p, "o_totalprice", "lo", "hi", 1024)
+    plan_auto = auto._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan_auto
+    # no interval explosion, no shuffle on the broadcast path
+    assert "Generate explode" not in plan_auto
+
+    forced = interval_join(
+        o, p, "o_totalprice", "lo", "hi", 1024, strategy="bucket"
+    )
+    plan_forced = forced._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan_forced
+    assert "CartesianProduct" not in plan_forced
+
+    # auto under a disabled threshold degrades to the bucket plan
+    thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        big = interval_join(o, p, "o_totalprice", "lo", "hi", 1024)
+        plan_big = big._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" not in plan_big
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+
+    # identical result set either way
+    key = ["o_orderkey", "p_partkey"]
+    assert auto.select(*key).exceptAll(forced.select(*key)).count() == 0
+    assert forced.select(*key).exceptAll(auto.select(*key)).count() == 0

@@ -108,13 +108,57 @@ def test_partition_invariance_and_domain(spark):
         ).collect()
     }
     assert shuffled == base
-    # NULL / zero / negative weights are outside the race
+    # NULL / zero / negative / NaN weights are outside the race; a
+    # sub-4.3e-15 weight whose race key overflows DECIMAL(28,12)
+    # try_casts to NULL and is excluded rather than crashing the job or
+    # (NULLS FIRST) winning the race (ADVICE r11)
     bad = spark.createDataFrame(
-        [(100, None), (101, 0.0), (102, -3.0), (103, 5.0)],
+        [
+            (100, None),
+            (101, 0.0),
+            (102, -3.0),
+            (103, 5.0),
+            (104, float("nan")),
+            (105, 1e-20),
+        ],
         "id long, w double",
     )
     got = {r["id"] for r in weighted_sample_k(bad, "id", "w", 10).collect()}
     assert got == {103}
+
+
+def test_domain_exclusions_match_duckdb_twin(spark, tmp_path):
+    """The hostile-weight rows (NaN, 1e-20 overflow, NULL, ≤0) must be
+    excluded by BOTH engines — the Spark operator and its SQL twin run
+    on the identical table and must select the same ids."""
+    import duckdb
+
+    from dwca_parquet_spark.operators.sampling import sql_weighted_sample_k
+
+    rows = [(i, float(1 + (i * 7) % 20)) for i in range(30)] + [
+        (100, None),
+        (101, 0.0),
+        (102, -3.0),
+        (104, float("nan")),
+        (105, 1e-20),
+    ]
+    df = spark.createDataFrame(rows, "id long, w double")
+    pq = str(tmp_path / "t.parquet")
+    df.coalesce(1).write.parquet(pq)
+    got = sorted(
+        r["id"] for r in weighted_sample_k(df, "id", "w", 12, "x").collect()
+    )
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW t AS SELECT * FROM read_parquet('{pq}/*.parquet')")
+    want = sorted(
+        r[0]
+        for r in con.execute(
+            "SELECT id FROM (" + sql_weighted_sample_k("t", "id", "w", 12, "x") + ")"
+        ).fetchall()
+    )
+    con.close()
+    assert got == want
+    assert not set(got) & {100, 101, 102, 104, 105}
 
 
 def test_group_variant_laws(spark):
