@@ -717,7 +717,48 @@ def materialize(df: DataFrame) -> None:
     df.agg(F.bit_xor(F.xxhash64(*[F.col(c) for c in df.columns]))).collect()
 
 
+def canary_sec() -> tuple[float, float]:
+    """Host-contention canary (VERDICT r11 #2): zero JVM/Spark in the
+    loop, emitted into the bench JSON so the driver and judge can
+    discard contaminated runs machine-detectably, without forensics.
+
+    Two numbers, because the host has shown two distinct pathologies:
+
+    - ``sort_sec``: ``np.sort`` of 20M fresh doubles INCLUDING the
+      160 MB output allocation (the judge's r11 protocol; healthy
+      ~0.32-0.45 s). Sensitive to BOTH cpu steal and slow
+      page-zeroing — the composite "is this run trustworthy" gate.
+    - ``cpu_sec``: in-place sort of the same data on already-warm
+      pages — pure CPU, no allocation in the timed region. Isolates
+      steal from memory-side contention: measured 2026-08-16,
+      ``sort_sec`` swung 0.4 → 11 s while ``cpu_sec`` held
+      0.32-0.39 s, proving that episode was page-fault stall (a
+      co-tenant hammering the host's free-page supply), not steal.
+
+    Deterministic input (seeded PRNG, untimed) so every probe does
+    identical work."""
+    import numpy as np
+
+    a = np.random.default_rng(0).random(20_000_000)
+    buf = a.copy()  # warm a same-sized buffer, untimed
+    t0 = time.perf_counter()
+    np.sort(a)
+    sort_sec = time.perf_counter() - t0
+    np.copyto(buf, a)  # unsorted again, pages stay warm
+    t0 = time.perf_counter()
+    buf.sort()
+    cpu_sec = time.perf_counter() - t0
+    return round(sort_sec, 4), round(cpu_sec, 4)
+
+
+# healthy readings on this host, measured across quiet windows (SCALE.md
+# documents the protocol and the contamination bands): alloc-inclusive
+# sort ~0.32-0.45 s, warm-page in-place sort ~0.32-0.39 s
+CANARY_HEALTHY_SEC = 0.32
+
+
 def main() -> None:
+    canary_pre = canary_sec()
     spark = get_spark("dwca-parquet-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
     # warm the JVM/codegen paths with a trivial action
@@ -849,6 +890,9 @@ def main() -> None:
     # per-query Spark times, totals and ratios, but not the bulky oracle
     # dicts — so it always fits the driver's fixed-size tail capture and
     # stays machine-parseable (BENCH_r06 lost its head to that window).
+    out["canary_pre_sec"], out["canary_pre_cpu_sec"] = canary_pre
+    out["canary_post_sec"], out["canary_post_cpu_sec"] = canary_sec()
+    out["canary_healthy_sec"] = CANARY_HEALTHY_SEC
     here = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(here, "bench_summary.json"), "w") as f:
         json.dump(out, f)

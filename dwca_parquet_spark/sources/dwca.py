@@ -164,13 +164,35 @@ def read_layer(
     archive: DwcaArchive,
     layer: SourceLayer,
     infer_schema: bool = True,
+    honor_ignore_header_lines: bool = False,
 ) -> DataFrame:
     """One layer → DataFrame via spark.read.csv (reference query.sql:2,4).
 
     samplingRatio=1.0 mirrors DuckDB's ``sample_size=-1`` full-table sniff
     on extensions. Multi-char separators are supported by Spark ≥3.0 so the
     decoded meta.xml separator passes straight through.
-    """
+
+    ``honor_ignore_header_lines``: meta.xml can declare
+    ``ignoreHeaderLines > 1`` (header plus N-1 comment/unit lines). The
+    REFERENCE never consults it — DuckDB ``read_csv`` skips exactly one
+    header line (``templates/query.sql:2,4``), so lines 2..N leak into the
+    data. Default False preserves that verbatim behavior (oracle parity,
+    the §1.3 quirk discipline); True implements the declared semantics by
+    rewriting a trimmed copy at staging time — a driver-side streaming
+    pass, same order as the zip extraction that already ran there (header
+    skipping is inherently file-ordered work; Spark partitions have no
+    line-number notion)."""
+    path = archive.root / layer.location
+    skip = layer.ignore_header_lines - 1
+    if honor_ignore_header_lines and skip > 0:
+        trimmed = path.with_suffix(path.suffix + f".skip{skip}")
+        if not trimmed.exists():
+            with open(path, "rb") as src, open(trimmed, "wb") as out:
+                out.write(src.readline())  # the real header line
+                for _ in range(skip):  # the declared junk lines
+                    src.readline()
+                shutil.copyfileobj(src, out)
+        path = trimmed
     reader = (
         spark.read.option("header", True)
         .option("sep", layer.sep)
@@ -179,7 +201,7 @@ def read_layer(
     )
     if infer_schema:
         reader = reader.option("inferSchema", True).option("samplingRatio", 1.0)
-    df = reader.csv(str(archive.root / layer.location))
+    df = reader.csv(str(path))
     return df.alias(layer.alias)
 
 
@@ -188,12 +210,19 @@ def read_dwca(
     source: str | Path,
     staging_dir: str | Path,
     infer_schema: bool = True,
+    honor_ignore_header_lines: bool = False,
 ) -> tuple[DwcaArchive, DataFrame, list[DataFrame]]:
-    """Full archive → (descriptor, core DataFrame, extension DataFrames)."""
+    """Full archive → (descriptor, core DataFrame, extension DataFrames).
+
+    ``honor_ignore_header_lines`` — see :func:`read_layer`; default False
+    preserves the reference's verbatim one-header-line behavior."""
     extract_dir = stage_archive(source, staging_dir)
     archive = parse_meta(extract_dir)
-    core_df = read_layer(spark, archive, archive.core, infer_schema)
+    core_df = read_layer(
+        spark, archive, archive.core, infer_schema, honor_ignore_header_lines
+    )
     ext_dfs = [
-        read_layer(spark, archive, ext, infer_schema) for ext in archive.extensions
+        read_layer(spark, archive, ext, infer_schema, honor_ignore_header_lines)
+        for ext in archive.extensions
     ]
     return archive, core_df, ext_dfs

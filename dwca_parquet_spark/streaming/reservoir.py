@@ -71,10 +71,17 @@ def apply_reservoir_batch(
     wm, state = read_reservoir_state(spark, state_path)
     if batch_id <= wm:
         return False
-    part = batch.filter(
-        (F.col(weight_col).cast("double") > 0)
-        & F.col(key_col).isNotNull()
-    ).withColumn("_ek", _es_key(key_col, weight_col, salt))
+    part = (
+        batch.filter(
+            (F.col(weight_col).cast("double") > 0)
+            & ~F.isnan(F.col(weight_col).cast("double"))
+            & F.col(key_col).isNotNull()
+        )
+        .withColumn("_ek", _es_key(key_col, weight_col, salt))
+        # overflowed (NULL) race keys are outside the race — the same
+        # exclusion the one-shot operator applies, keeping the fold law
+        .filter(F.col("_ek").isNotNull())
+    )
     merged = part if state is None else state.unionByName(part)
     top = (
         # distinct collapses re-delivered rows (identical key → the
@@ -132,10 +139,15 @@ def apply_group_reservoir_batch(
     wm, state = read_reservoir_state(spark, state_path)
     if batch_id <= wm:
         return False
-    part = batch.filter(
-        (F.col(weight_col).cast("double") > 0)
-        & F.col(key_col).isNotNull()
-    ).withColumn("_ek", _es_key(key_col, weight_col, salt))
+    part = (
+        batch.filter(
+            (F.col(weight_col).cast("double") > 0)
+            & ~F.isnan(F.col(weight_col).cast("double"))
+            & F.col(key_col).isNotNull()
+        )
+        .withColumn("_ek", _es_key(key_col, weight_col, salt))
+        .filter(F.col("_ek").isNotNull())
+    )
     merged = part if state is None else state.unionByName(part)
     w = Window.partitionBy(group_col).orderBy(
         F.col("_ek").asc(), F.col(key_col).asc()

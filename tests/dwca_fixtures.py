@@ -15,11 +15,17 @@ from pathlib import Path
 DWC_NS = "http://rs.tdwg.org/dwc/text/"
 
 
-def _meta_xml(core_file: str, core_sep: str, core_enc: str, extensions: list[tuple[str, str, str]]) -> str:
+def _meta_xml(
+    core_file: str,
+    core_sep: str,
+    core_enc: str,
+    extensions: list[tuple[str, str, str]],
+    ignore_header_lines: int = 1,
+) -> str:
     def layer(tag: str, loc: str, sep: str, enc: str, key_tag: str) -> str:
         return f"""
   <{tag} encoding="{enc}" fieldsTerminatedBy="{sep}" linesTerminatedBy="\\n"
-         ignoreHeaderLines="1" rowType="http://rs.tdwg.org/dwc/terms/Occurrence">
+         ignoreHeaderLines="{ignore_header_lines}" rowType="http://rs.tdwg.org/dwc/terms/Occurrence">
     <files><location>{loc}</location></files>
     <{key_tag} index="0"/>
   </{tag}>"""
@@ -41,12 +47,20 @@ def build_archive(
     extensions: list[dict] | None = None,
     core_sep: str = ",",
     core_enc: str = "UTF-8",
+    ignore_header_lines: int = 1,
+    junk_lines: list[str] | None = None,
 ) -> Path:
     """extensions: [{"file": "measurementorfact.txt", "headers": [...],
-    "rows": [...], "sep": ",", "enc": "UTF-8"}]"""
+    "rows": [...], "sep": ",", "enc": "UTF-8"}].
+
+    ``ignore_header_lines`` is what meta.xml DECLARES; ``junk_lines`` are
+    extra raw lines physically written after each file's header (the
+    hostile-archive case: declared 2+, e.g. a units/comment line). The two
+    are independent so tests can also build liar archives."""
     extensions = extensions or []
     zpath = tmpdir / f"{name}.zip"
     sep_escaped = core_sep.replace("\t", "\\t")
+    junk_lines = junk_lines or []
 
     def render(headers: list[str], rows: list[dict], sep: str) -> str:
         def cell(v) -> str:
@@ -57,7 +71,7 @@ def build_archive(
                 return '"' + s.replace('"', '""') + '"'
             return s
 
-        lines = [sep.join(headers)]
+        lines = [sep.join(headers)] + list(junk_lines)
         for r in rows:
             lines.append(sep.join(cell(r.get(h)) for h in headers))
         return "\n".join(lines) + "\n"
@@ -66,7 +80,10 @@ def build_archive(
         (e["file"], e.get("sep", ",").replace("\t", "\\t"), e.get("enc", "UTF-8"))
         for e in extensions
     ]
-    meta = _meta_xml("occurrence.txt", sep_escaped, core_enc, ext_meta)
+    meta = _meta_xml(
+        "occurrence.txt", sep_escaped, core_enc, ext_meta,
+        ignore_header_lines=ignore_header_lines,
+    )
     with zipfile.ZipFile(zpath, "w") as zf:
         zf.writestr("meta.xml", meta)
         zf.writestr(

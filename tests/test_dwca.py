@@ -248,3 +248,134 @@ def test_malformed_archive_errors(tmp_path):
     extracted2 = stage_archive(z2, tmp_path / "s2")
     with pytest.raises(ValueError, match="no <core>"):
         parse_meta(extracted2)
+
+
+def _duck_oracle_honored(archive):
+    """Oracle for the HONORED ignoreHeaderLines semantics: skip the
+    declared header lines entirely and supply column names explicitly
+    (DuckDB has no skip-after-header, so header=false + skip=N +
+    names=[...] expresses 'header from meta, data from line N+1')."""
+    con = duckdb.connect()
+    core = archive.core
+
+    def rd(layer):
+        names = ", ".join(f"'{h}'" for h in layer.headers)
+        return (
+            f"read_csv('{archive.root / layer.location}', header=false, "
+            f"skip={layer.ignore_header_lines}, names=[{names}], "
+            f"delim='{layer.sep}', sample_size=-1)"
+        )
+
+    joins = [
+        f'JOIN {rd(ext)} AS {ext.alias} '
+        f'ON {ext.alias}."{ext.id_col}" = {core.alias}."{core.id_col}"'
+        for ext in archive.extensions
+    ]
+    point = (
+        "CASE WHEN decimalLatitude IS NOT NULL AND decimalLongitude IS NOT NULL "
+        "THEN 'POINT (' || CAST(decimalLatitude AS VARCHAR) || ' ' || "
+        "CAST(decimalLongitude AS VARCHAR) || ')' END"
+    )
+    geom = (
+        f"coalesce(CAST(footprintWKT AS VARCHAR), {point})"
+        if "footprintWKT" in core.headers
+        else point
+    )
+    sql = (
+        f'SELECT {core.alias}."{core.id_col}" AS fid, {geom} AS geom, * '
+        f"FROM {rd(core)} AS {core.alias} {' '.join(joins)}"
+    )
+    rel = con.sql(sql)
+    cols, rows = list(rel.columns), rel.fetchall()
+    con.close()
+    return cols, rows
+
+
+@pytest.mark.slow
+def test_hostile_archive_matrix(spark, tmp_path):
+    """VERDICT r11 #6 — the §5.3 hostile list as ONE full cross product:
+    {UTF-8, ISO-8859-1} × {',', TAB, multi-char '~~'} ×
+    {all-matched, missing extension matches} × {ignoreHeaderLines 1, 2}
+    × {no collision, duplicate column name} — every combination reads,
+    flattens, and matches the rendered-query.sql DuckDB oracle. The
+    ignoreHeaderLines=2 combos additionally prove BOTH modes: verbatim
+    (the reference never consults it — DuckDB read_csv skips exactly one
+    line, so the junk line leaks into typing, both engines alike) and
+    honored (the trimmed-staging path drops it; skip-N oracle)."""
+    import itertools
+
+    from dwca_parquet_spark.sources.dwca import read_dwca
+
+    n = 0
+    for enc, sep, matched, ihl, collide in itertools.product(
+        ("UTF-8", "ISO-8859-1"),
+        (",", "\t", "~~"),
+        (True, False),
+        (1, 2),
+        (False, True),
+    ):
+        n += 1
+        tag = f"m{n}"
+        rows = FX.core_rows(6)
+        rows[0]["scientificName"] = "Ærø señor"  # latin-1-encodable
+        ext_ids = [1, 2, 3, 4, 5, 6] if matched else [1, 3, 5]
+        ext = FX.mof_extension(ext_ids)
+        if collide:
+            ext["headers"] = ext["headers"] + ["eventDate"]
+            for i, r in enumerate(ext["rows"]):
+                r["eventDate"] = f"1999-01-{i + 1:02d}"
+        if not matched:  # plus a dangling extension row
+            ext["rows"].append(
+                {"coreid": 99, "measurementType": "t", "measurementValue": "0"}
+            )
+        ext["sep"], ext["enc"] = sep, enc
+        z = FX.build_archive(
+            tmp_path, tag, rows, FX.CORE_HEADERS,
+            extensions=[ext], core_sep=sep, core_enc=enc,
+            ignore_header_lines=ihl,
+            junk_lines=["#junk-comment-line"] if ihl == 2 else None,
+        )
+        case = f"enc={enc} sep={sep!r} matched={matched} ihl={ihl} collide={collide}"
+
+        # verbatim mode (reference parity; junk leaks like DuckDB's
+        # 1-header-line read)
+        staging = tmp_path / f"s{n}"
+        archive, core_df, ext_dfs = read_dwca(spark, z, staging)
+        flat = dwca_flatten(archive, core_df, ext_dfs)
+        assert archive.core.sep == sep and archive.core.encoding == enc
+        assert archive.core.ignore_header_lines == ihl
+        cols = ["fid", "geom", "scientificName", "measurementValue"]
+        _compare(flat, _duck_oracle(archive), f"verbatim {case}", cols)
+        got = flat.collect()
+        fids = {str(r["fid"]) for r in got}
+        assert "99" not in fids, case  # dangling ext row inner-join-dropped
+        if ihl == 1:
+            # without junk the fid set is exactly the matched core ids
+            assert fids == {str(i) for i in ext_ids}, case
+        else:
+            # verbatim quirk, both engines alike: the junk line exists in
+            # BOTH files, so junk-id joins junk-coreid and survives — the
+            # oracle compare above already proved DuckDB agrees
+            assert fids - {"#junk-comment-line"} == {
+                str(i) for i in ext_ids
+            }, case
+        if collide:
+            assert "measurementorfact_eventDate" in flat.columns, case
+            assert {
+                r["measurementorfact_eventDate"] for r in got
+            } - {None} <= {f"1999-01-{i:02d}" for i in range(1, 8)}, case
+            assert any(
+                str(r["eventDate"]).startswith("2024-03") for r in got
+            ), case
+        name_col = {r["scientificName"] for r in got}
+        assert "Ærø señor" in name_col, case
+
+        # honored mode only differs when ihl > 1
+        if ihl == 2:
+            archive2, core2, exts2 = read_dwca(
+                spark, z, tmp_path / f"h{n}", honor_ignore_header_lines=True
+            )
+            flat2 = dwca_flatten(archive2, core2, exts2)
+            _compare(
+                flat2, _duck_oracle_honored(archive2), f"honored {case}", cols
+            )
