@@ -71,7 +71,14 @@ def build_archive(
                 return '"' + s.replace('"', '""') + '"'
             return s
 
-        lines = [sep.join(headers)] + list(junk_lines)
+        # junk lines are padded to the header width (the realistic
+        # "units/comment second line" shape) — a junk line with FEWER
+        # fields than the header makes DuckDB's sniffer error out, which
+        # would mean the REFERENCE cannot read the archive at all; the
+        # interesting hostile case is the one both engines parse
+        lines = [sep.join(headers)] + [
+            sep.join([m] + [""] * (len(headers) - 1)) for m in junk_lines
+        ]
         for r in rows:
             lines.append(sep.join(cell(r.get(h)) for h in headers))
         return "\n".join(lines) + "\n"

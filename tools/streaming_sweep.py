@@ -109,9 +109,10 @@ def main() -> int:
     for b in range(1, B + 1):
         batch = spark.range(200_000).select(
             F.pmod(F.col("id") * 2654435761, F.lit(20_000)).alias("user_id"),
-            # microsecond timestamps marching forward one hour per batch
+            # epoch-NANOS bigint (the events-fixture convention ts_micros
+            # expects) marching forward one hour-bucket per batch
             (
-                F.lit(b * 3_600_000_000) + (F.col("id") % 7_200_000_000)
+                F.lit(b * 3_600_000_000_000) + F.col("id")
             ).alias("ts"),
             (F.col("id") % 1000).cast("double").alias("value"),
         )
