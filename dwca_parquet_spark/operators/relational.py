@@ -172,26 +172,31 @@ def interval_join(
 ) -> DataFrame:
     """Point-in-interval join, size-dispatched (VERDICT r11 #3).
 
-    Two physical strategies, identical result set:
-
-    - **broadcast** (interval side small): the raw theta join
-      ``lo <= p < hi`` with the interval side broadcast — Spark plans a
-      BroadcastNestedLoopJoin, one pass over the points, zero shuffle,
-      zero interval blow-up. This is what an in-process engine
-      effectively does and is strictly cheaper whenever the interval
-      side fits an executor (q41's 3-row band table, a 20k-row
-      dimension at sf0.1, any bounded rule table at 100 TB).
-    - **bucket** (big-big): a raw theta join has no equi key, so at
-      scale Spark would nested-loop O(|points|·|intervals|). Rewrite
-      restores hash partitioning:
+    ONE logical rewrite, two physical strategies, identical result set.
+    The rewrite (both paths):
 
       1. each interval explodes into the fixed-width buckets it overlaps
          (``sequence(floor(lo/w), floor(hi/w))``) — blow-up is
          ``len/w + 2`` rows per interval, tunable via ``bucket_width``;
       2. each point maps to exactly one bucket — no duplication on the big
          probe side, so no dedup pass is needed afterwards;
-      3. equi-join on bucket (shuffle-partitionable, AQE-skew-splittable),
-         then the exact ``lo <= p < hi`` residual filters in the join stage.
+      3. equi-join on bucket, then the exact ``lo <= p < hi`` residual
+         filters in the join stage.
+
+    The dispatch decides WHERE the equi-join runs:
+
+    - **broadcast** (interval side small): the exploded interval-bucket
+      table broadcasts and the join plans as a BroadcastHashJoin — one
+      streaming pass over the points, ZERO shuffle, and per-point work
+      bounded by bucket occupancy. NOT a broadcast theta join: a
+      BroadcastNestedLoopJoin evaluates the range predicate against
+      every interval per point (|points|·|intervals| — measured 24.5 s
+      on 150k×20k at sf0.1 where this path runs in ~1 s; an in-process
+      engine survives the raw theta only because it plans a real
+      IEJoin, which Spark lacks).
+    - **bucket** (big-big): the same equi-join hash-partitioned on the
+      bucket key (shuffle both sides, AQE-skew-splittable) — the 100 TB
+      plan when the interval side exceeds an executor.
 
     ``strategy="auto"`` (default) picks broadcast when Catalyst's size
     estimate for the interval side is within
@@ -213,12 +218,6 @@ def interval_join(
             "broadcast"
             if thr > 0 and _plan_size_bytes(intervals) <= thr
             else "bucket"
-        )
-    if strategy == "broadcast":
-        return points.join(
-            F.broadcast(intervals),
-            (points[point_col] >= intervals[lo_col])
-            & (points[point_col] < intervals[hi_col]),
         )
     idt, pdt = dict(intervals.dtypes), dict(points.dtypes)
     # ONE path for every bucket computation: the exact int64 path only
@@ -247,6 +246,8 @@ def interval_join(
         "_bucket",
         _bucket_fdiv(point_col, bucket_width, integral),
     )
+    if strategy == "broadcast":
+        iv = F.broadcast(iv)
     return (
         pt.join(iv, "_bucket")
         .filter(
@@ -254,6 +255,138 @@ def interval_join(
             & (F.col(point_col) < F.col(hi_col))
         )
         .drop("_bucket")
+    )
+
+
+def interval_agg(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    lo_col: str,
+    hi_col: str,
+    key_col: str,
+    bucket_width: int,
+    sum_cols: dict[str, str] | None = None,
+    count_alias: str = "n_points",
+    strategy: str = "auto",
+) -> DataFrame:
+    """Banded range AGGREGATION (SURVEY §2.G op 165): per interval, the
+    count and exact integer sums of the points inside ``[lo, hi)`` —
+    WITHOUT ever materializing the point×interval pair stream.
+
+    ``interval_join`` + groupBy is the right shape when the caller needs
+    the pairs; when the caller only needs per-interval aggregates
+    (q59's shape), the pair stream is pure overhead — 150k points ×
+    20k intervals at sf0.1 join to 12M pairs that immediately collapse
+    back to 20k rows. This operator decomposes each interval exactly:
+
+      * **full buckets** ``[floor(lo/w)+1 .. floor(hi/w)-1]`` lie
+        entirely inside ``[lo, hi)`` → served from a per-bucket partial
+        table (ONE map-side-combinable pass over points, O(|points|),
+        reusable across all intervals);
+      * **edge buckets** ``floor(lo/w)`` and ``floor(hi/w)`` (the only
+        buckets the bounds cut through) → joined against raw points
+        with the exact residual — per interval only ~2·w worth of
+        points instead of the whole span.
+
+    Both contributions union into ONE groupBy(key) — map-side combined,
+    so shuffle volume is O(|keys|·partitions), never O(pairs). Work is
+    O(|points| + |intervals|·(span/w) + edge pairs); edge pairs shrink
+    linearly with ``bucket_width``, so pick w SMALLER than for
+    interval_join (span/8 or less — the full-bucket lookups are nearly
+    free, the edges are the cost).
+
+    Exactness: the count and sums decompose over the disjoint bucket
+    partition of ``[lo, hi)``; sums must be integer-typed columns (longs
+    — e.g. money in cents; float addition would not be
+    order-insensitive). Intervals with ZERO matching points are absent
+    from the output (inner-join semantics, matching
+    ``interval_join → groupBy``). ``key_col`` must uniquely identify an
+    interval row.
+
+    Dispatch (same statistic as interval_join): the interval-derived
+    tables (edge list, full-bucket list — O(|intervals|·span/w) rows)
+    broadcast when the interval side fits the threshold → both joins
+    plan BroadcastHashJoin and the ONLY Exchange is the final combine;
+    at big-big scale they hash-partition on the bucket key instead.
+    """
+    if strategy not in ("auto", "bucket", "broadcast"):
+        raise ValueError(f"unknown interval_agg strategy {strategy!r}")
+    sum_cols = sum_cols or {}
+    w = bucket_width
+    idt, pdt = dict(intervals.dtypes), dict(points.dtypes)
+    integral = (
+        idt[lo_col] in _INTEGRAL_TYPES
+        and idt[hi_col] in _INTEGRAL_TYPES
+        and pdt[point_col] in _INTEGRAL_TYPES
+    )
+    if strategy == "auto":
+        thr = _broadcast_threshold_bytes(points.sparkSession)
+        strategy = (
+            "broadcast"
+            if thr > 0 and _plan_size_bytes(intervals) <= thr
+            else "bucket"
+        )
+    bc = F.broadcast if strategy == "broadcast" else (lambda df: df)
+
+    iv = intervals.select(
+        key_col,
+        F.col(lo_col).alias("_lo"),
+        F.col(hi_col).alias("_hi"),
+        _bucket_fdiv(lo_col, w, integral).alias("_blo"),
+        _bucket_fdiv(hi_col, w, integral).alias("_bhi"),
+    )
+    ptb = points.select(
+        F.col(point_col).alias("_p"),
+        *[F.col(c) for c in dict.fromkeys(sum_cols.values())],
+    ).withColumn("_bucket", _bucket_fdiv("_p", w, integral))
+
+    cnt_exprs = [F.count(F.lit(1)).alias("_c")] + [
+        F.sum(F.col(src).cast("long")).alias(f"_s_{out}")
+        for out, src in sum_cols.items()
+    ]
+    per_bucket = ptb.groupBy("_bucket").agg(*cnt_exprs)
+
+    # full-bucket contribution: every bucket strictly inside the bounds
+    full_ids = iv.filter(F.col("_bhi") >= F.col("_blo") + 2).select(
+        key_col,
+        F.explode(
+            F.sequence(F.col("_blo") + 1, F.col("_bhi") - 1)
+        ).alias("_bucket"),
+    )
+    contrib_full = bc(full_ids).join(per_bucket, "_bucket").select(
+        key_col, "_c", *[f"_s_{out}" for out in sum_cols]
+    )
+    # edge-bucket contribution: raw points, exact residual
+    edges = iv.select(
+        key_col, "_lo", "_hi",
+        F.explode(
+            F.array_distinct(F.array(F.col("_blo"), F.col("_bhi")))
+        ).alias("_bucket"),
+    )
+    contrib_edge = (
+        bc(edges)
+        .join(ptb, "_bucket")
+        .filter((F.col("_p") >= F.col("_lo")) & (F.col("_p") < F.col("_hi")))
+        .select(
+            key_col,
+            F.lit(1).cast("long").alias("_c"),
+            *[
+                F.col(src).cast("long").alias(f"_s_{out}")
+                for out, src in sum_cols.items()
+            ],
+        )
+    )
+    return (
+        contrib_full.unionByName(contrib_edge)
+        .groupBy(key_col)
+        .agg(
+            F.sum("_c").cast("long").alias(count_alias),
+            *[
+                F.sum(f"_s_{out}").cast("long").alias(out)
+                for out in sum_cols
+            ],
+        )
     )
 
 

@@ -1554,29 +1554,37 @@ def q58_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q59_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Big-big point-in-interval join via the bucketized equi-join rewrite
-    (operators/relational.py interval_join) — the scale path q41's docstring
-    promises: no broadcast, no nested loop; intervals explode into
-    fixed-width buckets, points map to one bucket each, the join is a plain
-    hash-partitioned equi-join with the exact range residual. The oracle
-    runs the raw theta join."""
+    """Per-interval range aggregation via the banded decomposition
+    (operators/relational.py interval_agg, op 165) — full buckets served
+    from ONE per-bucket partial pass over orders, only the two edge
+    buckets per interval touch raw points, so the 12M-pair intermediate
+    the join+groupBy plan materialized at sf0.1 never exists (round 12;
+    VERDICT r11 #3 follow-through). The oracle runs the raw theta join +
+    GROUP BY. interval_join itself (the pair-producing operator, with
+    its own broadcast/bucket size dispatch) stays pinned by
+    tests/test_plans.py and q73's overlap variant."""
     p = _t(spark, sf_dir, "part").select(
         "p_partkey",
         (F.col("p_retailprice") * 100).alias("lo"),
         (F.col("p_retailprice") * 100 + 2000).alias("hi"),
     )
-    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
-    # Exact money sum as int64 cents: ~3x cheaper per joined row than a
-    # decimal cast+sum, which matters here — the join output is O(matches),
-    # orders of magnitude larger than either input.
-    return (
-        R.interval_join(o, p, "o_totalprice", "lo", "hi", bucket_width=1024)
-        .withColumn("_cents", F.round(F.col("o_totalprice") * 100, 0).cast("long"))
-        .groupBy("p_partkey")
-        .agg(
-            F.count(F.lit(1)).alias("n_orders"),
-            (F.sum("_cents").cast("double") / 100.0).alias("sum_price"),
-        )
+    # Exact money as int64 cents: integer sums decompose exactly over
+    # the bucket partition (float addition would not be order-safe).
+    o = _t(spark, sf_dir, "orders").select(
+        "o_totalprice",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("_cents"),
+    )
+    return R.interval_agg(
+        o, p, "o_totalprice", "lo", "hi", "p_partkey",
+        # span 2000 / width 128 ≈ 15 buckets: ~13 full-bucket lookups
+        # (nearly free) + 2 edge buckets of raw points per interval
+        bucket_width=128,
+        sum_cols={"_sc": "_cents"},
+        count_alias="n_orders",
+    ).select(
+        "p_partkey",
+        "n_orders",
+        (F.col("_sc").cast("double") / 100.0).alias("sum_price"),
     )
 
 

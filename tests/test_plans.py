@@ -89,10 +89,10 @@ def test_aggregations_combine_map_side(spark, name):
 
 def test_interval_join_size_dispatch(spark):
     """interval_join's auto dispatch (VERDICT r11 #3): a small interval
-    side must take the broadcast theta path (BroadcastNestedLoopJoin —
-    one pass over points, no interval blow-up, no shuffle); forcing the
-    big-big path must plan the bucketized equi-join with ZERO nested
-    loop; and both paths must return the identical result set."""
+    side must broadcast the exploded bucket table (BroadcastHashJoin —
+    one streaming pass over points, zero shuffle); forcing the big-big
+    path must plan the shuffled equi-join with ZERO nested loop; and
+    both paths must return the identical result set."""
     from dwca_parquet_spark.operators.relational import interval_join
 
     o = spark.read.parquet(f"{SF_T2}/orders.parquet").select(
@@ -108,9 +108,13 @@ def test_interval_join_size_dispatch(spark):
 
     auto = interval_join(o, p, "o_totalprice", "lo", "hi", 1024)
     plan_auto = auto._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastNestedLoopJoin" in plan_auto
-    # no interval explosion, no shuffle on the broadcast path
-    assert "Generate explode" not in plan_auto
+    # the small-side plan is the bucketized equi-join with the exploded
+    # interval-bucket table BROADCAST — a BroadcastHashJoin, never a
+    # nested loop (a broadcast theta join would evaluate the range
+    # predicate |points|x|intervals| times) and never a shuffle
+    assert "BroadcastHashJoin" in plan_auto
+    assert "BroadcastNestedLoopJoin" not in plan_auto
+    assert "Exchange hashpartitioning" not in plan_auto
 
     forced = interval_join(
         o, p, "o_totalprice", "lo", "hi", 1024, strategy="bucket"

@@ -555,3 +555,44 @@ def test_pair_jaccard_out_of_domain_cand_ids_cannot_reach_packing(spark):
     finally:
         ddp._ids_packable = orig
     assert got_host == wide
+
+
+@SETTINGS
+@given(
+    points=st.lists(st.integers(-50, 50), min_size=0, max_size=25),
+    ivs=st.lists(
+        st.tuples(st.integers(-60, 60), st.integers(0, 25)),
+        min_size=0,
+        max_size=15,
+    ),
+    width=st.sampled_from([1, 3, 7, 16]),
+    strategy=st.sampled_from(["bucket", "broadcast"]),
+)
+def test_interval_agg_matches_join_groupby(spark, points, ivs, width, strategy):
+    """interval_agg (op 165, the banded full-bucket + edge decomposition)
+    == interval_join + groupBy, for any width and either dispatch arm
+    (incl. negative domains, empty intervals, intervals with no points —
+    absent from both outputs by inner semantics)."""
+    from dwca_parquet_spark.operators.relational import interval_agg
+
+    pts = spark.createDataFrame(
+        [(i, p, p * 3) for i, p in enumerate(points)],
+        "pid long, p long, val long",
+    )
+    intervals = spark.createDataFrame(
+        [(j, lo, lo + ln) for j, (lo, ln) in enumerate(ivs)],
+        "iid long, lo long, hi long",
+    )
+    got = {
+        r["iid"]: (r["n_points"], r["sv"])
+        for r in interval_agg(
+            pts, intervals, "p", "lo", "hi", "iid", width,
+            sum_cols={"sv": "val"}, strategy=strategy,
+        ).collect()
+    }
+    want: dict[int, tuple[int, int]] = {}
+    for j, (lo, ln) in enumerate(ivs):
+        hits = [p for p in points if lo <= p < lo + ln]
+        if hits:
+            want[j] = (len(hits), sum(3 * p for p in hits))
+    assert got == want

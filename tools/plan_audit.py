@@ -34,11 +34,6 @@ BNLJ_OK = {
     "q69_triangles",          # combining three 1-row global aggregates
     "q71_retrieval_eval",     # q33's broadcast bounded query set (!=)
     "q72_rolling_actives",    # 1-row broadcast max-bucket clip
-    "q59_interval_join",      # size-dispatched: interval side (part, 20k
-                              # rows) is under the broadcast threshold at
-                              # test SFs, so the broadcast theta path IS
-                              # the chosen plan; the big-big case pins
-                              # zero-BNLJ in tests/test_plans.py
 }
 
 
