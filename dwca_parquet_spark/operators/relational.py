@@ -315,6 +315,14 @@ def interval_agg(
     sum_cols = sum_cols or {}
     w = bucket_width
     idt, pdt = dict(intervals.dtypes), dict(points.dtypes)
+    for out, src in sum_cols.items():
+        if pdt.get(src) not in _INTEGRAL_TYPES:
+            raise ValueError(
+                f"interval_agg sum column {src!r} must be integer-typed "
+                f"(got {pdt.get(src)}): float sums do not decompose "
+                "order-safely over the bucket partition — pre-scale to "
+                "integer units (e.g. money in cents) first"
+            )
     integral = (
         idt[lo_col] in _INTEGRAL_TYPES
         and idt[hi_col] in _INTEGRAL_TYPES
