@@ -571,7 +571,10 @@ def triangle_state_append(
     # executor before the ValueError fires (ADVICE r11). A count
     # aggregate is map-side combinable and its state is one long per
     # touched node.
-    touched_deg = (
+    # persisted: consumed by TWO jobs (the guard's max and the final
+    # wedge-advance d_old) — unpersisted it would re-scan and re-shuffle
+    # the touched old-edge stream once per consumer (code-review r12)
+    touched_deg = persist_tracked(
         _both_dirs(old)
         .join(F.broadcast(endpoints), "n", "left_semi")
         .groupBy("n")

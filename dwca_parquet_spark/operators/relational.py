@@ -134,7 +134,11 @@ def _bucket_fdiv(name: str, w: int, integral: bool) -> Column:
             f"(`{name}` div {w}) + "
             f"(CASE WHEN `{name}` % {w} < 0 THEN -1 ELSE 0 END)"
         )
-    return F.floor(F.col(name) / w)
+    # floor() yields LONG for double input but DECIMAL(p,0) for decimal
+    # input, and sequence() requires integral operands — the cast makes
+    # decimal-typed money columns (the common warehouse shape) work and
+    # is a no-op on the double path (code-review r12)
+    return F.floor(F.col(name) / w).cast("long")
 
 
 def _plan_size_bytes(df: DataFrame) -> int:
@@ -147,18 +151,79 @@ def _plan_size_bytes(df: DataFrame) -> int:
 
 
 def _broadcast_threshold_bytes(spark) -> int:
-    """``spark.sql.autoBroadcastJoinThreshold`` in bytes (-1 = disabled)."""
-    raw = str(
-        spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
-    ).strip().lower()
-    mult = 1
-    for suf, m in (("kb", 1 << 10), ("mb", 1 << 20), ("gb", 1 << 30),
-                   ("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30),
-                   ("b", 1)):
-        if raw.endswith(suf):
-            raw, mult = raw[: -len(suf)], m
-            break
-    return int(raw) * mult
+    """``spark.sql.autoBroadcastJoinThreshold`` in bytes (-1 = disabled).
+
+    Read RESOLVED from the JVM session state (exact for every legal
+    byte-string Spark accepts, incl. t/tb/p/pb suffixes the first
+    hand-rolled parser here crashed on — code-review r12); the string
+    parser remains only as a fallback for mocked sessions."""
+    try:
+        return int(
+            spark._jsparkSession.sessionState()
+            .conf()
+            .autoBroadcastJoinThreshold()
+        )
+    except Exception:  # noqa: BLE001 — non-JVM/mocked session
+        raw = str(
+            spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        ).strip().lower()
+        mult = 1
+        for suf, m in (("kb", 1 << 10), ("mb", 1 << 20), ("gb", 1 << 30),
+                       ("tb", 1 << 40), ("pb", 1 << 50),
+                       ("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30),
+                       ("t", 1 << 40), ("p", 1 << 50),
+                       ("b", 1)):
+            if raw.endswith(suf):
+                raw, mult = raw[: -len(suf)], m
+                break
+        return int(raw) * mult
+
+
+def _all_integral(dtypes: dict[str, str], *cols: str) -> bool:
+    return all(dtypes[c] in _INTEGRAL_TYPES for c in cols)
+
+
+def _interval_strategy(
+    points: DataFrame,
+    intervals: DataFrame,
+    lo_col: str,
+    hi_col: str,
+    bucket_width: int,
+    strategy: str,
+    op: str,
+) -> str:
+    """Shared auto-dispatch for interval_join / interval_agg
+    (code-review r12: one implementation, and it sizes the EXPLODED
+    bucket table, not the raw interval table — the broadcast hint
+    bypasses the planner's safety, so the statistic must account for
+    the sequence() blow-up of span/w + 2 rows per interval).
+
+    Cost of deciding: zero Spark jobs when the raw estimate already
+    exceeds the threshold (big-big → bucket immediately); otherwise ONE
+    O(|intervals|) scan-only aggregate measuring the actual mean
+    blow-up — cheap relative to the join it gates, and exact where any
+    static bound would be either unsafe or pessimistic."""
+    if strategy not in ("auto", "bucket", "broadcast"):
+        raise ValueError(f"unknown {op} strategy {strategy!r}")
+    if strategy != "auto":
+        return strategy
+    thr = _broadcast_threshold_bytes(points.sparkSession)
+    if thr <= 0:
+        return "bucket"
+    raw = _plan_size_bytes(intervals)
+    if raw > thr:
+        return "bucket"
+    stats = intervals.agg(
+        F.coalesce(
+            F.avg(
+                (F.col(hi_col) - F.col(lo_col))
+                / F.lit(float(bucket_width))
+            ),
+            F.lit(0.0),
+        ).alias("blowup")
+    ).first()
+    exploded = raw * (float(stats["blowup"]) + 2.0)
+    return "broadcast" if exploded <= thr else "bucket"
 
 
 def interval_join(
@@ -198,11 +263,14 @@ def interval_join(
       bucket key (shuffle both sides, AQE-skew-splittable) — the 100 TB
       plan when the interval side exceeds an executor.
 
-    ``strategy="auto"`` (default) picks broadcast when Catalyst's size
-    estimate for the interval side is within
-    ``spark.sql.autoBroadcastJoinThreshold`` — the same statistic and
-    threshold the planner itself uses for broadcast decisions, so the
-    dispatch degrades exactly when a broadcast hash join would have.
+    ``strategy="auto"`` (default) picks broadcast when the EXPLODED
+    bucket table's estimated size — Catalyst's estimate for the raw
+    interval side × the measured mean blow-up (span/w + 2) — fits
+    ``spark.sql.autoBroadcastJoinThreshold``. Sizing the raw table
+    alone would be unsafe: the broadcast hint bypasses the planner's
+    own threshold check, and a 9 MB interval table with span/w = 100
+    explodes to ~GB (code-review r12). Deciding costs zero jobs in the
+    big-big case and one O(|intervals|) scan aggregate otherwise.
     ``"bucket"`` / ``"broadcast"`` force a path (tests pin both plans).
 
     Pick ``bucket_width`` near the median interval length: wider buckets cut
@@ -210,15 +278,10 @@ def interval_join(
     Outputs all columns of both inputs, one row per matching (point row,
     interval row) pair — exactly the theta-join result set.
     """
-    if strategy not in ("auto", "bucket", "broadcast"):
-        raise ValueError(f"unknown interval_join strategy {strategy!r}")
-    if strategy == "auto":
-        thr = _broadcast_threshold_bytes(points.sparkSession)
-        strategy = (
-            "broadcast"
-            if thr > 0 and _plan_size_bytes(intervals) <= thr
-            else "bucket"
-        )
+    strategy = _interval_strategy(
+        points, intervals, lo_col, hi_col, bucket_width, strategy,
+        "interval_join",
+    )
     idt, pdt = dict(intervals.dtypes), dict(points.dtypes)
     # ONE path for every bucket computation: the exact int64 path only
     # when ALL THREE columns are integral, else the float path on both
@@ -226,10 +289,8 @@ def interval_join(
     # the point's exact bucket differ past 2^53 from every bucket the
     # float enumeration produced — a silently dropped pair (ADVICE r11,
     # the interval_overlap_join finding; same hazard here).
-    integral = (
-        idt[lo_col] in _INTEGRAL_TYPES
-        and idt[hi_col] in _INTEGRAL_TYPES
-        and pdt[point_col] in _INTEGRAL_TYPES
+    integral = _all_integral(idt, lo_col, hi_col) and _all_integral(
+        pdt, point_col
     )
     iv = intervals.withColumn(
         "_bucket",
@@ -310,8 +371,6 @@ def interval_agg(
     plan BroadcastHashJoin and the ONLY Exchange is the final combine;
     at big-big scale they hash-partition on the bucket key instead.
     """
-    if strategy not in ("auto", "bucket", "broadcast"):
-        raise ValueError(f"unknown interval_agg strategy {strategy!r}")
     sum_cols = sum_cols or {}
     w = bucket_width
     idt, pdt = dict(intervals.dtypes), dict(points.dtypes)
@@ -323,18 +382,13 @@ def interval_agg(
                 "order-safely over the bucket partition — pre-scale to "
                 "integer units (e.g. money in cents) first"
             )
-    integral = (
-        idt[lo_col] in _INTEGRAL_TYPES
-        and idt[hi_col] in _INTEGRAL_TYPES
-        and pdt[point_col] in _INTEGRAL_TYPES
+    integral = _all_integral(idt, lo_col, hi_col) and _all_integral(
+        pdt, point_col
     )
-    if strategy == "auto":
-        thr = _broadcast_threshold_bytes(points.sparkSession)
-        strategy = (
-            "broadcast"
-            if thr > 0 and _plan_size_bytes(intervals) <= thr
-            else "bucket"
-        )
+    strategy = _interval_strategy(
+        points, intervals, lo_col, hi_col, bucket_width, strategy,
+        "interval_agg",
+    )
     bc = F.broadcast if strategy == "broadcast" else (lambda df: df)
 
     iv = intervals.select(

@@ -27,6 +27,7 @@ reads everything as string — differential tests use explicit casts.
 from __future__ import annotations
 
 import codecs
+import os
 import shutil
 import urllib.request
 import zipfile
@@ -185,13 +186,20 @@ def read_layer(
     path = archive.root / layer.location
     skip = layer.ignore_header_lines - 1
     if honor_ignore_header_lines and skip > 0:
+        # ALWAYS rewrite, via temp + atomic rename — a bare existence
+        # check would silently reuse a truncated copy (process killed
+        # mid-write) or a previous archive's copy left behind by a
+        # re-extraction into the same staging dir (code-review r12);
+        # the rewrite is one streaming pass over a file that was just
+        # extracted anyway.
         trimmed = path.with_suffix(path.suffix + f".skip{skip}")
-        if not trimmed.exists():
-            with open(path, "rb") as src, open(trimmed, "wb") as out:
-                out.write(src.readline())  # the real header line
-                for _ in range(skip):  # the declared junk lines
-                    src.readline()
-                shutil.copyfileobj(src, out)
+        tmp = trimmed.with_suffix(trimmed.suffix + ".tmp")
+        with open(path, "rb") as src, open(tmp, "wb") as out:
+            out.write(src.readline())  # the real header line
+            for _ in range(skip):  # the declared junk lines
+                src.readline()
+            shutil.copyfileobj(src, out)
+        os.replace(tmp, trimmed)
         path = trimmed
     reader = (
         spark.read.option("header", True)

@@ -596,3 +596,38 @@ def test_interval_agg_matches_join_groupby(spark, points, ivs, width, strategy):
         if hits:
             want[j] = (len(hits), sum(3 * p for p in hits))
     assert got == want
+
+
+def test_interval_ops_accept_decimal_columns(spark):
+    """Decimal-typed bounds/points (the common warehouse money shape)
+    must work in both interval operators — floor(decimal/w) yields
+    DECIMAL(p,0), which sequence() rejects without the long cast
+    (code-review r12, verified crash on Spark 4.1.2)."""
+    from decimal import Decimal
+
+    from dwca_parquet_spark.operators.relational import (
+        interval_agg,
+        interval_join,
+    )
+
+    pts = spark.createDataFrame(
+        [(i, Decimal(f"{v}.50"), v) for i, v in enumerate([5, 15, 25, 35])],
+        "pid long, p decimal(10,2), val long",
+    )
+    ivs = spark.createDataFrame(
+        [(1, Decimal("0.00"), Decimal("20.00")),
+         (2, Decimal("20.00"), Decimal("40.00"))],
+        "iid long, lo decimal(10,2), hi decimal(10,2)",
+    )
+    pairs = sorted(
+        (r["pid"], r["iid"])
+        for r in interval_join(pts, ivs, "p", "lo", "hi", 7).collect()
+    )
+    assert pairs == [(0, 1), (1, 1), (2, 2), (3, 2)]
+    agg = {
+        r["iid"]: (r["n_points"], r["sv"])
+        for r in interval_agg(
+            pts, ivs, "p", "lo", "hi", "iid", 7, sum_cols={"sv": "val"}
+        ).collect()
+    }
+    assert agg == {1: (2, 20), 2: (2, 60)}
