@@ -265,7 +265,10 @@ def _scratch(name: str, dtype, shape) -> "np.ndarray":
 
 
 def _group_cosine_pairs(
-    pdf: pd.DataFrame, ordered: bool, min_cosine: float | None = None
+    pdf: pd.DataFrame,
+    ordered: bool,
+    min_cosine: float | None = None,
+    topk: int | None = None,
 ) -> pd.DataFrame:
     """All within-group cosine pairs by one int64 matmul.
 
@@ -287,6 +290,21 @@ def _group_cosine_pairs(
     churn on exactly these fresh multi-MB allocations (allocator
     returns them to the OS between calls; the next call faults them
     back in — SCALE.md round 11).
+
+    ``topk`` (the ANN ranking callers): per query row, only candidates
+    whose exact cosine is within 1.1e-4 of the row's k-th largest
+    candidate cosine are emitted. The downstream JVM ranking operates
+    on the 4-decimal HALF_UP rounded cosine, which moves any value by
+    at most 5e-5 (+ float eps), so a dropped pair (exact < kth −
+    1.1e-4) rounds strictly below at least k kept pairs and can never
+    enter the final top-k — the pruned stream provably contains the
+    global top-k (per-bucket top-k is a superset of the global one:
+    any candidate in a query's global top-k is beaten by < k
+    candidates overall, hence by < k within its own bucket). This
+    turns the Σ|bucket|² Arrow return stream into O(n·k) — at sf0.1
+    the embedding fixture degenerates into 2 LSH buckets, so this is
+    2,000,242 pairs → ~6k (and at 100 TB it is the difference between
+    shuffling the candidate-pair set and shuffling the answer).
     """
     ids = pdf["_gid"].to_numpy()
     m = np.stack(pdf["svec"].to_numpy()).astype(np.int64)
@@ -336,6 +354,18 @@ def _group_cosine_pairs(
             thr = _scratch("thr", np.bool_, shape)
             np.greater_equal(cos, min_cosine - 6e-5, out=thr)
             mask &= thr
+        if topk is not None and n > topk:
+            # per-row k-th largest over VALID candidates only: invalid
+            # slots sink to -2.0 (< any cosine), so rows with fewer
+            # than k valid candidates get kth ≤ -2 and keep everything
+            c2 = _scratch("c2", np.float64, shape)
+            np.copyto(c2, cos)
+            inv = _scratch("inv", np.bool_, shape)
+            np.logical_not(mask, out=inv)
+            np.copyto(c2, -2.0, where=inv)
+            kth = np.partition(c2, n - topk, axis=1)[:, n - topk]
+            np.greater_equal(c2, (kth - 1.1e-4)[:, None], out=inv)
+            mask &= inv
         ia, ib = np.nonzero(mask)
         parts.append(
             pd.DataFrame(
@@ -355,16 +385,24 @@ def _bucket_pairs(
     vec_col: str,
     num_planes: int,
     ordered: bool,
+    min_cosine: float | None = None,
+    topk: int | None = None,
 ) -> DataFrame:
     """(id_a, id_b, exact unrounded cosine) for same-LSH-bucket pairs via
     per-bucket matmul (see _group_cosine_pairs). Bucket assignment happens
     inline on the scaled vectors — one projection, no join — so the only
-    shuffle is the groupBy(bucket) that co-locates each bucket."""
+    shuffle is the groupBy(bucket) that co-locates each bucket.
+    ``min_cosine``/``topk`` forward to :func:`_group_cosine_pairs` so the
+    Arrow return stream carries only near-threshold / per-query-top-k
+    pairs instead of the full Σ|bucket|² candidate set."""
     grouped = df.select(
         F.col(id_col).alias("_gid"), scaled_vec(F.col(vec_col)).alias("svec")
     ).withColumn("bucket", _bucket_udf(num_planes)(F.col("svec")))
     return grouped.groupBy("bucket").applyInPandas(
-        lambda pdf: _group_cosine_pairs(pdf, ordered), _GROUP_PAIRS_SCHEMA
+        lambda pdf: _group_cosine_pairs(
+            pdf, ordered, min_cosine=min_cosine, topk=topk
+        ),
+        _GROUP_PAIRS_SCHEMA,
     )
 
 
@@ -384,7 +422,9 @@ def ann_topk_lsh(
     over the scalar pair stream, after the same round-half-up the
     pairwise path used, so top-k ties break identically.
     """
-    pairs = _bucket_pairs(df, id_col, vec_col, num_planes, ordered=True)
+    pairs = _bucket_pairs(
+        df, id_col, vec_col, num_planes, ordered=True, topk=k
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("cand_id").asc()
     )
@@ -874,7 +914,10 @@ def embedding_neardup_pairs(
     returned pair stream.
     """
     if bucketed:
-        pairs = _bucket_pairs(df, id_col, vec_col, num_planes, ordered=False)
+        pairs = _bucket_pairs(
+            df, id_col, vec_col, num_planes, ordered=False,
+            min_cosine=threshold,
+        )
     else:
         pairs = _block_pairs(df, id_col, vec_col, num_blocks, threshold)
     return pairs.select(
@@ -945,7 +988,10 @@ def ann_topk_multitable(
     pairs = (
         exploded.groupBy("_table", "bucket")
         .applyInPandas(
-            lambda pdf: _group_cosine_pairs(pdf, ordered=True),
+            # per-bucket top-k (tie-safe margin, see _group_cosine_pairs)
+            # is a superset of the global top-k: a candidate beaten by
+            # < k others globally is beaten by < k in its own bucket
+            lambda pdf: _group_cosine_pairs(pdf, ordered=True, topk=k),
             _GROUP_PAIRS_SCHEMA,
         )
         .distinct()

@@ -18,7 +18,9 @@ sys.path.insert(0, "/root/repo")
 import __spark_entry__ as entry  # noqa: E402
 from dwca_parquet_spark.cache import release_caches  # noqa: E402
 
-SF_DIR = "/root/testdata/sf0.01"
+import os
+
+SF_DIR = os.environ.get("SPARK_GRAFT_CHECK_SF_DIR", "/root/testdata/sf0.01")
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings",
