@@ -237,10 +237,19 @@ def pair_jaccard(
             .groupBy(a, b)
             .agg(F.count(F.lit(1)).alias("_ji"))
         )
+    # Zero-intersection restoration is only owed when the caller wants
+    # jaccard for EVERY candidate (threshold=None). With a positive
+    # threshold the contract is already "pairs that can reach it" (the
+    # length filter above drops candidates wholesale), and a pair with
+    # |A∩B| = 0 has jaccard exactly 0 < threshold — so the left join +
+    # coalesce shrink to a plain inner join, deleting one full exchange
+    # + sort of the candidate table (round-12; guide §2.4).
+    restore = "left" if (threshold is None or threshold <= 0) else "inner"
+    out = cand.join(inter, [a, b], restore)
+    if restore == "left":
+        out = out.withColumn("_ji", F.coalesce(F.col("_ji"), F.lit(0)))
     return (
-        cand.join(inter, [a, b], "left")
-        .withColumn("_ji", F.coalesce(F.col("_ji"), F.lit(0)))
-        .withColumn(
+        out.withColumn(
             "jaccard",
             F.col("_ji").cast("double")
             / (
@@ -381,12 +390,14 @@ def connected_components(
         .distinct()
         .persist()
     )
-    labels = (
-        edges.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
-        .localCheckpoint()
-    )
+    # Fused round 0 (round-12 optimization): the identity-label init plus
+    # the first propagation round both reduce to label(v) = min(v, min
+    # neighbor), which is ONE map-side-combinable groupBy over the edge
+    # table — the same shuffle the old distinct-node init already paid.
+    # This deletes a whole checkpoint+action cycle from every CC call.
+    labels = edges.groupBy(F.col("src").alias("node")).agg(
+        F.least(F.col("node"), F.min("dst")).alias("label")
+    ).localCheckpoint(eager=False)
     # Convergence checksum: for NUMERIC node ids the exact decimal label
     # sum is strictly decreasing until the fixpoint (labels only take
     # mins), so consecutive equality IS convergence, exactly. For
@@ -403,24 +414,28 @@ def connected_components(
         checksum = F.sum(F.col("label").cast("decimal(38,0)"))
     else:
         checksum = F.sum(F.xxhash64(F.col("label")).cast("decimal(38,0)"))
-    prev_sum = None
-    for it in range(max_iter):
+    # The checksum aggregate is the action that materializes each lazily-
+    # marked localCheckpoint (round-12: eager=False halves the per-round
+    # action count — the old eager checkpoint ran one job to materialize
+    # and a second for the checksum over the cached table).
+    prev_sum = labels.agg(checksum.alias("s")).collect()[0]["s"]
+    for _ in range(max_iter):
         prop = edges.join(
             labels.select(F.col("node").alias("dst"), "label"), "dst"
         ).select(F.col("src").alias("node"), "label")
-        fused = labels.union(prop)
-        if it > 0:  # round 0 labels are the identity map — jump is a no-op
-            jump = labels.alias("x").join(
-                labels.select(
-                    F.col("node").alias("label"), F.col("label").alias("_l2")
-                ),
-                "label",
-            ).select(F.col("node"), F.col("_l2").alias("label"))
-            fused = fused.union(jump)
+        # pointer jumping — label(label(v)) — is live from the first loop
+        # round because the fused init already left identity-label land
+        jump = labels.alias("x").join(
+            labels.select(
+                F.col("node").alias("label"), F.col("label").alias("_l2")
+            ),
+            "label",
+        ).select(F.col("node"), F.col("_l2").alias("label"))
         new_labels = (
-            fused.groupBy("node")
+            labels.union(prop).union(jump)
+            .groupBy("node")
             .agg(F.min("label").alias("label"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         label_sum = new_labels.agg(checksum.alias("s")).collect()[0]["s"]
         labels = new_labels
