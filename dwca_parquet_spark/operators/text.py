@@ -2499,6 +2499,80 @@ def _lid_weights(model: dict) -> tuple[list[str], dict, dict]:
 _LID_DEC = "decimal(18,9)"
 
 
+def _lid_class_sums_arrow(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+    buckets: int,
+    classes: list[str],
+    w: dict,
+) -> DataFrame:
+    """(id, _w_<class> decimal(28,9)): per-document per-class weight sums,
+    computed inside the k ≤ 5 Arrow rolling-hash pass as one exact int64
+    ``bincount @ scaled_weights`` matvec per document (see lid_score's
+    round-12 note). Docs with NULL/too-short text produce no row — the
+    caller's left join + coalesce handles them exactly as before."""
+    import numpy as np
+    from decimal import Decimal
+
+    # scaled int64 weights parsed from the SAME 9-dp strings the decimal
+    # plan casts — identity with the decimal path is by-construction
+    wmat = np.array(
+        [
+            [int(Decimal(f"{w[c][g]:.9f}") * (10**9)) for c in classes]
+            for g in range(buckets)
+        ],
+        dtype=np.int64,
+    )
+    staged = df.select(
+        F.col(id_col).alias("_id"),
+        H.normalize_text(F.col(text_col)).alias("_nt"),
+    ).filter(F.col("_nt").isNotNull() & (F.length("_nt") >= k))
+    pows = [H.HASH_BASE ** (k - 1 - j) for j in range(k)]
+    ncls = len(classes)
+
+    def gen(batches):
+        for pdf in batches:
+            ids, rows = [], []
+            for rid, nt in zip(pdf["_id"], pdf["_nt"]):
+                codes = np.frombuffer(
+                    nt.encode("ascii"), dtype=np.uint8
+                ).astype(np.int64)
+                n = len(codes)
+                h = np.zeros(n - k + 1, dtype=np.int64)
+                for j, p in enumerate(pows):
+                    h += codes[j : n - k + 1 + j] * p
+                cnt = np.bincount(h % buckets, minlength=buckets)
+                ids.append(rid)
+                rows.append(cnt @ wmat)  # exact int64 per-class sums
+            if rows:
+                m = np.stack(rows)
+            else:
+                m = np.zeros((0, ncls), dtype=np.int64)
+            yield pd.DataFrame(
+                {"_id": ids, **{f"_si_{j}": m[:, j] for j in range(ncls)}}
+            )
+
+    schema = ", ".join(
+        [f"_id {dict(staged.dtypes)['_id']}"]
+        + [f"_si_{j} long" for j in range(ncls)]
+    )
+    out = staged.mapInPandas(gen, schema)
+    # exact de-scaling: decimal(19,0) × decimal(10,9) → decimal(30,9),
+    # then the (28,9) narrowing the decimal plan also performed
+    descale = F.lit("0.000000001").cast("decimal(10,9)")
+    return out.select(
+        F.col("_id").alias(id_col),
+        *[
+            (F.col(f"_si_{j}").cast("decimal(19,0)") * descale)
+            .cast("decimal(28,9)")
+            .alias(f"_w_{c}")
+            for j, c in enumerate(classes)
+        ],
+    )
+
+
 def lid_score(
     df: DataFrame, id_col: str, text_col: str, model: dict
 ) -> DataFrame:
@@ -2522,40 +2596,63 @@ def lid_score(
     broadcast join is free at any scale.
     """
     classes, w, pri = _lid_weights(model)
-    spark = df.sparkSession
-    b = model["buckets"]
-    wrows = [
-        tuple([g] + [f"{w[c][g]:.9f}" for c in classes]) for g in range(b)
-    ]
-    wdf = spark.createDataFrame(
-        wrows, ["bucket"] + [f"_wc_{c}" for c in classes]
-    ).select(
-        F.col("bucket").cast("int"),
-        *[F.col(f"_wc_{c}").cast(_LID_DEC) for c in classes],
-    )
-    # per-doc bucket COUNTS (≤ B rows/doc, Arrow-vectorized for k ≤ 5)
-    # joined to the broadcast weights; Σ w·c is exact decimal — w·c
-    # equals w summed c times exactly, so this is value-identical to
-    # the per-occurrence fold (the count cast keeps the product inside
-    # precision 38 so Spark never reduces the scale)
-    bc = _lid_bucket_counts(
-        df, id_col, text_col, model["k"], model["buckets"]
-    ).join(
-        F.broadcast(wdf),
-        F.col("b").cast("int") == F.col("bucket"),
-        "left",
-    )
-    cdec = F.col("c").cast("decimal(10,0)")
     zero = F.lit("0").cast(_LID_DEC)
-    # the sum narrows to (28,9) — exact, |Σ| << 10^19 — because a
-    # (38,9) operand would push the prior ADDITION past precision 38,
-    # where Spark silently drops the scale to 8: a double-rounding
-    # that flipped two fixture scores by 1e-6 (caught by the twin)
-    waggs = [
-        F.sum(F.col(f"_wc_{c}") * cdec).cast("decimal(28,9)").alias(f"_w_{c}")
-        for c in classes
-    ]
-    sums = bc.groupBy(id_col).agg(*waggs)
+    if model["k"] <= 5:
+        # Round-12 optimization (guide §2.3/§2.4): the k ≤ 5 path already
+        # runs an Arrow-batched rolling-hash bincount per document
+        # (_lid_bucket_counts) — fold the per-class weighted sums into
+        # that same pass as ONE int64 (counts @ weights) matvec, so the
+        # per-doc (id, Σ-per-class) row is the only thing that leaves
+        # Python: the 256-rows/doc bucket-count stream, the broadcast
+        # weights join and the |classes| decimal-sum groupBy all
+        # disappear (zero Exchange up to the final projection).
+        # Exactness is unchanged: the weights are the SAME 9-dp strings
+        # the decimal path casts, parsed to scaled int64 (w·1e9), so
+        # Σ cnt·w_scaled is the exact decimal Σ scaled by 1e9 (bounded:
+        # |w_scaled| < 2e10, Σcnt ≤ doc chars ⇒ |Σ| < 2e10·len ≪ 2⁶³),
+        # and the JVM converts back by an exact decimal multiply with
+        # 1e-9 before the unchanged round/argmax — bit-identical
+        # decimals to the old broadcast-join plan (pinned in
+        # test_lid.py against the HOF/decimal path).
+        sums = _lid_class_sums_arrow(
+            df, id_col, text_col, model["k"], model["buckets"], classes, w
+        )
+    else:
+        spark = df.sparkSession
+        b = model["buckets"]
+        wrows = [
+            tuple([g] + [f"{w[c][g]:.9f}" for c in classes]) for g in range(b)
+        ]
+        wdf = spark.createDataFrame(
+            wrows, ["bucket"] + [f"_wc_{c}" for c in classes]
+        ).select(
+            F.col("bucket").cast("int"),
+            *[F.col(f"_wc_{c}").cast(_LID_DEC) for c in classes],
+        )
+        # per-doc bucket COUNTS joined to the broadcast weights; Σ w·c is
+        # exact decimal — w·c equals w summed c times exactly, so this is
+        # value-identical to the per-occurrence fold (the count cast
+        # keeps the product inside precision 38 so Spark never reduces
+        # the scale)
+        bc = _lid_bucket_counts(
+            df, id_col, text_col, model["k"], model["buckets"]
+        ).join(
+            F.broadcast(wdf),
+            F.col("b").cast("int") == F.col("bucket"),
+            "left",
+        )
+        cdec = F.col("c").cast("decimal(10,0)")
+        # the sum narrows to (28,9) — exact, |Σ| << 10^19 — because a
+        # (38,9) operand would push the prior ADDITION past precision 38,
+        # where Spark silently drops the scale to 8: a double-rounding
+        # that flipped two fixture scores by 1e-6 (caught by the twin)
+        waggs = [
+            F.sum(F.col(f"_wc_{c}") * cdec)
+            .cast("decimal(28,9)")
+            .alias(f"_w_{c}")
+            for c in classes
+        ]
+        sums = bc.groupBy(id_col).agg(*waggs)
     # empty/short texts have no bucket rows (bare priors); NULL text →
     # NULL scores — the _nul flag rides a plain scan-stage projection
     base = df.select(
