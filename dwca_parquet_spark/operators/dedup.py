@@ -24,6 +24,9 @@ signatures.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -480,19 +483,70 @@ def dedup_clusters(
 def simhash_fingerprints(
     df: DataFrame, id_col: str, text_col: str, k: int = 3
 ) -> DataFrame:
-    """32-bit SimHash per document via explode + 32 conditional sums.
+    """32-bit SimHash per document.
 
-    All 32 bit-votes aggregate in ONE pass over the exploded shingle stream
-    (single shuffle, map-side combined), then the fingerprint folds together
-    arithmetically in the projection.
+    Round-12 shape for k ≤ 5 (guide §4.2; the _lid_bucket_counts
+    precedent): normalization stays a JVM regex projection; ONE
+    Arrow-batched mapInPandas then computes, per document, the distinct
+    k-shingle rolling hashes (for printable-ASCII codes and k ≤ 5 the
+    stepwise mod never fires — max intermediate 126·(31⁵−1)/30 < 10⁹+7
+    — so h = Σ c_j·31^(k−1−j) is VALUE-identical to the JVM fold; the
+    distinct set via np.unique, order-free for the vote sums), the 32
+    exact-integer bit votes s_b = 2·popcount_b − n, and the fingerprint
+    Σ 2^b [s_b > 0]. The old plan materialized the shingle table
+    (tracked persist — required: unpersisted, the staged projections
+    collapse into the consumer and re-evaluate the char-code transform
+    per shingle position, the measured round-2 552 s pathology), then
+    exploded 7.5M rows (sf0.1) into a groupBy with 32 interpreted
+    conditional sums. This path has zero shuffle, no persist, and no
+    exploded stream; outputs are bit-identical (exact integer
+    arithmetic over the same shingle set — pinned in test_text_ops).
+    Documents whose normalized text is NULL or shorter than k produce
+    no shingles and are dropped, exactly as the explode dropped them.
 
-    The shingle table is persisted (tracked; see cache.py) before the
-    explode: left lazy, the higher-order shingle expression fuses into the
-    Generate stage and re-evaluates pathologically — measured at sf0.01 the
-    aggregation costs ~50 s lazy vs ~1.4 s persisted, and at sf0.1 the lazy
-    form was 552 s (87% of the round-2 bench). A repartition barrier does
-    not help; only materialization does.
+    k > 5 keeps the persisted explode + 32-conditional-sum aggregation
+    (the stepwise mod matters there and stays in JVM expressions).
     """
+    if k <= 5:
+        staged = df.select(
+            F.col(id_col).alias("_id"),
+            H.normalize_text(F.col(text_col)).alias("_nt"),
+        ).filter(F.col("_nt").isNotNull() & (F.length("_nt") >= k))
+        pows = [H.HASH_BASE ** (k - 1 - j) for j in range(k)]
+        shifts = np.arange(32, dtype=np.int64)
+
+        def gen(batches):
+            for pdf in batches:
+                ids, fps = [], []
+                for rid, nt in zip(pdf["_id"], pdf["_nt"]):
+                    codes = np.frombuffer(
+                        nt.encode("ascii"), dtype=np.uint8
+                    ).astype(np.int64)
+                    n = len(codes)
+                    h = np.zeros(n - k + 1, dtype=np.int64)
+                    for j, p in enumerate(pows):
+                        h += codes[j : n - k + 1 + j] * p
+                    hu = np.unique(h)  # the array_distinct
+                    bits = (hu[:, None] >> shifts) & 1
+                    votes = 2 * bits.sum(axis=0, dtype=np.int64) - len(hu)
+                    ids.append(rid)
+                    fps.append(
+                        int(((votes > 0).astype(np.int64) << shifts).sum())
+                    )
+                if ids:
+                    yield pd.DataFrame({"_id": ids, "simhash": fps})
+                else:  # typed-empty frame: Arrow needs real dtypes
+                    yield pd.DataFrame(
+                        {
+                            "_id": pdf["_id"].iloc[:0],
+                            "simhash": pd.Series([], dtype="int64"),
+                        }
+                    )
+
+        schema = f"_id {dict(staged.dtypes)['_id']}, simhash long"
+        return staged.mapInPandas(gen, schema).withColumnRenamed(
+            "_id", id_col
+        )
     sh = persist_tracked(shingle_hash_table(df, id_col, text_col, k))
     exploded = sh.select(F.col(id_col), F.explode("hashes").alias("h"))
     aggs = [

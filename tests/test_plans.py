@@ -10,6 +10,7 @@ anti-patterns across all 50 queries.)
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from dwca_parquet_spark import queries as Q
 from dwca_parquet_spark.cache import release_caches
@@ -67,13 +68,54 @@ def test_text_projections_have_no_exchange(spark):
         assert "Exchange" not in plan_of(spark, name), name
 
 
-def test_simhash_single_shuffle(spark):
-    """q31: explode → ONE map-side-combined aggregation. More than one
-    Exchange means the 32-vote aggregation stopped combining map-side or
-    the shingle persist boundary broke."""
+def test_simhash_zero_shuffle(spark):
+    """q31 (round-12 shape): normalize projection → ONE Arrow
+    mapInPandas computing shingles + votes + fingerprint per document.
+    Any Exchange means an accidental shuffle crept back in."""
     plan = plan_of(spark, "q31_simhash")
-    assert plan.count("Exchange") == 1
-    assert "partial_sum" in plan or "HashAggregate" in plan
+    assert plan.count("Exchange") == 0
+    assert "MapInPandas" in plan
+
+
+def test_simhash_arrow_path_matches_jvm_aggregation(spark):
+    """Differential gate for the round-12 simhash rewrite: the Arrow
+    per-document kernel must reproduce the explode + 32-conditional-sum
+    JVM aggregation bit-for-bit over the same shingle sets (both are
+    exact integer arithmetic; the kernel's no-mod rolling hash is only
+    valid for k ≤ 5 — this pins it)."""
+    from dwca_parquet_spark.operators.dedup import (
+        shingle_hash_table,
+        simhash_fingerprints,
+    )
+
+    docs = spark.read.parquet(f"{SF_T2}/documents.parquet").limit(200)
+    got = {
+        (r["doc_id"], r["simhash"])
+        for r in simhash_fingerprints(docs, "doc_id", "text").collect()
+    }
+    sh = shingle_hash_table(docs, "doc_id", "text", 3).persist()
+    sh.count()
+    exploded = sh.select(F.col("doc_id"), F.explode("hashes").alias("h"))
+    aggs = [
+        F.sum(
+            F.when(
+                F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1)
+        ).alias(f"s{i}")
+        for i in range(32)
+    ]
+    votes = exploded.groupBy("doc_id").agg(*aggs)
+    fp = F.lit(0).cast("long")
+    for i in range(32):
+        fp = fp + F.when(
+            F.col(f"s{i}") > 0, F.lit(2**i).cast("long")
+        ).otherwise(F.lit(0))
+    want = {
+        (r["doc_id"], r["simhash"])
+        for r in votes.select("doc_id", fp.alias("simhash")).collect()
+    }
+    sh.unpersist()
+    assert got == want
 
 
 @pytest.mark.parametrize(
