@@ -24,6 +24,8 @@ signatures.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 
@@ -353,6 +355,7 @@ def connected_components(
     a: str = "id_a",
     b: str = "id_b",
     max_iter: int = 30,
+    assume_distinct: bool = False,
 ) -> DataFrame:
     """(node, label) for every node in ``pairs``; label = min id reachable.
 
@@ -380,19 +383,25 @@ def connected_components(
     # Both edge orientations from ONE pass over pairs (a union of two
     # selects would evaluate the upstream pair pipeline twice inside the
     # materializing job — the pair verify stage is the expensive part).
-    edges = (
-        pairs.select(
-            F.explode(
-                F.array(
-                    F.struct(F.col(a).alias("src"), F.col(b).alias("dst")),
-                    F.struct(F.col(b).alias("src"), F.col(a).alias("dst")),
-                )
-            ).alias("e")
-        )
-        .select("e.src", "e.dst")
-        .distinct()
-        .persist()
-    )
+    edges = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col(a).alias("src"), F.col(b).alias("dst")),
+                F.struct(F.col(b).alias("src"), F.col(a).alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
+    # Duplicate edges are harmless for min-label propagation (min is
+    # idempotent) — the distinct is a volume optimization, one exchange
+    # now vs duplicate rows in every round's propagation join. When the
+    # producer guarantees a distinct (a < b) pair set (every LSH/CC
+    # caller in this repo does — verified pairs come out of a groupBy or
+    # a one-bucket-per-vector kernel), both orientations are distinct by
+    # construction and the exchange is pure waste (round-12; the
+    # triangle_count assume_canonical precedent).
+    if not assume_distinct:
+        edges = edges.distinct()
+    edges = edges.persist()
     # Fused round 0 (round-12 optimization): the identity-label init plus
     # the first propagation round both reduce to label(v) = min(v, min
     # neighbor), which is ONE map-side-combinable groupBy over the edge
@@ -420,20 +429,39 @@ def connected_components(
     # The checksum aggregate is the action that materializes each lazily-
     # marked localCheckpoint (round-12: eager=False halves the per-round
     # action count — the old eager checkpoint ran one job to materialize
-    # and a second for the checksum over the cached table).
-    prev_sum = labels.agg(checksum.alias("s")).collect()[0]["s"]
+    # and a second for the checksum over the cached table). The same
+    # action returns the node count for the broadcast dispatch below.
+    row0 = labels.agg(
+        checksum.alias("s"), F.count(F.lit(1)).alias("n")
+    ).collect()[0]
+    prev_sum = row0["s"]
+    # Size dispatch (round-12; the interval_join precedent): a
+    # checkpointed label table has no catalyst stats, so every round's
+    # propagation join planned as a sort-merge join — re-exchanging and
+    # re-sorting the persisted edge table each round. When the label
+    # table (= node set, fixed across rounds) fits a broadcast, hint it:
+    # the per-round plan becomes one streaming pass over the cached
+    # edges + the groupBy exchange. Big graphs keep the shuffle join.
+    # Local default 2M nodes (~32 MB of (node,label) longs); production
+    # clusters can raise it via the env knob to their executor budget.
+    bcast_labels = row0["n"] <= int(
+        os.environ.get("SPARK_GRAFT_CC_BROADCAST_MAX_NODES", "2000000")
+    )
     for _ in range(max_iter):
-        prop = edges.join(
-            labels.select(F.col("node").alias("dst"), "label"), "dst"
-        ).select(F.col("src").alias("node"), "label")
+        lbl_dst = labels.select(F.col("node").alias("dst"), "label")
+        lbl_jmp = labels.select(
+            F.col("node").alias("label"), F.col("label").alias("_l2")
+        )
+        if bcast_labels:
+            lbl_dst, lbl_jmp = F.broadcast(lbl_dst), F.broadcast(lbl_jmp)
+        prop = edges.join(lbl_dst, "dst").select(
+            F.col("src").alias("node"), "label"
+        )
         # pointer jumping — label(label(v)) — is live from the first loop
         # round because the fused init already left identity-label land
-        jump = labels.alias("x").join(
-            labels.select(
-                F.col("node").alias("label"), F.col("label").alias("_l2")
-            ),
-            "label",
-        ).select(F.col("node"), F.col("_l2").alias("label"))
+        jump = labels.alias("x").join(lbl_jmp, "label").select(
+            F.col("node"), F.col("_l2").alias("label")
+        )
         new_labels = (
             labels.union(prop).union(jump)
             .groupBy("node")
@@ -469,7 +497,9 @@ def dedup_clusters(
     pairs = minhash_dup_pairs(
         df, id_col, text_col, k, threshold, max_bucket_size
     )
-    comp = connected_components(pairs).withColumnRenamed("node", id_col)
+    comp = connected_components(
+        pairs, assume_distinct=True  # verified pairs come out of the verify groupBy
+    ).withColumnRenamed("node", id_col)
     return (
         df.select(F.col(id_col))
         .join(comp, id_col, "left")

@@ -176,7 +176,9 @@ def semantic_dedup(
         )
         .filter(F.col("cosine") >= threshold)
     )
-    comp = connected_components(pairs).withColumnRenamed("node", id_col)
+    comp = connected_components(
+        pairs, assume_distinct=True  # one cell per vector, pairs unique by construction
+    ).withColumnRenamed("node", id_col)
 
     labeled = with_cent.join(comp, id_col, "left").select(
         F.col(id_col),

@@ -1035,7 +1035,9 @@ def embedding_dedup_clusters(
     pairs = embedding_neardup_pairs(
         df, id_col, vec_col, threshold, bucketed, num_planes, num_blocks
     )
-    comp = connected_components(pairs).withColumnRenamed("node", id_col)
+    comp = connected_components(
+        pairs, assume_distinct=True  # one bucket/block-pair per unordered pair
+    ).withColumnRenamed("node", id_col)
     return (
         df.select(F.col(id_col))
         .join(comp, id_col, "left")
