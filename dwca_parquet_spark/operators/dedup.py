@@ -298,12 +298,101 @@ def minhash_dup_pairs(
     sizes instead of estimates and the candidate distinct-aggregate is never
     fused into the verify stage. At 100 TB you would checkpoint the
     candidate set before an expensive verify anyway.
+
+    Round-12 (guide §4.2; the lid/simhash precedent): for k ≤ 5 the
+    shingle set, the 16 MinHash permutation minima AND the band buckets
+    all compute in ONE Arrow pass per document (exact integer NumPy —
+    the no-mod rolling hash is valid below HASH_MOD for printable ASCII
+    and k ≤ 5; permutation products < 2⁶¹; the band fold applies the
+    stepwise mod exactly like the JVM expression). One persisted table
+    serves the bucket join AND both verify sides, replacing the JVM
+    shingle projection + the 7.5M-row explode → 16-min groupBy + the
+    band fold. Values are bit-identical (pinned by the q30/q44 oracle
+    gates and test_properties' signature laws); the `hashes` arrays are
+    sorted (np.unique) rather than first-occurrence-ordered
+    (array_distinct) — set-equal, and every consumer (explode joins,
+    size counts, min aggregates) is order-free.
     """
+    if k <= 5:
+        shb = persist_tracked(
+            _shingle_minhash_buckets_arrow(df, id_col, text_col, k)
+        )
+        sh = shb.select(id_col, "hashes")
+        buckets = shb.select(
+            F.col(id_col), F.posexplode("_bkts").alias("band", "bucket")
+        )
+        return dup_pairs_from_hash_sets(
+            sh, id_col, threshold=threshold,
+            max_bucket_size=max_bucket_size, eager=eager, buckets=buckets,
+        )
     sh = persist_tracked(shingle_hash_table(df, id_col, text_col, k))
     return dup_pairs_from_hash_sets(
         sh, id_col, threshold=threshold, max_bucket_size=max_bucket_size,
         eager=eager,
     )
+
+
+def _shingle_minhash_buckets_arrow(
+    df: DataFrame, id_col: str, text_col: str, k: int
+) -> DataFrame:
+    """(id, hashes array<long>, _bkts array<long>): distinct k-shingle
+    hashes + the MINHASH_BANDS band buckets, one Arrow pass per document
+    (see minhash_dup_pairs' round-12 note). Docs whose normalized text is
+    NULL or shorter than k produce no row — identical to the explode
+    semantics of the JVM pipeline."""
+    staged = df.select(
+        F.col(id_col).alias("_id"),
+        H.normalize_text(F.col(text_col)).alias("_nt"),
+    ).filter(F.col("_nt").isNotNull() & (F.length("_nt") >= k))
+    pows = [H.HASH_BASE ** (k - 1 - j) for j in range(k)]
+    ab = np.array(
+        [H._minhash_ab(j) for j in range(H.MINHASH_K)], dtype=np.int64
+    )
+    A, B = ab[:, 0], ab[:, 1]
+    bands = H.MINHASH_BANDS
+    rpb = H.MINHASH_ROWS_PER_BAND
+
+    def gen(batches):
+        for pdf in batches:
+            ids, hs, bks = [], [], []
+            for rid, nt in zip(pdf["_id"], pdf["_nt"]):
+                codes = np.frombuffer(
+                    nt.encode("ascii"), dtype=np.uint8
+                ).astype(np.int64)
+                n = len(codes)
+                h = np.zeros(n - k + 1, dtype=np.int64)
+                for j, p in enumerate(pows):
+                    h += codes[j : n - k + 1 + j] * p
+                hu = np.unique(h)
+                # 16 permutation minima: (h·a_j + b_j) % P, exact int64
+                sigs = ((hu[:, None] * A[None, :]) + B[None, :]) % H.MINHASH_P
+                mh = sigs.min(axis=0)
+                # band fold with the stepwise mod, exactly the JVM expr
+                bk = np.empty(bands, dtype=np.int64)
+                for band in range(bands):
+                    acc = np.int64(0)
+                    for r in range(band * rpb, (band + 1) * rpb):
+                        acc = (acc * H.HASH_BASE + mh[r]) % H.HASH_MOD
+                    bk[band] = acc
+                ids.append(rid)
+                hs.append(hu)
+                bks.append(bk)
+            if ids:
+                yield pd.DataFrame({"_id": ids, "hashes": hs, "_bkts": bks})
+            else:
+                yield pd.DataFrame(
+                    {
+                        "_id": pdf["_id"].iloc[:0],
+                        "hashes": pd.Series([], dtype="object"),
+                        "_bkts": pd.Series([], dtype="object"),
+                    }
+                )
+
+    schema = (
+        f"_id {dict(staged.dtypes)['_id']}, "
+        "hashes array<bigint>, _bkts array<bigint>"
+    )
+    return staged.mapInPandas(gen, schema).withColumnRenamed("_id", id_col)
 
 
 def dup_pairs_from_hash_sets(
@@ -312,13 +401,17 @@ def dup_pairs_from_hash_sets(
     threshold: float = 0.5,
     max_bucket_size: int | None = None,
     eager: bool = True,
+    buckets: DataFrame | None = None,
 ) -> DataFrame:
     """The modality-independent LSH pipeline: (id, hashes array<long>) →
     verified Jaccard pairs. Text shingles (minhash_dup_pairs) and frame
     hashes (multimodal.payload_neardup_pairs) both feed this; the input
     ``sh`` must already be persisted (it is referenced by the signature
-    build and both verify sides)."""
-    buckets = band_bucket_table(minhash_signatures(sh, id_col), id_col)
+    build and both verify sides). ``buckets``: pre-computed (id, band,
+    bucket) rows (minhash_dup_pairs' fused Arrow path); None builds them
+    from MinHash signatures over ``sh``."""
+    if buckets is None:
+        buckets = band_bucket_table(minhash_signatures(sh, id_col), id_col)
     if max_bucket_size is not None:
         w = Window.partitionBy("band", "bucket")
         buckets = (
