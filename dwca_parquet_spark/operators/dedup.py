@@ -35,6 +35,31 @@ from pyspark.sql import functions as F
 from dwca_parquet_spark.cache import persist_tracked
 from dwca_parquet_spark.functions import hashing as H
 
+# Worker-lifetime scratch pool for the Arrow verify kernel (the
+# similarity._scratch discipline, round 11/13): Python workers are
+# single-threaded and reused across tasks, so multi-MB temporaries are
+# grown once and recycled instead of round-tripping pages through the
+# OS on every group (measured ~60 ns/element for fresh allocations in
+# the host's alloc-contention regime vs memory-bandwidth for reuse).
+_SCRATCH: dict[str, "np.ndarray"] = {}
+
+
+def _dscratch(name: str, dtype, size: int) -> "np.ndarray":
+    buf = _SCRATCH.get(name)
+    if buf is None or buf.dtype != np.dtype(dtype) or buf.size < size:
+        buf = np.empty(max(size, 1), dtype=dtype)
+        _SCRATCH[name] = buf
+    return buf[:size]
+
+
+def _diota(size: int) -> "np.ndarray":
+    """Pooled ``arange`` prefix (read-only by convention)."""
+    buf = _SCRATCH.get("_iota")
+    if buf is None or buf.size < size:
+        buf = np.arange(max(size, 1), dtype=np.int64)
+        _SCRATCH["_iota"] = buf
+    return buf[:size]
+
 
 def text_key(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """id + normalized-text rolling hash (the exact-dedup key).
@@ -162,7 +187,12 @@ def pair_jaccard(
     All JVM codegen, shuffles keyed on (id) then (id,h) — well distributed,
     no skew amplification beyond the candidate set itself, and the shape
     holds at 100 TB (it is the canonical sparse-vector intersection join).
-    Pairs with empty intersection are restored via a left join (jaccard 0).
+    The returned pair set is threshold-dependent: with ``threshold`` None
+    or ≤ 0 EVERY candidate comes back (zero-intersection pairs restored
+    via a left join, jaccard 0); with a positive ``threshold`` only pairs
+    that can still reach it are returned (the length filter prunes
+    size-mismatched candidates and the restoration join is inner — a
+    zero-intersection pair has jaccard exactly 0 and can never pass).
 
     Returns ``cand``'s columns plus a ``jaccard`` double (unrounded —
     callers round to keep oracle parity at a single place).
@@ -314,6 +344,31 @@ def minhash_dup_pairs(
     size counts, min aggregates) is order-free.
     """
     if k <= 5:
+        if threshold is not None and threshold > 0:
+            # Round-13 (guide §2.4/§4.2; VERDICT r12 top-next): the whole
+            # candidate-generation + verify tail collapses into ONE
+            # per-(band,bucket) Arrow kernel. The old plan materialized
+            # Σ|bucket|² candidate pairs (472k at sf0.1), distinct-ed
+            # them, joined sizes twice, then streamed ~66M
+            # (pair × shingle) join rows into a count aggregate. The
+            # kernel computes every within-bucket pair's exact
+            # intersection by run-length pair counting over ONE sort of
+            # the bucket's hash multiset, and only NEAR-THRESHOLD pairs
+            # (j ≥ threshold − 1e-6 — wider than the 6-dp rounding
+            # half-ulp of 5e-7) ever leave Python. Cross-band duplicates
+            # carry bit-identical jaccard doubles (same exact integer
+            # inputs, same op order), so a distinct() collapses them;
+            # the exact round + cut stays JVM-side for oracle parity.
+            shb = _shingle_minhash_buckets_arrow(df, id_col, text_col, k)
+            pairs = _bucket_jaccard_pairs_arrow(
+                shb, id_col, threshold, max_bucket_size
+            )
+            return (
+                pairs.distinct()
+                .withColumn("jaccard", F.round(F.col("jaccard"), 6))
+                .filter(F.col("jaccard") >= threshold)
+                .select("id_a", "id_b", "jaccard")
+            )
         shb = persist_tracked(
             _shingle_minhash_buckets_arrow(df, id_col, text_col, k)
         )
@@ -393,6 +448,227 @@ def _shingle_minhash_buckets_arrow(
         "hashes array<bigint>, _bkts array<bigint>"
     )
     return staged.mapInPandas(gen, schema).withColumnRenamed("_id", id_col)
+
+
+def _bucket_jaccard_pairs_arrow(
+    shb: DataFrame,
+    id_col: str,
+    threshold: float,
+    max_bucket_size: int | None,
+) -> DataFrame:
+    """(id_a, id_b, jaccard) for every within-bucket pair near the
+    threshold — the fused candidate+verify stage of the k ≤ 5 LSH path.
+
+    Input is :func:`_shingle_minhash_buckets_arrow`'s
+    (id, hashes, _bkts); each (band, bucket) group runs ONE NumPy
+    kernel (round-13; guide §4.2):
+
+    - the group's hash arrays concatenate into a single multiset, one
+      argsort groups equal hashes into runs, and every ordered pair of
+      docs inside a run contributes +1 to that pair's intersection
+      (CSR-style run-length pair counting — the per-doc arrays are
+      distinct, so ``ds`` is strictly increasing within a run and every
+      (first, second) pair has id_a-ordinal < id_b-ordinal);
+    - pair increments accumulate by a packed ``i·m + j`` int64 key —
+      ``np.bincount`` into an m² array when m ≤ 4096 (pure adds, no
+      sort), chunk-merged ``np.unique`` above (giant buckets; the
+      documented skew guard stays ``max_bucket_size`` — a degenerate
+      bucket is single-task quadratic work in EITHER verify plan);
+    - every pair-stream temporary lives in a worker-lifetime scratch
+      pool and is written with ``out=``/``np.take`` (the round-11
+      ``_scratch`` page-fault lesson from similarity.py: fresh multi-MB
+      allocations per group round-trip pages through the OS — measured
+      here at ~60 ns/element, 10-20× the warmed cost — while reused
+      buffers run at memory bandwidth), chunked to ~1M increments so
+      the pool stays a few tens of MB per worker;
+    - jaccard = I/(|A|+|B|−I) in the exact op order of
+      :func:`pair_jaccard`'s JVM projection (all operands are exact
+      small integers in float64, so the division is bit-identical);
+      only pairs with j ≥ threshold − 1e-6 are emitted (the 6-dp
+      round-half-up moves a value by ≤ 5e-7, so every pair whose
+      ROUNDED jaccard can reach the threshold survives the margin).
+
+    The docs are sorted by id inside the kernel, so emitted pairs have
+    id_a < id_b — the same orientation the bucket self-join produced.
+    Work per group is O(Σ|A| log Σ|A| + Σ_pairs |A∩B|): the intersection
+    increments the old plan materialized as join-output ROWS are now
+    in-register adds, and the pair stream that crosses back to the JVM
+    is O(near-threshold pairs), not O(candidates)."""
+    ex = shb.select(
+        F.col(id_col).alias("_id"),
+        "hashes",
+        F.posexplode("_bkts").alias("_band", "_bucket"),
+    )
+    thr = float(threshold)
+    mbs = max_bucket_size
+    id_dtype = dict(ex.dtypes)["_id"]
+
+    def group_kern(ids: "np.ndarray", arrs: list) -> tuple:
+        m = len(ids)
+        if m < 2 or (mbs is not None and m > mbs):
+            return None
+        order = np.argsort(ids, kind="stable")  # ids unique per bucket
+        ids = ids[order]
+        arrs = [np.asarray(arrs[i], dtype=np.int64) for i in order]
+        sizes = np.fromiter((a.size for a in arrs), np.int64, m)
+        allh = np.concatenate(arrs)
+        didx = np.repeat(np.arange(m, dtype=np.int64), sizes)
+        o = np.argsort(allh, kind="stable")
+        hs = allh[o]
+        ds = didx[o]  # nondecreasing within runs (stable sort, docs concat in order)
+        n = hs.size
+        change = np.empty(n, np.bool_)
+        change[0] = True
+        np.not_equal(hs[1:], hs[:-1], out=change[1:])
+        starts = np.flatnonzero(change)
+        runlen = np.diff(np.append(starts, n))
+        # offset of each element within its run = how many earlier
+        # elements of the SAME run it pairs with (as the 'second' side)
+        offs = np.arange(n, dtype=np.int64) - np.repeat(starts, runlen)
+        # compact to pair-contributing elements (offs > 0): segment
+        # starts become strictly increasing, so the chunk expansion
+        # below can mark+cumsum instead of scattering duplicates
+        el = np.flatnonzero(offs)
+        if el.size == 0:
+            return None
+        eoffs = offs[el]
+        ecs = np.empty(el.size + 1, np.int64)
+        ecs[0] = 0
+        np.cumsum(eoffs, out=ecs[1:])
+        total = int(ecs[-1])
+        # first_pos(pair g of element j) = run_start(el[j]) + (g − ecs[j])
+        #                                = el[j] − eoffs[j] − ecs[j] + g
+        adj = el - eoffs - ecs[:-1]
+        use_bincount = m <= 4096
+        if use_bincount:
+            counts = _dscratch("jv_counts", np.int64, m * m)
+            counts.fill(0)
+            uniq_keys = uniq_cnts = None
+        else:
+            counts = None
+            uniq_keys = np.empty(0, np.int64)
+            uniq_cnts = np.empty(0, np.int64)
+        # chunk on element boundaries (~1M pair increments per chunk):
+        # every pair-stream temporary below is a pooled buffer of ~CH
+        # elements, so the worker's steady state is allocation-free
+        CH = 1 << 20
+        bounds = np.minimum(
+            np.searchsorted(ecs, np.arange(CH, total + CH, CH), "left"),
+            el.size,
+        )
+        e0 = 0
+        for e1 in np.append(bounds, el.size):
+            e1 = int(e1)
+            if e1 <= e0:
+                continue
+            np_c = int(ecs[e1] - ecs[e0])
+            # compacted-element ordinal per pair: 1 at each segment
+            # start (strictly increasing, all < np_c), cumsum
+            w = _dscratch("jv_idx", np.int64, np_c)
+            w.fill(0)
+            w[ecs[e0 + 1 : e1] - ecs[e0]] = 1
+            np.cumsum(w, out=w)
+            w += e0  # global compacted index j per pair
+            pos2 = np.take(el, w, out=_dscratch("jv_pos2", np.int64, np_c))
+            second = np.take(ds, pos2, out=_dscratch("jv_snd", np.int64, np_c))
+            fp = np.take(adj, w, out=_dscratch("jv_fp", np.int64, np_c))
+            fp += _diota(np_c)
+            fp += int(ecs[e0])
+            first = np.take(ds, fp, out=_dscratch("jv_fst", np.int64, np_c))
+            key = np.multiply(first, m, out=first)
+            key += second
+            if use_bincount:
+                counts += np.bincount(key, minlength=m * m)
+            else:
+                ak = np.concatenate([uniq_keys, key])
+                ac = np.concatenate(
+                    [uniq_cnts, np.ones(np_c, np.int64)]
+                )
+                uk, inv = np.unique(ak, return_inverse=True)
+                uc = np.zeros(uk.size, np.int64)
+                np.add.at(uc, inv, ac)
+                uniq_keys, uniq_cnts = uk, uc
+            e0 = e1
+        if use_bincount:
+            nz = np.flatnonzero(counts)
+            inter = counts[nz]
+        else:
+            nz = uniq_keys
+            inter = uniq_cnts
+        ia = nz // m
+        ib = nz % m
+        num = inter.astype(np.float64)
+        den = sizes[ia].astype(np.float64) + sizes[ib].astype(np.float64)
+        den -= num
+        jac = num / den
+        keep = jac >= thr - 1e-6
+        if not keep.any():
+            return None
+        return ids[ia[keep]], ids[ib[keep]], jac[keep]
+
+    def part_kern(batches) -> "pd.DataFrame":
+        # ONE Python call per shuffle partition (round 13): the
+        # per-group applyInPandas machinery measured ~1-3 ms of Arrow/
+        # pandas overhead PER GROUP — 5084 buckets at sf0.1 made that
+        # the dominant cost of the whole verify (a trivial per-group
+        # function alone timed 4.4-15 s). Hash partitioning on
+        # (_band, _bucket) still co-locates every bucket; the grouping
+        # itself is one packed-key argsort + slicing per partition.
+        pdfs = [pdf for pdf in batches]
+        pdf = (
+            pd.concat(pdfs, ignore_index=True)
+            if len(pdfs) > 1
+            else (pdfs[0] if pdfs else None)
+        )
+        if pdf is None or not len(pdf):
+            ids0 = pdf["_id"].iloc[:0] if pdf is not None else pd.Series([], dtype="object")
+            yield pd.DataFrame(
+                {
+                    "id_a": ids0,
+                    "id_b": ids0,
+                    "jaccard": pd.Series([], dtype="float64"),
+                }
+            )
+            return
+        empty = pd.DataFrame(
+            {
+                "id_a": pdf["_id"].iloc[:0],
+                "id_b": pdf["_id"].iloc[:0],
+                "jaccard": pd.Series([], dtype="float64"),
+            }
+        )
+        # band < MINHASH_BANDS (tiny), bucket < HASH_MOD < 2^30: one
+        # injective packed int64 key per (band, bucket)
+        gkey = (
+            pdf["_band"].to_numpy(np.int64) << 30
+        ) | pdf["_bucket"].to_numpy(np.int64)
+        order = np.argsort(gkey, kind="stable")
+        gkey = gkey[order]
+        ids_all = pdf["_id"].to_numpy()[order]
+        arrs_all = pdf["hashes"].to_numpy()[order]
+        bnd = np.flatnonzero(np.r_[True, gkey[1:] != gkey[:-1]])
+        bnd = np.append(bnd, gkey.size)
+        out_a, out_b, out_j = [], [], []
+        for s, e in zip(bnd[:-1], bnd[1:]):
+            res = group_kern(ids_all[s:e], arrs_all[s:e])
+            if res is not None:
+                out_a.append(res[0])
+                out_b.append(res[1])
+                out_j.append(res[2])
+        if not out_a:
+            yield empty
+            return
+        yield pd.DataFrame(
+            {
+                "id_a": np.concatenate(out_a),
+                "id_b": np.concatenate(out_b),
+                "jaccard": np.concatenate(out_j),
+            }
+        )
+
+    return ex.repartition("_band", "_bucket").mapInPandas(
+        part_kern, f"id_a {id_dtype}, id_b {id_dtype}, jaccard double"
+    )
 
 
 def dup_pairs_from_hash_sets(

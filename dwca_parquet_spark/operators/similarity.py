@@ -350,19 +350,38 @@ def _group_cosine_pairs(
         if min_cosine is not None:
             # slack > half of the 4-decimal rounding ulp (5e-5): a raw
             # cosine of threshold−4.9e-5 still rounds UP to the
-            # threshold and must survive; the exact cut is JVM-side
+            # threshold and must survive; the exact cut is JVM-side.
+            # NaN cosines (zero-norm vectors → 0/0) fail this mask —
+            # deliberately identical to the unmasked stream's fate:
+            # NaN crosses Arrow as NULL (pandas' null sentinel), and
+            # the JVM `round(cosine,4) >= threshold` filter drops NULL
+            # (verified empirically, round 13).
             thr = _scratch("thr", np.bool_, shape)
             np.greater_equal(cos, min_cosine - 6e-5, out=thr)
             mask &= thr
         if topk is not None and n > topk:
-            # per-row k-th largest over VALID candidates only: invalid
-            # slots sink to -2.0 (< any cosine), so rows with fewer
-            # than k valid candidates get kth ≤ -2 and keep everything
+            # per-row k-th largest with THREE value classes, ordered
+            # exactly as the JVM ranks the unpruned stream (round-13
+            # ADVICE, corrected empirically): real cosines first
+            # (desc), then NaN candidates — which cross Arrow as NULL
+            # and sort LAST under Spark's `desc` (nulls-last) — mapped
+            # to -3.0, then invalid slots (self-pairs) mapped to -4.0
+            # so they never displace an emittable candidate from the
+            # top-k. A row with fewer than k real candidates thus gets
+            # kth = -3 (keep every real AND every NaN — the JVM window
+            # fills trailing ranks with NULLs by cand_id) or -4 (fewer
+            # than k candidates at all: keep everything). Without the
+            # NaN remap, np.partition sorts NaN as LARGEST: one
+            # zero-norm vector in a bucket would poison kth (all
+            # comparisons False ⇒ the row drops every candidate).
             c2 = _scratch("c2", np.float64, shape)
             np.copyto(c2, cos)
+            nan = _scratch("nanm", np.bool_, shape)
+            np.isnan(c2, out=nan)
+            np.copyto(c2, -3.0, where=nan)
             inv = _scratch("inv", np.bool_, shape)
             np.logical_not(mask, out=inv)
-            np.copyto(c2, -2.0, where=inv)
+            np.copyto(c2, -4.0, where=inv)
             kth = np.partition(c2, n - topk, axis=1)[:, n - topk]
             np.greater_equal(c2, (kth - 1.1e-4)[:, None], out=inv)
             mask &= inv
@@ -479,7 +498,9 @@ def _sided_group_pairs(
     if min_cosine is not None:
         # same slacked pre-filter as _group_cosine_pairs, applied as a
         # mask BEFORE pair materialization so the index arrays are
-        # O(matches), not O(|A|·|B|) (the round-11 page-fault fix)
+        # O(matches), not O(|A|·|B|) (the round-11 page-fault fix).
+        # NaN fails the mask, exactly as the JVM filter drops the NULL
+        # it would otherwise become through Arrow (round-13 note there).
         ia, ib = np.nonzero(cos >= min_cosine - 6e-5)
         xa, xb = ida[ia], idb[ib]
         return pd.DataFrame(

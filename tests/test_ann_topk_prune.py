@@ -108,3 +108,49 @@ def test_ann_topk_multitable_prune_parity_tie_dense(spark):
     )
     want = _rows(_rank_unpruned(unpruned, 3))
     assert got == want
+
+
+def _with_zero_vectors(spark, n=120, dim=8, n_zero=5):
+    """Tie-dense corpus plus zero-norm vectors (failed embeddings):
+    their cosines are NaN, which crosses Arrow as NULL — Spark then
+    ranks them LAST under `desc` (nulls-last) and drops them at `>=`
+    filters. The round-13 ADVICE case: the pruning masks must reproduce
+    that fate exactly instead of letting NaN poison np.partition."""
+    import random
+
+    rng = random.Random(11)
+    rows = [
+        (i, [float(rng.choice((0.0, 0.5, 1.0))) for _ in range(dim)])
+        for i in range(n)
+    ]
+    rows = [(i, v) for i, v in rows if any(x != 0.0 for x in v)]
+    rows += [(1000 + j, [0.0] * dim) for j in range(n_zero)]
+    return spark.createDataFrame(rows, "id long, vec array<float>")
+
+
+def test_ann_topk_prune_parity_zero_norm_vectors(spark):
+    df = _with_zero_vectors(spark)
+    for k in (1, 3):
+        got = _rows(ann_topk_lsh(df, "id", "vec", k=k))
+        unpruned = _bucket_pairs(df, "id", "vec", NUM_PLANES, ordered=True)
+        want = _rows(_rank_unpruned(unpruned, k))
+        assert got == want, f"k={k}"
+
+
+def test_neardup_min_cosine_parity_zero_norm_vectors(spark):
+    from dwca_parquet_spark.operators.similarity import embedding_neardup_pairs
+
+    df = _with_zero_vectors(spark)
+    for thr in (0.5, 0.9):
+        got = _rows(
+            embedding_neardup_pairs(df, "id", "vec", threshold=thr, bucketed=True)
+        )
+        unpruned = _bucket_pairs(df, "id", "vec", NUM_PLANES, ordered=False)
+        want = _rows(
+            unpruned.select(
+                "id_a", "id_b", F.round(F.col("cosine"), 4).alias("cosine")
+            ).filter(F.col("cosine") >= thr)
+        )
+        assert got == want, f"thr={thr}"
+        # zero-norm pairs appear in NEITHER stream (NULL fails `>=`)
+        assert not any(a >= 1000 or b >= 1000 for a, b, _ in got)
